@@ -1,0 +1,111 @@
+"""End-to-end benchviz ETL on Spark (reference main.go:21-31 re-planned).
+
+The reference's pipeline is: S3 sync -> walk tree -> parse -> nest ->
+one JSON per test + catalog -> publish. On Spark that collapses into a
+single lazy plan: text scan (with partition-style pruning by path) ->
+native regex projections -> LWW dedup window -> one shuffle for the
+per-test aggregation -> parallel serving writes. The S3 sync steps
+dissolve: ``spark.read`` addresses ``s3a://`` URIs directly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchviz_spark.registry import query
+from benchviz_spark.serving.json_sink import (
+    catalog_json,
+    package_sort_key,
+    per_test_json,
+    priority_sort_key,
+    write_serving_tree,
+)
+from benchviz_spark.sources.bench_logs import build_fact_table
+
+
+def run_pipeline(spark: SparkSession, samples_root: str, out_dir: str) -> DataFrame:
+    """Ingest a benchSamples tree and materialize the serving layout
+    (per-test JSON files + test_names.json). Returns the fact table."""
+    fact = build_fact_table(spark, samples_root)
+    fact.cache()  # reused by both sinks; one scan/parse pass
+    write_serving_tree(per_test_json(fact), out_dir)
+    with open(os.path.join(out_dir, "test_names.json"), "w") as f:
+        f.write(catalog_json(fact))
+    return fact
+
+
+def catalog_listing(fact: DataFrame) -> DataFrame:
+    """The index-page listing (reference §3.2): packages ordered sql,
+    sql/parser, rest; tests priority-first then lexicographic."""
+    return (
+        fact.select("package", "test_name")
+        .distinct()
+        .withColumn("pkg_rank", package_sort_key(F.col("package")))
+        .withColumn("test_rank", priority_sort_key(F.col("test_name"), F.col("package")))
+        .orderBy("pkg_rank", "package", "test_rank", "test_name")
+    )
+
+
+def point_lookup(fact: DataFrame, package: str, test_name: str) -> DataFrame:
+    """Reference S9: fetch one test's chronological series. The equality
+    predicates prune partitions/files when the fact table is stored
+    partitioned by package."""
+    return (
+        fact.filter((F.col("package") == package) & (F.col("test_name") == test_name))
+        .select("run_date", "ns_per_op", "allocs_per_op", "bytes_per_op", "mb_per_s")
+        .orderBy("run_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A deterministic self-contained demo of the flagship workload, exposed
+# as a registry query (rows-only check: its input is a generated log
+# tree, not one of the oracle's parquet views).
+# ---------------------------------------------------------------------------
+_DEMO_DATES = ("01-01-2015", "02-01-2015", "15-12-2015")
+_DEMO_LINES = {
+    "sql": [
+        "BenchmarkBank2_Cockroach-8 \t 1000 \t 1328086 ns/op \t 183965 B/op \t 2317 allocs/op",
+        "BenchmarkScan1000_Cockroach-16 \t 500 \t 2000000 ns/op \t 12.50 MB/s \t 1024 B/op \t 10 allocs/op",
+        "BenchmarkThroughput-8 \t 100 \t 5 MB/s",
+        "--- FAIL: BenchmarkBroken",
+        "PASS",
+    ],
+    "sql/parser": [
+        "BenchmarkParse-8 \t 2000 \t 52341 ns/op",
+        "ok  \t parser \t 1.2s",
+    ],
+}
+
+
+def _write_demo_tree(root: str) -> None:
+    for date in _DEMO_DATES:
+        for pkg, lines in _DEMO_LINES.items():
+            d = os.path.join(root, date, "cockroach", pkg)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "pkg.test.stdout"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+
+@query("bench_log_pipeline")  # rows-only: input is a log tree, not a parquet view
+def bench_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship reference workload end-to-end: generate a deterministic
+    benchSamples tree, ingest it (scan -> parse -> LWW dedup), and return
+    the fact table. Exercises every reference ingest operator
+    (SURVEY §2.1 S2-S3, §2.2 F1-F5, §2.4 A1)."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_demo_tree")
+    _write_demo_tree(root)
+    fact = build_fact_table(spark, root)
+    return fact.select(
+        "run_date",
+        "package",
+        "test_name",
+        "ns_per_op",
+        "allocs_per_op",
+        "bytes_per_op",
+        "mb_per_s",
+    ).orderBy("run_date", "package", "test_name")

@@ -1,0 +1,143 @@
+"""Serving-layer materialization (reference S4/S5 re-expressed).
+
+The reference writes one JSON object per (package, test) —
+``{"DD-MM-YYYY": {"N":..,"A":..,"B":..,"M":..}, ...}`` — plus a catalog
+``test_names.json`` of ``{package: [test, ...]}``
+(/root/reference/filegenerator/file_generator.go:179-208).
+
+Byte-stability: Go's ``json.Marshal`` sorts map keys lexically and
+renders integral floats without a decimal point (``4.0`` -> ``4``).
+Both behaviors are reproduced with native expressions so the output is
+hash-comparable to the reference's golden files
+(file_generator_test.go:75-93): entries are sorted with ``sort_array``
+(date keys sort lexically, like Go), and M gets a conditional
+integral/decimal rendering.
+
+Scale: the JSON document for each key is assembled executor-side by a
+hash aggregation; nothing is collected to the driver. The file writer
+is a ``foreachPartition`` fan-out — thousands of small serving files
+written in parallel, which is exactly the reference's serving layout
+(point lookups by key, SURVEY §2.1 S9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _go_number(col: F.Column) -> F.Column:
+    """Render a double the way Go json.Marshal does: integral values
+    without a trailing '.0'."""
+    as_long = col.cast("long")
+    return F.when(
+        col == as_long.cast("double"), as_long.cast("string")
+    ).otherwise(col.cast("string"))
+
+
+def per_test_json(fact: DataFrame) -> DataFrame:
+    """-> (package, test_name, json) with one reference-shaped JSON
+    document per benchmark test."""
+    entry = F.concat(
+        F.lit('"'),
+        F.date_format("run_date", "dd-MM-yyyy"),
+        F.lit('":{"N":'),
+        F.col("ns_per_op").cast("string"),
+        F.lit(',"A":'),
+        F.col("allocs_per_op").cast("string"),
+        F.lit(',"B":'),
+        F.col("bytes_per_op").cast("string"),
+        F.lit(',"M":'),
+        _go_number(F.col("mb_per_s")),
+        F.lit("}"),
+    )
+    return (
+        fact.select("package", "test_name", entry.alias("entry"))
+        .groupBy("package", "test_name")
+        .agg(
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(",", F.sort_array(F.collect_list("entry"))),
+                F.lit("}"),
+            ).alias("json")
+        )
+    )
+
+
+def catalog_json(fact: DataFrame) -> str:
+    """The single ``test_names.json`` document: ``{pkg: [test,...]}``
+    with both levels sorted (the reference's order is unspecified Go map
+    iteration; we canonicalize — SURVEY §2.4 A2)."""
+    per_pkg = (
+        fact.select("package", "test_name")
+        .distinct()
+        .groupBy("package")
+        .agg(F.sort_array(F.collect_list("test_name")).alias("tests"))
+        .select(
+            F.concat(
+                F.lit('"'),
+                F.col("package"),
+                F.lit('":'),
+                F.to_json(F.col("tests")),
+            ).alias("entry")
+        )
+        .agg(
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(",", F.sort_array(F.collect_list("entry"))),
+                F.lit("}"),
+            ).alias("json")
+        )
+    )
+    return per_pkg.collect()[0]["json"]
+
+
+def write_serving_tree(per_test: DataFrame, out_dir: str) -> None:
+    """Write each per-test document to ``<out_dir>/<package>/<test>.json``
+    (the reference's serving layout). Executor-side foreachPartition —
+    no driver bottleneck, arbitrarily many files in parallel."""
+
+    def write_partition(rows):
+        for row in rows:
+            path = os.path.join(out_dir, row["package"])
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, f"{row['test_name']}.json"), "w") as f:
+                f.write(row["json"])
+
+    per_test.foreachPartition(write_partition)
+
+
+PRIORITY_ACTIONS = ("Scan", "Delete", "Update", "Insert")
+PRIORITY_COUNTS = (1, 10, 100, 1000)
+PRIORITY_SUFFIXES = ("_Cockroach-16", "Multinode_Cockroach-16")
+
+
+def priority_sort_key(test_col: F.Column, package_col: F.Column) -> F.Column:
+    """Reference O3 as a sort-key expression: for package 'sql', tests
+    named Benchmark{Scan|Delete|Update|Insert}{1|10|100|1000}
+    {_Cockroach-16|Multinode_Cockroach-16} sort before everything else
+    (generate_benchmark_list.js:29-38 — we implement the documented
+    *intent*; the reference's unshift loop also duplicates entries and
+    prepends nonexistent tests, which are quirks of its rendering, not
+    query semantics)."""
+    important = [
+        f"Benchmark{action}{count}{suffix}"
+        for action in PRIORITY_ACTIONS
+        for count in PRIORITY_COUNTS
+        for suffix in PRIORITY_SUFFIXES
+    ]
+    return F.when(
+        (package_col == "sql") & test_col.isin(important), F.lit(0)
+    ).otherwise(F.lit(1))
+
+
+def package_sort_key(package_col: F.Column) -> F.Column:
+    """Reference O4: packages 'sql', 'sql/parser' list first
+    (generate_benchmark_list.js:40-48)."""
+    return (
+        F.when(package_col == "sql", F.lit(0))
+        .when(package_col == "sql/parser", F.lit(1))
+        .otherwise(F.lit(2))
+    )

@@ -1,0 +1,139 @@
+"""Benchmark-log directory-tree source (the reference's ingest path).
+
+Reads a ``benchSamples/<DD-MM-YYYY>/cockroach/<pkg>/<file>`` tree of Go
+benchmark stdout into one line-grained DataFrame, reproducing the
+reference scanner's observable semantics
+(/root/reference/filegenerator/file_generator.go:131-175):
+
+- date directories are recognized by the UNANCHORED pattern
+  ``[0-9]{2}-[0-9]{2}-[0-9]{4}`` (file_generator.go:107-111), so
+  ``x01-01-2016y`` is a valid date dir;
+- files are recognized by the unanchored pattern ``.*test\\.stdout``
+  (file_generator.go:155-157);
+- missing package dirs are silently skipped (glob semantics give us
+  that for free, file_generator.go:149-151).
+
+Scale: files are read with ``wholetext`` + ``posexplode`` so each line
+carries its (file, position) provenance — that provenance is what makes
+last-write-wins deduplication deterministic and distributed (no
+single-threaded ordering assumption survives a 1000-executor cluster).
+Benchmark stdout files are small (KBs); one file per task row is cheap,
+and Spark splits the file *list* across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# Reference patterns, verbatim semantics (not verbatim code):
+DATE_DIR_PATTERN = "[0-9]{2}-[0-9]{2}-[0-9]{4}"
+# MB/s demands >=2 digit chars: '5 MB/s' does NOT match, '5.5'/'55' do
+# (file_generator.go:84; proven by file_generator_test.go:62-63).
+NS_PER_OP_RE = r"([0-9]+) ns/op"
+ALLOCS_RE = r"([0-9]+) allocs/op"
+BYTES_RE = r"([0-9]+) B/op"
+MBPS_RE = r"([0-9]+\.?[0-9]+) MB/s"
+
+FACT_COLUMNS = (
+    "run_date",
+    "package",
+    "test_name",
+    "ns_per_op",
+    "allocs_per_op",
+    "bytes_per_op",
+    "mb_per_s",
+    "source_file",
+)
+
+
+def read_bench_lines(spark: SparkSession, samples_root: str) -> DataFrame:
+    """Scan the tree -> (source_file, line_pos, line).
+
+    The glob encodes the reference's directory filters: one date-dir
+    level, the fixed ``cockroach`` level, any package depth below.
+    """
+    raw = (
+        spark.read.option("wholetext", "true")
+        .text(f"{samples_root}/*/cockroach/*")
+        .withColumn("source_file", F.input_file_name())
+    )
+    # Package dirs can be nested (sql/parser) -> also scan one level deeper.
+    # Spark's {a,b} glob alternation can't express "any depth", so union
+    # the two supported depths (the reference whitelist main.go:23-25 is
+    # at most two segments deep).
+    deep = (
+        spark.read.option("wholetext", "true")
+        .text(f"{samples_root}/*/cockroach/*/*")
+        .withColumn("source_file", F.input_file_name())
+    )
+    lines = (
+        raw.unionByName(deep)
+        # unanchored filename filter, as in the reference
+        .filter(F.col("source_file").rlike(r"test\.stdout"))
+        # unanchored date-dir filter on the path segment
+        .filter(F.col("source_file").rlike(f"/[^/]*{DATE_DIR_PATTERN}[^/]*/cockroach/"))
+        .select(
+            "source_file",
+            F.posexplode(F.split(F.col("value"), "\n")).alias("line_pos", "line"),
+        )
+    )
+    return lines
+
+
+def parse_bench_lines(lines: DataFrame) -> DataFrame:
+    """Line-grained text -> typed fact rows (reference F1 + F5).
+
+    All parsing is native Catalyst expressions (regexp_extract / split /
+    trim / cast) — no Python in the hot path. Missing metrics become 0,
+    not null (Go zero-value semantics, file_generator.go:85-104).
+    """
+    is_valid = F.col("line").startswith("Benchmark") & ~F.col("line").rlike("FAIL")
+
+    def metric(pattern: str, typ: str) -> F.Column:
+        # no-match regexp_extract yields '' — try_cast turns that into
+        # null (ANSI mode would throw), coalesce applies the Go
+        # zero-value default.
+        extracted = F.regexp_extract(F.col("line"), pattern, 1)
+        return F.coalesce(extracted.try_cast(typ), F.lit(0).cast(typ))
+
+    return lines.filter(is_valid).select(
+        F.to_date(
+            F.regexp_extract(F.col("source_file"), f"({DATE_DIR_PATTERN})", 1),
+            "dd-MM-yyyy",
+        ).alias("run_date"),
+        F.regexp_extract(F.col("source_file"), r"/cockroach/(.+)/[^/]+$", 1).alias(
+            "package"
+        ),
+        F.trim(F.split(F.col("line"), "\t").getItem(0)).alias("test_name"),
+        metric(NS_PER_OP_RE, "long").alias("ns_per_op"),
+        metric(ALLOCS_RE, "long").alias("allocs_per_op"),
+        metric(BYTES_RE, "long").alias("bytes_per_op"),
+        metric(MBPS_RE, "double").alias("mb_per_s"),
+        "source_file",
+        "line_pos",
+    )
+
+
+def dedup_last_write_wins(parsed: DataFrame) -> DataFrame:
+    """Reference A1: duplicate (package, test, date) keys are resolved by
+    the *last* occurrence in scan order (map overwrite,
+    file_generator.go:167). Scan order = file path asc (Go ReadDir sorts
+    by name), then line position asc — so the winner is the max
+    (source_file, line_pos). A window row_number keeps it fully
+    distributed and deterministic."""
+    w = W.partitionBy("package", "test_name", "run_date").orderBy(
+        F.col("source_file").desc(), F.col("line_pos").desc()
+    )
+    return (
+        parsed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*FACT_COLUMNS)
+    )
+
+
+def build_fact_table(spark: SparkSession, samples_root: str) -> DataFrame:
+    """Full ingest: scan -> parse -> LWW dedup -> bench_results fact table
+    (FIXTURES.md §2 schema)."""
+    return dedup_last_write_wins(parse_bench_lines(read_bench_lines(spark, samples_root)))

@@ -1,0 +1,216 @@
+"""Parser + ingest edge cases from FIXTURES.md §1 (derived from the
+reference's observable semantics, file_generator.go:72-175 and its own
+test fixtures, file_generator_test.go:35-65)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from benchviz_spark.pipeline import catalog_listing, point_lookup, run_pipeline
+from benchviz_spark.serving.json_sink import catalog_json, per_test_json
+from benchviz_spark.sources.bench_logs import build_fact_table
+
+CANONICAL_LINE = (
+    "BenchmarkBank2_Cockroach-8 \t 1000 \t 1328086 ns/op \t 183965 B/op \t 2317 allocs/op"
+)
+
+EDGE_LINES = [
+    "BenchmarkScan1000_Cockroach-16 \t 500 \t 2000000 ns/op \t 12.50 MB/s \t 1024 B/op \t 10 allocs/op",
+    "BenchmarkFoo-8 \t 100 \t 999 ns/op",
+    "--- FAIL: BenchmarkBar",
+    "BenchmarkBar-8 \t FAIL",
+    "ok  \t pkg \t 1.2s",
+    "PASS",
+    "",
+    "BenchmarkX",
+    "BenchmarkThroughput-8 \t 100 \t 5 MB/s",
+    "BenchmarkFifty-8 \t 100 \t 55 MB/s",
+]
+
+
+def _write(root: str, date: str, pkg: str, fname: str, lines: list[str]) -> None:
+    d = os.path.join(root, date, "cockroach", pkg)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, fname), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def sample_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("benchSamples"))
+    _write(root, "01-01-2015", "sql", "sql.test.stdout", [CANONICAL_LINE])
+    _write(root, "01-01-2015", "sql", "edge.test.stdout", EDGE_LINES)
+    _write(root, "02-01-2015", "sql/parser", "parser.test.stdout",
+           ["BenchmarkParse-8 \t 2000 \t 52341 ns/op"])
+    # LWW: same test twice across two files on one date — later file wins
+    _write(root, "15-12-2015", "kv", "a.test.stdout",
+           ["BenchmarkDup-8 \t 1 \t 111 ns/op"])
+    _write(root, "15-12-2015", "kv", "b.test.stdout",
+           ["BenchmarkDup-8 \t 1 \t 222 ns/op"])
+    # LWW within one file — later line wins
+    _write(root, "15-12-2015", "sql", "dup.test.stdout",
+           ["BenchmarkSame-8 \t 1 \t 1 ns/op", "BenchmarkSame-8 \t 1 \t 2 ns/op"])
+    # unanchored date-dir quirk: x01-01-2016y is a valid date dir
+    _write(root, "x01-01-2016y", "sql", "q.test.stdout",
+           ["BenchmarkQuirk-8 \t 1 \t 7 ns/op"])
+    # invalid date dir: skipped entirely
+    _write(root, "notadate", "sql", "n.test.stdout",
+           ["BenchmarkNever-8 \t 1 \t 9 ns/op"])
+    # unanchored filename quirk: 'mytest.stdoutx' contains test.stdout
+    _write(root, "01-01-2015", "kv", "mytest.stdoutx",
+           ["BenchmarkLoose-8 \t 1 \t 3 ns/op"])
+    # non-matching filename: skipped
+    _write(root, "01-01-2015", "kv", "readme.txt",
+           ["BenchmarkNope-8 \t 1 \t 4 ns/op"])
+    return root
+
+
+@pytest.fixture(scope="module")
+def fact(spark, sample_tree):
+    df = build_fact_table(spark, sample_tree)
+    df.cache()
+    df.count()
+    return df
+
+
+def _row(fact, test_name):
+    rows = fact.filter(F.col("test_name") == test_name).collect()
+    assert len(rows) == 1, f"{test_name}: expected 1 row, got {rows}"
+    return rows[0]
+
+
+def test_canonical_line(fact):
+    # the reference's own golden fixture (file_generator_test.go:49-65)
+    r = _row(fact, "BenchmarkBank2_Cockroach-8")
+    assert r.ns_per_op == 1328086
+    assert r.bytes_per_op == 183965
+    assert r.allocs_per_op == 2317
+    assert r.mb_per_s == 0.0  # absent metric -> 0, not null
+    assert str(r.run_date) == "2015-01-01"
+    assert r.package == "sql"
+
+
+def test_all_metrics_present(fact):
+    r = _row(fact, "BenchmarkScan1000_Cockroach-16")
+    assert (r.ns_per_op, r.mb_per_s, r.bytes_per_op, r.allocs_per_op) == (
+        2000000, 12.5, 1024, 10,
+    )
+
+
+def test_partial_metrics_default_zero(fact):
+    r = _row(fact, "BenchmarkFoo-8")
+    assert (r.ns_per_op, r.allocs_per_op, r.bytes_per_op, r.mb_per_s) == (999, 0, 0, 0.0)
+
+
+def test_fail_lines_dropped(fact):
+    assert fact.filter(F.col("test_name").rlike("Bar")).count() == 0
+
+
+def test_non_benchmark_lines_dropped(fact):
+    assert fact.filter(F.col("test_name").isin("PASS", "ok", "")).count() == 0
+
+
+def test_bare_name_kept(fact):
+    r = _row(fact, "BenchmarkX")
+    assert (r.ns_per_op, r.allocs_per_op, r.bytes_per_op, r.mb_per_s) == (0, 0, 0, 0.0)
+
+
+def test_mbps_two_digit_quirk(fact):
+    # '5 MB/s' must NOT match (regex wants >=2 digit chars); '55' must.
+    assert _row(fact, "BenchmarkThroughput-8").mb_per_s == 0.0
+    assert _row(fact, "BenchmarkFifty-8").mb_per_s == 55.0
+
+
+def test_lww_across_files(fact):
+    assert _row(fact, "BenchmarkDup-8").ns_per_op == 222
+
+
+def test_lww_within_file(fact):
+    assert _row(fact, "BenchmarkSame-8").ns_per_op == 2
+
+
+def test_unanchored_date_dir_kept(fact):
+    assert _row(fact, "BenchmarkQuirk-8").ns_per_op == 7
+
+
+def test_invalid_date_dir_skipped(fact):
+    assert fact.filter(F.col("test_name") == "BenchmarkNever-8").count() == 0
+
+
+def test_unanchored_filename_kept(fact):
+    assert _row(fact, "BenchmarkLoose-8").ns_per_op == 3
+
+
+def test_nonmatching_filename_skipped(fact):
+    assert fact.filter(F.col("test_name") == "BenchmarkNope-8").count() == 0
+
+
+def test_nested_package_path(fact):
+    r = _row(fact, "BenchmarkParse-8")
+    assert r.package == "sql/parser"
+
+
+# --- serving layer ---------------------------------------------------------
+
+
+def test_per_test_json_matches_go_marshal(spark):
+    """Reference golden test (file_generator_test.go:75-93): the emitted
+    document must byte-equal Go's json.Marshal of
+    {"01-01-2015": {N:1, A:2, B:3, M:4.0}} — sorted keys, 4.0 -> 4."""
+    fact = spark.createDataFrame(
+        [("2015-01-01", "sql", "BenchmarkSqlSampleTest", 1, 2, 3, 4.0, "f")],
+        "run_date string, package string, test_name string, ns_per_op long,"
+        " allocs_per_op long, bytes_per_op long, mb_per_s double, source_file string",
+    ).withColumn("run_date", F.to_date("run_date"))
+    doc = per_test_json(fact).collect()[0]["json"]
+    assert doc == '{"01-01-2015":{"N":1,"A":2,"B":3,"M":4}}'
+    assert json.loads(doc) == {"01-01-2015": {"N": 1, "A": 2, "B": 3, "M": 4}}
+
+
+def test_per_test_json_fractional_and_sorted(spark):
+    fact = spark.createDataFrame(
+        [
+            ("2016-01-02", "sql", "T", 10, 0, 0, 12.5, "f"),
+            ("2015-12-15", "sql", "T", 20, 0, 0, 0.0, "f"),
+        ],
+        "run_date string, package string, test_name string, ns_per_op long,"
+        " allocs_per_op long, bytes_per_op long, mb_per_s double, source_file string",
+    ).withColumn("run_date", F.to_date("run_date"))
+    doc = per_test_json(fact).collect()[0]["json"]
+    # lexical key order (Go map marshal): 02-01-2016 < 15-12-2015
+    assert doc == (
+        '{"02-01-2016":{"N":10,"A":0,"B":0,"M":12.5},'
+        '"15-12-2015":{"N":20,"A":0,"B":0,"M":0}}'
+    )
+
+
+def test_pipeline_end_to_end(spark, sample_tree, tmp_path):
+    out = str(tmp_path / "deploy")
+    fact = run_pipeline(spark, sample_tree, out)
+    assert os.path.exists(os.path.join(out, "sql", "BenchmarkBank2_Cockroach-8.json"))
+    with open(os.path.join(out, "test_names.json")) as f:
+        catalog = json.load(f)
+    assert "BenchmarkParse-8" in catalog["sql/parser"]
+    assert sorted(catalog["sql"]) == catalog["sql"]
+    series = point_lookup(fact, "sql", "BenchmarkBank2_Cockroach-8").collect()
+    assert len(series) == 1 and series[0].ns_per_op == 1328086
+
+
+def test_catalog_listing_priority_order(spark):
+    fact = spark.createDataFrame(
+        [
+            ("sql", "BenchmarkAAA"),
+            ("sql", "BenchmarkScan1000_Cockroach-16"),
+            ("sql/parser", "BenchmarkParse"),
+            ("kv", "BenchmarkKV"),
+        ],
+        "package string, test_name string",
+    )
+    rows = catalog_listing(fact).collect()
+    # packages: sql, sql/parser, rest; within sql: priority test first
+    assert [r.package for r in rows] == ["sql", "sql", "sql/parser", "kv"]
+    assert rows[0].test_name == "BenchmarkScan1000_Cockroach-16"
