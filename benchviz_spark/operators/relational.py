@@ -27,6 +27,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -78,9 +80,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3-way join + group + top-k (TPC-H Q3 shape). customer is the small side
-# and is broadcast; the orders<->lineitem join shuffles on the key both
-# sides already share.
+# 3-way join + group + top-k (TPC-H Q3 shape). The orders<->lineitem join
+# shuffles on the key both sides already share; join strategy for the
+# customer side is left to AQE.
 # ---------------------------------------------------------------------------
 @query(
     "q3_top_unshipped_orders",
@@ -106,9 +108,12 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # No broadcast hint on customer: it scales with the fact tables
+    # (150k rows x SF), so a forced broadcast OOMs a 100-TB cluster. AQE
+    # picks broadcast at small SF and shuffle join at scale on its own.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -122,8 +127,8 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Star join across 6 tables (TPC-H Q5 shape): every dimension broadcast,
-# single shuffle for the final aggregation.
+# Star join across 6 tables (TPC-H Q5 shape): tiny dims broadcast,
+# SF-scaled tables shuffle-joined, single shuffle for the final agg.
 # ---------------------------------------------------------------------------
 @query(
     "q5_region_revenue",
@@ -153,11 +158,15 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Broadcast only the genuinely tiny dims (nation: 25 rows, region: 5).
+    # customer/supplier scale with SF — forcing them broadcast is a
+    # 100x-scale killer; AQE's runtime join-strategy switch handles the
+    # small-SF case without the hint.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -646,7 +655,7 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + IN subqueries, expressed via SQL over per-sf_dir view
     names (a fixed view name would be clobbered if the driver interleaves
     calls for different scale factors)."""
-    suffix = abs(hash(sf_dir)) % 10**8
+    suffix = re.sub(r"\W", "_", sf_dir).strip("_")
     orders_v, cust_v = f"orders_sq_{suffix}", f"cust_sq_{suffix}"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(orders_v)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(cust_v)
@@ -724,9 +733,15 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_stats_orders")  # no oracle: approx algorithms differ by engine
 def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Quantiles are projected to scalar columns: the driver's rows-only
+    # canonicalizer can't hash an array cell.
+    quantiles = F.expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99))")
     return orders.agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99))").alias(
-            "price_quantiles"
-        ),
+        quantiles.alias("_q"),
+    ).select(
+        "approx_customers",
+        F.element_at("_q", 1).alias("price_p50"),
+        F.element_at("_q", 2).alias("price_p95"),
+        F.element_at("_q", 3).alias("price_p99"),
     )

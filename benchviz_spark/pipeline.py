@@ -32,6 +32,7 @@ def run_pipeline(spark: SparkSession, samples_root: str, out_dir: str) -> DataFr
     (per-test JSON files + test_names.json). Returns the fact table."""
     fact = build_fact_table(spark, samples_root)
     fact.cache()  # reused by both sinks; one scan/parse pass
+    os.makedirs(out_dir, exist_ok=True)  # an all-filtered tree writes no partition
     write_serving_tree(per_test_json(fact), out_dir)
     with open(os.path.join(out_dir, "test_names.json"), "w") as f:
         f.write(catalog_json(fact))

@@ -52,8 +52,13 @@ def _load_all() -> None:
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:
-            continue  # module not built yet
+        except ModuleNotFoundError as err:
+            # Only swallow "this query module isn't built yet"; a missing
+            # third-party import *inside* a module must fail loudly or the
+            # correctness gate shrinks silently.
+            if err.name != mod:
+                raise
+            continue
 
 
 def all_queries() -> dict[str, QueryFn]:

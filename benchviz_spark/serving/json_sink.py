@@ -30,19 +30,28 @@ from pyspark.sql import functions as F
 
 def _go_number(col: F.Column) -> F.Column:
     """Render a double the way Go json.Marshal does: integral values
-    without a trailing '.0'."""
+    without a trailing '.0', and no scientific notation (a raw
+    double->string cast yields '1.0E7' for 1e7). Non-integral values go
+    through decimal(30,6) — wide enough for any parsed MB/s figure —
+    then trailing zeros after the point are stripped ('12.500000' ->
+    '12.5')."""
     as_long = col.cast("long")
-    return F.when(
-        col == as_long.cast("double"), as_long.cast("string")
-    ).otherwise(col.cast("string"))
+    decimal_str = F.regexp_replace(
+        col.cast("decimal(30,6)").cast("string"), r"(\.\d*?)0+$", "$1"
+    )
+    return F.when(col == as_long.cast("double"), as_long.cast("string")).otherwise(
+        F.regexp_replace(decimal_str, r"\.$", "")
+    )
 
 
 def per_test_json(fact: DataFrame) -> DataFrame:
     """-> (package, test_name, json) with one reference-shaped JSON
-    document per benchmark test."""
+    document per benchmark test, keyed by the RAW date-dir name —
+    the reference keys by dataDirName verbatim (file_generator.go:167),
+    so a quirky dir like x01-01-2016y keeps its name in the output."""
     entry = F.concat(
         F.lit('"'),
-        F.date_format("run_date", "dd-MM-yyyy"),
+        F.col("date_dir"),
         F.lit('":{"N":'),
         F.col("ns_per_op").cast("string"),
         F.lit(',"A":'),

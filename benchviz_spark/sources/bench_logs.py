@@ -38,6 +38,7 @@ MBPS_RE = r"([0-9]+\.?[0-9]+) MB/s"
 
 FACT_COLUMNS = (
     "run_date",
+    "date_dir",
     "package",
     "test_name",
     "ns_per_op",
@@ -47,38 +48,68 @@ FACT_COLUMNS = (
     "source_file",
 )
 
+# The reference scans exactly these 12 package dirs (main.go:23-25).
+REFERENCE_PACKAGES = (
+    "sql",
+    "sql/parser",
+    "kv",
+    "roachpb",
+    "storage",
+    "storage/engine",
+    "util/cache",
+    "util/caller",
+    "util/decimal",
+    "util/encoding",
+    "util/interval",
+    "util/log",
+)
 
-def read_bench_lines(spark: SparkSession, samples_root: str) -> DataFrame:
-    """Scan the tree -> (source_file, line_pos, line).
+# Hadoop-glob rendering of the unanchored DD-MM-YYYY date-dir filter:
+# character classes prune non-date dirs at *listing* time (no file of a
+# skipped dir is ever opened), while the leading/trailing `*` keep the
+# reference's unanchored-substring quirk (x01-01-2016y is a date dir).
+_DATE_DIR_GLOB = "*[0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]*"
 
-    The glob encodes the reference's directory filters: one date-dir
-    level, the fixed ``cockroach`` level, any package depth below.
+
+def read_bench_lines(
+    spark: SparkSession,
+    samples_root: str,
+    packages: tuple[str, ...] | None = REFERENCE_PACKAGES,
+) -> DataFrame:
+    """Scan the tree -> (source_file, package, line_pos, line).
+
+    ONE listing pass reads every file exactly once: the date-dir glob
+    prunes at the directory level, ``recursiveFileLookup`` descends
+    through arbitrarily nested package dirs (sql/parser, storage/engine),
+    and ``pathGlobFilter`` applies the reference's unanchored
+    ``*test.stdout*`` file filter before any byte is read.
+    ``wholetext=True`` (keyword form — the ``.option()`` string form is
+    ignored by this reader) yields one row per file so ``posexplode``
+    gives each line its (file, position) provenance for LWW dedup.
+
+    ``packages`` reproduces the reference whitelist (F4, main.go:23-25);
+    pass ``None`` to ingest every package dir.
     """
-    raw = (
-        spark.read.option("wholetext", "true")
-        .text(f"{samples_root}/*/cockroach/*")
-        .withColumn("source_file", F.input_file_name())
-    )
-    # Package dirs can be nested (sql/parser) -> also scan one level deeper.
-    # Spark's {a,b} glob alternation can't express "any depth", so union
-    # the two supported depths (the reference whitelist main.go:23-25 is
-    # at most two segments deep).
-    deep = (
-        spark.read.option("wholetext", "true")
-        .text(f"{samples_root}/*/cockroach/*/*")
-        .withColumn("source_file", F.input_file_name())
-    )
     lines = (
-        raw.unionByName(deep)
-        # unanchored filename filter, as in the reference
-        .filter(F.col("source_file").rlike(r"test\.stdout"))
-        # unanchored date-dir filter on the path segment
-        .filter(F.col("source_file").rlike(f"/[^/]*{DATE_DIR_PATTERN}[^/]*/cockroach/"))
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*test.stdout*")
+        .text(f"{samples_root}/{_DATE_DIR_GLOB}/cockroach", wholetext=True)
+        .withColumn("source_file", F.input_file_name())
+        .withColumn(
+            "package",
+            F.regexp_extract(F.col("source_file"), r"/cockroach/(.+)/[^/]+$", 1),
+        )
+        # files sitting directly under cockroach/ have no package dir and
+        # are never visited by the reference walker (file_generator.go:144)
+        .filter(F.col("package") != "")
         .select(
             "source_file",
+            "package",
             F.posexplode(F.split(F.col("value"), "\n")).alias("line_pos", "line"),
         )
     )
+    if packages is not None:
+        lines = lines.filter(F.col("package").isin(list(packages)))
     return lines
 
 
@@ -103,9 +134,13 @@ def parse_bench_lines(lines: DataFrame) -> DataFrame:
             F.regexp_extract(F.col("source_file"), f"({DATE_DIR_PATTERN})", 1),
             "dd-MM-yyyy",
         ).alias("run_date"),
-        F.regexp_extract(F.col("source_file"), r"/cockroach/(.+)/[^/]+$", 1).alias(
-            "package"
-        ),
+        # the RAW directory-name segment: the reference keys its serving
+        # JSON by dataDirName verbatim (file_generator.go:167), so quirky
+        # dirs like x01-01-2016y must survive to the serving edge.
+        F.regexp_extract(
+            F.col("source_file"), f"/([^/]*{DATE_DIR_PATTERN}[^/]*)/cockroach/", 1
+        ).alias("date_dir"),
+        "package",
         F.trim(F.split(F.col("line"), "\t").getItem(0)).alias("test_name"),
         metric(NS_PER_OP_RE, "long").alias("ns_per_op"),
         metric(ALLOCS_RE, "long").alias("allocs_per_op"),
@@ -123,7 +158,7 @@ def dedup_last_write_wins(parsed: DataFrame) -> DataFrame:
     by name), then line position asc — so the winner is the max
     (source_file, line_pos). A window row_number keeps it fully
     distributed and deterministic."""
-    w = W.partitionBy("package", "test_name", "run_date").orderBy(
+    w = W.partitionBy("package", "test_name", "date_dir").orderBy(
         F.col("source_file").desc(), F.col("line_pos").desc()
     )
     return (
@@ -133,7 +168,13 @@ def dedup_last_write_wins(parsed: DataFrame) -> DataFrame:
     )
 
 
-def build_fact_table(spark: SparkSession, samples_root: str) -> DataFrame:
+def build_fact_table(
+    spark: SparkSession,
+    samples_root: str,
+    packages: tuple[str, ...] | None = REFERENCE_PACKAGES,
+) -> DataFrame:
     """Full ingest: scan -> parse -> LWW dedup -> bench_results fact table
     (FIXTURES.md §2 schema)."""
-    return dedup_last_write_wins(parse_bench_lines(read_bench_lines(spark, samples_root)))
+    return dedup_last_write_wins(
+        parse_bench_lines(read_bench_lines(spark, samples_root, packages))
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from benchviz_spark.pipeline import catalog_listing, point_lookup, run_pipeline
 from benchviz_spark.serving.json_sink import catalog_json, per_test_json
-from benchviz_spark.sources.bench_logs import build_fact_table
+from benchviz_spark.sources.bench_logs import build_fact_table, read_bench_lines
 
 CANONICAL_LINE = (
     "BenchmarkBank2_Cockroach-8 \t 1000 \t 1328086 ns/op \t 183965 B/op \t 2317 allocs/op"
@@ -154,6 +154,41 @@ def test_nested_package_path(fact):
     assert r.package == "sql/parser"
 
 
+def test_each_file_line_read_exactly_once(spark, sample_tree):
+    """Regression for the round-1 double-read: the old two-glob union
+    scanned depth-1 package files twice. Every (source_file, line_pos)
+    must appear exactly once in the raw line stream."""
+    lines = read_bench_lines(spark, sample_tree)
+    dupes = (
+        lines.groupBy("source_file", "line_pos")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_wholetext_line_positions(spark, sample_tree):
+    """wholetext must actually take effect: a multi-line file yields
+    distinct line positions (round-1 bug: .option('wholetext') was
+    ignored, so every row had line_pos=0 and LWW was nondeterministic)."""
+    lines = read_bench_lines(spark, sample_tree)
+    multi = lines.filter(
+        F.col("source_file").endswith("dup.test.stdout")
+        & F.col("line").startswith("Benchmark")
+    )
+    positions = sorted(r.line_pos for r in multi.collect())
+    assert positions == [0, 1]
+
+
+def test_package_whitelist(spark, sample_tree):
+    """F4 (main.go:23-25): only whitelisted package dirs are ingested."""
+    only_sql = build_fact_table(spark, sample_tree, packages=("sql",))
+    assert only_sql.filter(F.col("package") != "sql").count() == 0
+    everything = build_fact_table(spark, sample_tree, packages=None)
+    assert everything.filter(F.col("package") == "sql/parser").count() > 0
+
+
 # --- serving layer ---------------------------------------------------------
 
 
@@ -162,9 +197,10 @@ def test_per_test_json_matches_go_marshal(spark):
     document must byte-equal Go's json.Marshal of
     {"01-01-2015": {N:1, A:2, B:3, M:4.0}} — sorted keys, 4.0 -> 4."""
     fact = spark.createDataFrame(
-        [("2015-01-01", "sql", "BenchmarkSqlSampleTest", 1, 2, 3, 4.0, "f")],
-        "run_date string, package string, test_name string, ns_per_op long,"
-        " allocs_per_op long, bytes_per_op long, mb_per_s double, source_file string",
+        [("2015-01-01", "01-01-2015", "sql", "BenchmarkSqlSampleTest", 1, 2, 3, 4.0, "f")],
+        "run_date string, date_dir string, package string, test_name string,"
+        " ns_per_op long, allocs_per_op long, bytes_per_op long, mb_per_s double,"
+        " source_file string",
     ).withColumn("run_date", F.to_date("run_date"))
     doc = per_test_json(fact).collect()[0]["json"]
     assert doc == '{"01-01-2015":{"N":1,"A":2,"B":3,"M":4}}'
@@ -174,11 +210,12 @@ def test_per_test_json_matches_go_marshal(spark):
 def test_per_test_json_fractional_and_sorted(spark):
     fact = spark.createDataFrame(
         [
-            ("2016-01-02", "sql", "T", 10, 0, 0, 12.5, "f"),
-            ("2015-12-15", "sql", "T", 20, 0, 0, 0.0, "f"),
+            ("2016-01-02", "02-01-2016", "sql", "T", 10, 0, 0, 12.5, "f"),
+            ("2015-12-15", "15-12-2015", "sql", "T", 20, 0, 0, 0.0, "f"),
         ],
-        "run_date string, package string, test_name string, ns_per_op long,"
-        " allocs_per_op long, bytes_per_op long, mb_per_s double, source_file string",
+        "run_date string, date_dir string, package string, test_name string,"
+        " ns_per_op long, allocs_per_op long, bytes_per_op long, mb_per_s double,"
+        " source_file string",
     ).withColumn("run_date", F.to_date("run_date"))
     doc = per_test_json(fact).collect()[0]["json"]
     # lexical key order (Go map marshal): 02-01-2016 < 15-12-2015
@@ -186,6 +223,27 @@ def test_per_test_json_fractional_and_sorted(spark):
         '{"02-01-2016":{"N":10,"A":0,"B":0,"M":12.5},'
         '"15-12-2015":{"N":20,"A":0,"B":0,"M":0}}'
     )
+
+
+def test_json_number_no_scientific_notation(spark):
+    """Go json.Marshal never emits '1.0E7'; neither may we."""
+    fact = spark.createDataFrame(
+        [("2015-01-01", "01-01-2015", "sql", "T", 1, 0, 0, 10000000.5, "f")],
+        "run_date string, date_dir string, package string, test_name string,"
+        " ns_per_op long, allocs_per_op long, bytes_per_op long, mb_per_s double,"
+        " source_file string",
+    ).withColumn("run_date", F.to_date("run_date"))
+    doc = per_test_json(fact).collect()[0]["json"]
+    assert '"M":10000000.5}' in doc, doc
+
+
+def test_json_keyed_by_raw_date_dir(spark, sample_tree):
+    """The reference keys serving JSON by the raw dir name
+    (file_generator.go:167): x01-01-2016y stays x01-01-2016y."""
+    fact = build_fact_table(spark, sample_tree)
+    quirk = per_test_json(fact.filter(F.col("test_name") == "BenchmarkQuirk-8"))
+    doc = quirk.collect()[0]["json"]
+    assert doc.startswith('{"x01-01-2016y":')
 
 
 def test_pipeline_end_to_end(spark, sample_tree, tmp_path):
