@@ -1,0 +1,332 @@
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline tier (SURVEY.md §2.10 north star): exact
+dedup, exact n-gram Jaccard pair detection, MinHash+LSH fuzzy dedup,
+and SimHash fingerprinting. The reference has no analogue (it is a
+benchmark-log visualizer); these operators exist because the engine's
+brief is a 100-TB LLM-data pipeline, and the driver provisions
+``documents.parquet`` expressly for them.
+
+Scale design:
+
+- Exact dedup is a hash groupBy on a text fingerprint — one shuffle of
+  (hash, id), never of full text bodies.
+- Exact Jaccard uses an inverted shingle index (explode -> self-join on
+  shingle -> count shared), never an all-pairs cross join. Cost is
+  sum(posting-list^2) which stays tractable because 3-word shingles are
+  near-unique; a frequency cap on posting lists is the standard guard
+  at larger corpora (see ``dedup_minhash_lsh_pairs`` which needs no cap).
+- MinHash signatures are computed entirely inside Catalyst array
+  expressions (``transform``/``array_min`` over the shingle array) — no
+  explode, NO shuffle to build signatures. Banding then buckets docs by
+  (band, hash-of-band-rows); only same-bucket docs become candidate
+  pairs (the LSH trick that replaces O(n^2) with O(candidates)).
+- SimHash is the one Python crossing: a vectorized Arrow ``pandas_udf``
+  (§2.10 surface) that computes 64-bit fingerprints batch-wise; near-dup
+  candidates are then bucketed by rotated prefixes, JVM-side.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+# MinHash parameters: 8 bands x 4 rows = 32 hash functions. With
+# jaccard>=0.5 targets, P(candidate) = 1-(1-s^4)^8 -> 0.99+ at s=0.8,
+# ~0.4 at s=0.5; the planted near-dups sit at s~0.99.
+N_BANDS = 8
+ROWS_PER_BAND = 4
+_MERSENNE31 = (1 << 31) - 1  # prime modulus; keeps a*x+b inside int64
+
+_rng = random.Random(0x5EED)
+_HASH_PARAMS = [
+    (_rng.randrange(1, _MERSENNE31), _rng.randrange(0, _MERSENNE31))
+    for _ in range(N_BANDS * ROWS_PER_BAND)
+]
+
+
+def _norm_text(col: Column) -> Column:
+    """Whitespace-collapsed, lower-cased canonical text."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def _shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (1-based element_at;
+    semantics mirror the DuckDB oracle's list_transform/range exactly)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingled_documents(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """documents -> (doc_id, shingles array<string>). Narrow (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(_norm_text(F.col("text")), " ")
+    return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on a canonical text fingerprint.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic winner (lowest doc_id) per
+    canonical text. Grouping on md5(text) shuffles 32-byte keys instead
+    of document bodies — the difference between feasible and not at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(_norm_text(F.col("text")))
+    w_rank = F.row_number().over(W.partitionBy(key).orderBy("doc_id"))
+    return (
+        docs.withColumn("rn", w_rank)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard: inverted shingle index, no all-pairs join.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS s
+      FROM tok WHERE len(t) >= 3
+    )
+    SELECT left_id, right_id, jaccard FROM (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-gram-shingle Jaccard >= 0.5, computed
+    via an inverted index: explode shingles, self-join postings, count
+    shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). The oracle
+    does the O(n^2) version; this plan's cost is bounded by posting-list
+    sizes, which is what survives a 100-TB corpus."""
+    sh = shingled_documents(spark, sf_dir).filter(F.size("shingles") > 0)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "left_id")
+        .join(sb, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: the 100-TB fuzzy-dedup path.
+# ---------------------------------------------------------------------------
+def _minhash_signature(shingles: Column) -> list[Column]:
+    """32 minhash values, each an array_min over the shingle array —
+    pure Catalyst, evaluated row-local (no explode, no shuffle).
+    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p with p = 2^31-1;
+    operands stay < 2^62 so int64 arithmetic is exact under ANSI mode.
+    """
+    def hash_fn(a: int, b: int):
+        # closure, not default-arg lambda: PySpark reads lambda arity to
+        # build the HOF variable list, so extra defaulted params break it
+        def apply(s: Column) -> Column:
+            return F.pmod(
+                F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)) + F.lit(b),
+                F.lit(_MERSENNE31),
+            )
+
+        return apply
+
+    return [
+        F.array_min(F.transform(shingles, hash_fn(a, b))) for a, b in _HASH_PARAMS
+    ]
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: (left_id, right_id), deduped across bands.
+
+    Each doc lands in N_BANDS buckets keyed by the hash of that band's
+    signature rows; only same-bucket docs pair up. Bucket membership is
+    one explode + one groupBy — the full pair space is never formed.
+    """
+    sh = shingled_documents(spark, sf_dir).filter(F.size("shingles") > 0)
+    sig = _minhash_signature(F.col("shingles"))
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(*sig[i * ROWS_PER_BAND : (i + 1) * ROWS_PER_BAND]).alias(
+                "bucket"
+            ),
+        )
+        for i in range(N_BANDS)
+    ]
+    bucketed = sh.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    members = (
+        bucketed.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all ordered pairs within a bucket, generated JVM-side
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ids, (x, i) ->
+                  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+                    struct(x AS left_id, y AS right_id))))
+                """
+            )
+        ).alias("p")
+    ).select("p.left_id", "p.right_id")
+    return pairs.distinct()
+
+
+@query("dedup_minhash_lsh_pairs")  # no SQL oracle: LSH banding isn't SQL; recall
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup, scale path: MinHash-LSH candidates verified with the
+    exact shingle Jaccard (>= 0.5). Verification joins candidates back to
+    the (small relative to corpus) shingle sets — the exact filter runs
+    only on LSH survivors, never all pairs. Recall vs the exact operator
+    is pinned by tests/test_dedup.py."""
+    cand = minhash_candidates(spark, sf_dir)
+    sh = shingled_documents(spark, sf_dir)
+    left = sh.select(F.col("doc_id").alias("left_id"), F.col("shingles").alias("sa"))
+    right = sh.select(F.col("doc_id").alias("right_id"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(left, "left_id")
+        .join(right, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: the vectorized-Python (§2.10 pandas_udf) surface.
+# ---------------------------------------------------------------------------
+def _simhash_udf():
+    """64-bit SimHash of whitespace tokens, vectorized over Arrow
+    batches. Python is confined to this one projection; everything
+    around it (normalization, bucketing, joins) stays JVM-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: postponed annotation evaluation (PEP 563) turns them
+    # into strings pandas_udf can't resolve; the returnType plus the
+    # hint-less signature selects the plain SCALAR Arrow path.
+    shifts = np.arange(64, dtype=np.uint64)
+    bit_cache: dict = {}
+
+    def token_bits(tok):
+        bits = bit_cache.get(tok)
+        if bits is None:
+            # FNV-1a 64-bit: stable across processes (unlike hash())
+            h = 0xCBF29CE484222325
+            for ch in tok.encode():
+                h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+            ones = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+            bits = bit_cache[tok] = ones * 2 - 1  # ±1 per bit position
+        return bits
+
+    @pandas_udf("long")
+    def simhash(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.split(" "):
+                acc += token_bits(tok)
+            sig = np.uint64(0)
+            for j in range(64):
+                if acc[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = int(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+@query("dedup_simhash_fingerprints")  # no SQL oracle: bit-level fingerprinting
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — deterministic 64-bit near-dup fingerprints.
+    Downstream near-dup detection buckets on 16-bit prefixes of 4
+    rotations (docs within hamming distance 3 share at least one
+    bucket); the fingerprint column itself is what a 100-TB pipeline
+    persists."""
+    docs = load_table(spark, sf_dir, "documents")
+    simhash = _simhash_udf()
+    return docs.select(
+        "doc_id", simhash(_norm_text(F.col("text"))).alias("simhash")
+    )

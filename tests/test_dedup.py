@@ -1,0 +1,72 @@
+"""Dedup operator properties that the DuckDB oracle can't see:
+LSH recall vs the exact pair set, and SimHash fingerprint behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from benchviz_spark.operators.dedup import (
+    dedup_exact_documents,
+    dedup_minhash_lsh_pairs,
+    dedup_ngram_jaccard_pairs,
+    dedup_simhash_fingerprints,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.left_id, r.right_id) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return _pairs(dedup_ngram_jaccard_pairs(spark, SF_DIR))
+
+
+def test_exact_dedup_keeps_all_unique(spark):
+    # the synthetic corpus has no byte-identical duplicates, so exact
+    # dedup must be the identity on doc_ids
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    deduped = dedup_exact_documents(spark, SF_DIR)
+    assert deduped.count() == docs.count()
+
+
+def test_minhash_lsh_recall(spark, exact_pairs):
+    """The planted near-dups sit at jaccard ~0.9+; with 8 bands x 4 rows
+    the candidate probability there is >0.999, so LSH must recover
+    (almost) every exact pair. Precision is exact by construction: LSH
+    output is verified with the true Jaccard."""
+    assert exact_pairs, "fixture corpus should contain planted near-dups"
+    lsh_pairs = _pairs(dedup_minhash_lsh_pairs(spark, SF_DIR))
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"recall {recall}: {exact_pairs - lsh_pairs}"
+    # verified pairs can't be false positives
+    assert lsh_pairs <= exact_pairs | lsh_pairs  # sanity: sets comparable
+
+
+def test_minhash_lsh_no_unverified_pairs(spark, exact_pairs):
+    """Every emitted pair passed the exact >=0.5 verification, so the
+    LSH result is a subset of the exact pair set."""
+    lsh_pairs = _pairs(dedup_minhash_lsh_pairs(spark, SF_DIR))
+    assert lsh_pairs <= exact_pairs
+
+
+def test_simhash_deterministic(spark):
+    a = {r.doc_id: r.simhash for r in dedup_simhash_fingerprints(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.simhash for r in dedup_simhash_fingerprints(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_simhash_near_dups_are_close(spark, exact_pairs):
+    """Near-identical documents must have small hamming distance; a
+    random unrelated pair sits near 32 bits. Use <=16 as the dividing
+    line (standard simhash near-dup threshold region)."""
+    sig = {r.doc_id: r.simhash for r in dedup_simhash_fingerprints(spark, SF_DIR).collect()}
+
+    def hamming(x: int, y: int) -> int:
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    for left, right in exact_pairs:
+        assert hamming(sig[left], sig[right]) <= 16, (left, right)
