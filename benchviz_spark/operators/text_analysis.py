@@ -1,0 +1,280 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline tier: token statistics, corpus term/document
+frequency, TF-IDF, heuristic language ID, quality scoring, and document
+fingerprinting. Everything is native Catalyst (split/explode/groupBy/
+higher-order array functions) — a deliberately relational formulation so
+every operator has a DuckDB oracle and stays inside whole-stage codegen.
+
+Scale design:
+
+- Tokenization is a narrow projection; only the explode-based term
+  aggregations shuffle, and they shuffle (term, count) partials after
+  map-side combine — never document bodies.
+- TF-IDF is two hash aggregations plus one broadcast join of the
+  (vocabulary-sized) document-frequency table against per-doc term
+  counts. Vocabulary << corpus at any scale, so the broadcast is safe
+  where broadcasting `customer` was not.
+- Fingerprints are md5 of normalized text: 32-byte shuffle keys for any
+  downstream dedup/sharding, computed scan-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+# Tiny per-language marker lexicons for the heuristic language ID.
+# Deterministic and mirrored verbatim in the oracle SQL.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+_LANG_ORDER = ("en", "es", "de", "fr", "zh")  # argmax tie-break order
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# Per-document token statistics.
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           round(length(norm)::DOUBLE / len(t), 4) AS chars_per_token
+    FROM (
+      SELECT doc_id, {_NORM_SQL} AS norm, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    )
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the unit everything downstream
+    (quality filters, dedup shingles, BPE budgeting) keys on."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    t = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.round(F.length(norm).cast("double") / F.size(t), 4).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus term/document frequency (explode -> two-level aggregation).
+# ---------------------------------------------------------------------------
+@query(
+    "text_term_frequency",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    )
+    SELECT term,
+           count(*)                 AS tf,
+           count(DISTINCT doc_id)   AS df
+    FROM tok GROUP BY term
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequency + document frequency in one aggregation.
+    Map-side combine means only (term, partial-count) crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: relational formulation (two aggs + one broadcast join).
+# ---------------------------------------------------------------------------
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. The document-frequency side is
+    vocabulary-sized, so it broadcasts at any corpus scale; the n_docs
+    scalar folds in as a crossJoin of a 1-row aggregate (Catalyst turns
+    it into a broadcast nested loop of width 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID: marker-lexicon hit counts, argmax with a fixed
+# tie order. (An n-gram model is the production path; the relational
+# skeleton — score per language, argmax — is identical.)
+# ---------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    hit_cols = ",\n             ".join(
+        f"len(list_intersect(t, {list(_LANG_MARKERS[lang])!r})) AS hits_{lang}"
+        for lang in _LANG_ORDER
+    )
+    # greatest-hits argmax with fixed tie order en>es>de>fr>zh
+    cases = " ".join(
+        f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, labeled_lang,
+             {hit_cols}
+      FROM tok
+    ),
+    best AS (
+      SELECT *, greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) AS best FROM hits
+    )
+    SELECT doc_id, labeled_lang,
+           CASE {cases} ELSE 'und' END AS predicted_lang
+    FROM best
+    """
+
+
+@query("text_language_id", oracle=_lang_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.array_distinct(_tokens(F.col("text")))
+    hits = {
+        lang: F.size(
+            F.array_intersect(t, F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]]))
+        )
+        for lang in _LANG_ORDER
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in reversed(_LANG_ORDER):  # build CASE so earlier langs win ties
+        pred = F.when((hits[lang] == best) & (best > 0), lang).otherwise(pred)
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: cheap shape features + a composite score.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+             len(list_distinct(string_split({_NORM_SQL}, ' '))) AS n_distinct,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_punct::DOUBLE / n_chars_raw, 6)   AS punct_ratio,
+           round(n_distinct::DOUBLE / n_tokens, 6)   AS distinct_ratio,
+           CASE WHEN n_tokens >= 20 AND n_distinct::DOUBLE / n_tokens >= 0.2
+                THEN 1 ELSE 0 END                    AS passes_quality
+    FROM feat
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / lexical-diversity features with a binary
+    keep-gate — the shape of every corpus-cleaning filter. One narrow
+    projection; no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.when((n_tokens >= 20) & (distinct_ratio >= 0.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints: content hash + shard key.
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL})               AS fingerprint,
+           substr(md5({_NORM_SQL}), 1, 4) AS shard_key
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed identity: md5 of normalized text, plus a 4-hex
+    shard prefix (65k shards) — the partition key a 100-TB pipeline
+    writes dedup state under."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("shard_key")
+    )
