@@ -1,0 +1,203 @@
+"""Multimodal-column operators: vectors as array<float>, payloads as
+binary with typed metadata, and a mapInPandas decode/feature pipeline.
+
+Training-data-pipeline tier. Real image/audio codecs are not in this
+environment, so the DECODE step is a clearly-marked deterministic stub
+(`_fake_decode`) — but everything Spark-side is real and tested: the
+binary column plumbing, the metadata schema, the Arrow batch shape, and
+the partition-preserving mapInPandas contract a production decoder
+would drop into.
+
+Scale design:
+
+- Vector statistics are per-row Catalyst higher-order expressions: zero
+  shuffle, full codegen, computed at scan speed next to the parquet
+  reader.
+- Binary payload metadata (size, content hash, magic sniff) is also
+  scan-side; content hashes give downstream dedup 32-byte keys instead
+  of payload bytes.
+- The decode pipeline is ``mapInPandas``: one Arrow batch in, one out,
+  per-partition streaming — payloads never sit fully materialized on
+  the driver, and a 100-TB run parallelizes by input split exactly like
+  any other scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+
+def _sum_double(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+# ---------------------------------------------------------------------------
+# Vector-column statistics (array<float> -> scalars, no UDF).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_embedding_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
+             AS l2_norm,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6)
+             AS mean_val,
+           round(list_min(embedding)::DOUBLE, 6) AS min_val,
+           round(list_max(embedding)::DOUBLE, 6) AS max_val
+    FROM embeddings
+    """,
+)
+def multimodal_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm/mean/min/max via Catalyst higher-order functions —
+    the health-check projection every embedding pipeline runs before
+    indexing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(
+            F.sqrt(_sum_double(F.transform(as_double, lambda x: x * x))), 6
+        ).alias("l2_norm"),
+        F.round(_sum_double(as_double) / F.size("embedding"), 6).alias("mean_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector arithmetic reduced to scalars (normalization checksum).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_embedding_normalized_checksum",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / nrm, 6)
+             AS unit_sum,
+           round(embedding[1]::DOUBLE / nrm, 6) AS unit_first
+    FROM n WHERE nrm > 0
+    """,
+)
+def multimodal_embedding_normalized_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L2-normalization expressed as array math; outputs scalar
+    checksums (sum and first element of the unit vector) because the
+    driver's canonicalizer hashes scalars. The full normalized array is
+    the same ``transform`` without the reduction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(_sum_double(F.transform(as_double, lambda x: x * x)))
+    return (
+        emb.select(
+            "vec_id",
+            nrm.alias("nrm"),
+            _sum_double(as_double).alias("s"),
+            F.element_at(F.col("embedding"), 1).cast("double").alias("first"),
+        )
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.round(F.col("s") / F.col("nrm"), 6).alias("unit_sum"),
+            F.round(F.col("first") / F.col("nrm"), 6).alias("unit_first"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary payload columns with typed metadata.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           sha256(text)                             AS content_sha256,
+           CASE WHEN n_chars >= 300 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-read as opaque binary payloads (utf-8 encode stands
+    in for image/audio bytes) with the typed metadata a multimodal lake
+    stores beside them: byte size, content hash, size class. All
+    scan-side; the hash is the dedup/sharding key at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.when(F.col("n_chars") >= 300, "large").otherwise("small").alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract via mapInPandas (Arrow-batched).
+# ---------------------------------------------------------------------------
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, channels int, mean_luma double"
+)
+
+_REAL_CODECS_AVAILABLE = False  # no image/audio libraries in this container
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB decoder: deterministic pseudo-image properties derived from
+    payload bytes. A production build replaces this one function with
+    e.g. PIL/ffmpeg and keeps every Spark-side contract (schema, batch
+    iteration, partitioning) unchanged."""
+    if _REAL_CODECS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real codec path not wired in this environment")
+    n = len(payload)
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    checksum = sum(payload[:128])
+    return width, height, 3, round((checksum % 2560) / 10.0, 1)
+
+
+def decode_features(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> decoded feature rows. mapInPandas:
+    the decoder sees an iterator of Arrow batches and yields feature
+    frames — constant memory per partition regardless of corpus size."""
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            feats = [_fake_decode(bytes(p)) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in batch["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+@query("multimodal_decode_features")  # rows-only: decode stub isn't SQL
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing: text -> binary payload column ->
+    Arrow-batched decode -> typed feature frame. The decode itself is a
+    deterministic stub (no codecs in this container); the pipeline
+    around it is the real, tested artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return decode_features(payloads).orderBy("doc_id")
