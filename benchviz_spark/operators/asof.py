@@ -1,0 +1,106 @@
+"""As-of join: for each purchase event, the most recent prior view by
+the same user (SURVEY §2.3's required join surface beyond the
+reference's own joins).
+
+Spark has no native ASOF JOIN; the scale-correct formulation is
+union + ordered window carry-forward:
+
+1. tag both sides and union them,
+2. one window per user ordered by (ts, side, event_id) — views sort
+   before purchases at equal ts so a ts-tie matches,
+3. ``last(view, ignoreNulls)`` carries the latest view downward,
+4. keep purchase rows with a carried view.
+
+That is ONE shuffle (the window partitioning) and no join blow-up —
+versus the naive range join whose intermediate is |purchases| x
+|views-per-user|. The DuckDB oracle *is* the naive pair formulation
+(row_number over v.ts <= p.ts), which proves the window plan equals
+the quadratic definition.
+
+Tie semantics (explicit, matching the oracle): latest view with
+view.ts <= purchase.ts; equal-ts views allowed; among equal-ts views
+the greatest event_id wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+
+@query(
+    "asof_purchase_last_view",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT purchase_id, user_id, purchase_ts_s, view_ts_s, view_value FROM (
+      SELECT p.event_id AS purchase_id,
+             p.user_id,
+             CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+             CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_s,
+             round(v.value, 4) AS view_value,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC
+             ) AS rn
+      FROM purchases p JOIN views v
+        ON p.user_id = v.user_id AND v.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent view at-or-before
+    it. Window carry-forward plan (one shuffle); purchases with no prior
+    view drop out (inner as-of)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("view_value_raw"),
+    )
+    p_tagged = purchases.select(
+        "user_id", "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("tb"),
+        "purchase_id",
+        F.lit(None).cast("struct<ts_s:bigint,value:double>").alias("view_info"),
+    )
+    v_tagged = views.select(
+        "user_id", "ts",
+        F.lit(0).alias("side"),
+        F.col("view_event_id").alias("tb"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.struct(
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("view_value_raw").alias("value"),
+        ).alias("view_info"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "tb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = p_tagged.unionByName(v_tagged).withColumn(
+        "last_view", F.last("view_info", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("side") == 1) & F.col("last_view").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_ts_s"),
+            F.col("last_view.ts_s").alias("view_ts_s"),
+            F.round(F.col("last_view.value"), 4).alias("view_value"),
+        )
+    )

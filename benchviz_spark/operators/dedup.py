@@ -57,16 +57,22 @@ def _norm_text(col: Column) -> Column:
 
 
 def _shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a token array (1-based element_at;
-    semantics mirror the DuckDB oracle's list_transform/range exactly)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(tokens) >= n, F.array_distinct(joined)).otherwise(
+    """Distinct n-word shingles of a token array, built by zipping
+    shifted slices: shingle_i = t[i] + ' ' + t[i+1] + ... + t[i+n-1].
+
+    Deliberately NOT `transform(sequence(...), i -> element_at(tokens,
+    i+j)...)`: a free reference to `tokens` inside a lambda body is
+    re-evaluated per element per reference, which re-runs the whole
+    normalize+split chain O(doc_len) times per row (measured: the
+    entire sf0.1 dedup bench cost). With zip_with, `tokens` appears
+    only as slice() arguments — n evaluations per row, and the lambdas
+    touch just their element variables."""
+    sz = F.size(tokens) - (n - 1)
+    acc = F.slice(tokens, 1, sz)
+    for j in range(1, n):
+        shifted = F.slice(tokens, 1 + j, sz)
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(tokens) >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -76,6 +82,21 @@ def shingled_documents(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFram
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(_norm_text(F.col("text")), " ")
     return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
+
+
+def hashed_shingled_documents(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """documents -> (doc_id, hs array<long>): distinct shingles hashed to
+    int64 ONCE, scan-side. Every downstream op (postings joins, minhash,
+    intersections) is integer-only — shuffling 8-byte keys instead of
+    ~30-byte shingle strings, and evaluating xxhash64 once per shingle
+    instead of once per (shingle x hash-function)."""
+    sh = shingled_documents(spark, sf_dir, n)
+    return sh.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -139,68 +160,81 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with 3-gram-shingle Jaccard >= 0.5, computed
-    via an inverted index: explode shingles, self-join postings, count
-    shared shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). The oracle
-    does the O(n^2) version; this plan's cost is bounded by posting-list
-    sizes, which is what survives a 100-TB corpus."""
-    sh = shingled_documents(spark, sf_dir).filter(F.size("shingles") > 0)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = postings.alias("a")
-    b = postings.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+    """All document pairs with 3-gram-shingle Jaccard >= 0.5 — EXACT,
+    via prefix filtering (the AllPairs/PPJoin family): order each doc's
+    shingles by global rarity and index only the first
+    |d| - ceil(t*|d|) + 1 of them. Any pair with J >= t must collide
+    inside both prefixes, so candidates = prefix-postings self-join, and
+    the (few) candidates are verified with a full array_intersect.
+
+    Why not a plain inverted index: with a small shared vocabulary,
+    posting lists are O(corpus) long and the pair intermediate explodes
+    quadratically (the sf0.1 bench measured 50s). Prefix postings hold
+    each doc's RAREST shingles, so lists stay short no matter how much
+    benign overlap the corpus has — this is the formulation that
+    survives 100 TB. Same oracle, same exact result."""
+    t = 0.5
+    sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
+    postings = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
+    # global document frequency per shingle — vocabulary-sized, broadcast
+    df = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = postings.join(F.broadcast(df), "h").withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("df"), F.col("h"))
+        ),
     )
-    sa = sizes.select(F.col("doc_id").alias("left_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("right_id"), F.col("n_sh").alias("nb"))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select("doc_id", "h")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .distinct()
+    )
+    left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
+    right = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        shared.join(sa, "left_id")
-        .join(sb, "right_id")
+        cand.join(left, "left_id")
+        .join(right, "right_id")
         .select(
             "left_id",
             "right_id",
             F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-                6,
+                inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= t)
     )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding: the 100-TB fuzzy-dedup path.
 # ---------------------------------------------------------------------------
-def _minhash_signature(shingles: Column) -> list[Column]:
-    """32 minhash values, each an array_min over the shingle array —
-    pure Catalyst, evaluated row-local (no explode, no shuffle).
-    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p with p = 2^31-1;
-    operands stay < 2^62 so int64 arithmetic is exact under ANSI mode.
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m31): 32 minhash values per doc, computed as 32
+    ``min()`` aggregates over the exploded hashed-shingle postings.
+    h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1; operands
+    stay < 2^62 so int64 arithmetic is exact under ANSI mode.
+
+    Aggregation (not per-row array_min over 32 transform() copies) on
+    purpose: Catalyst's project-collapse would inline the shingling
+    expression into every one of the 32 array expressions and evaluate
+    it 32x per row — the sf0.1 bench measured that at ~30 s. Exploding
+    once and running 32 map-side-combined min() aggregates evaluates
+    shingling once and shuffles only 5k x 32 longs.
     """
-    def hash_fn(a: int, b: int):
-        # closure, not default-arg lambda: PySpark reads lambda arity to
-        # build the HOF variable list, so extra defaulted params break it
-        def apply(s: Column) -> Column:
-            return F.pmod(
-                F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)) + F.lit(b),
-                F.lit(_MERSENNE31),
-            )
-
-        return apply
-
-    return [
-        F.array_min(F.transform(shingles, hash_fn(a, b))) for a, b in _HASH_PARAMS
+    sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    base = F.pmod(F.col("h"), F.lit(_MERSENNE31))
+    mins = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_HASH_PARAMS)
     ]
+    return postings.groupBy("doc_id").agg(*mins)
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,18 +244,17 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature rows; only same-bucket docs pair up. Bucket membership is
     one explode + one groupBy — the full pair space is never formed.
     """
-    sh = shingled_documents(spark, sf_dir).filter(F.size("shingles") > 0)
-    sig = _minhash_signature(F.col("shingles"))
+    sig = minhash_signatures(spark, sf_dir)
     bands = [
         F.struct(
             F.lit(i).alias("band"),
-            F.xxhash64(*sig[i * ROWS_PER_BAND : (i + 1) * ROWS_PER_BAND]).alias(
-                "bucket"
-            ),
+            F.xxhash64(
+                *[F.col(f"m{j}") for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)]
+            ).alias("bucket"),
         )
         for i in range(N_BANDS)
     ]
-    bucketed = sh.select(
+    bucketed = sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     members = (
@@ -252,9 +285,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on LSH survivors, never all pairs. Recall vs the exact operator
     is pinned by tests/test_dedup.py."""
     cand = minhash_candidates(spark, sf_dir)
-    sh = shingled_documents(spark, sf_dir)
-    left = sh.select(F.col("doc_id").alias("left_id"), F.col("shingles").alias("sa"))
-    right = sh.select(F.col("doc_id").alias("right_id"), F.col("shingles").alias("sb"))
+    sh = hashed_shingled_documents(spark, sf_dir)
+    left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
+    right = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
         cand.join(left, "left_id")

@@ -1,0 +1,192 @@
+"""Time-series window operators over the ``events`` table.
+
+The reference's workload is time-series shaped (per-test series ordered
+by date, SURVEY §2.5) but computes no windows itself; these operators
+are the engine's general time-window surface, expressed as batch
+queries so the DuckDB oracle can check them value-for-value. The
+streaming module (benchviz_spark/streaming) runs the same window
+specs under readStream + watermark — batch/stream parity is tested in
+tests/test_streaming.py.
+
+Determinism notes: window starts are emitted as epoch SECONDS (bigint)
+— hour/half-hour aligned values are precision-exact in both engines.
+Session semantics: a gap >= 30 min starts a new session (Spark's
+session_window end bound is exclusive; the oracle's gaps-and-islands
+uses >= to match).
+
+Scale: each query is one shuffle (the groupBy on window key); sliding
+windows fan each row into exactly window/slide groups scan-side, and
+session windows are Spark-native state merging — the oracle's
+gaps-and-islands formulation is the relational proof, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window.
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. `window()` keys the
+    shuffle by (hour, type); the identical spec runs unchanged under a
+    watermark in the streaming module."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (1 h window, 30 min slide -> each event in 2 windows).
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_hourly_halfhour",
+    oracle="""
+    WITH fanned AS (
+      SELECT unnest([
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT CAST(floor(epoch(window_start)) AS BIGINT) AS window_start_s,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM fanned GROUP BY 1
+    """,
+)
+def events_sliding_hourly_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes. Spark's window() does
+    the 2x fan-out scan-side; the oracle spells the fan-out with
+    unnest — same math, different notation."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (30-minute inactivity gap per user).
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap. Spark's
+    session_window merges state natively (and streams under a
+    watermark); the oracle proves the same sessionization with
+    gaps-and-islands window SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day regression detection (the reference's natural extension:
+# SURVEY §2.5 — lag/delta over an ordered series).
+# ---------------------------------------------------------------------------
+@query(
+    "events_daily_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+           CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+             AS delta_vs_prev_day
+    FROM daily
+    """,
+)
+def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("delta_vs_prev_day"),
+    )

@@ -1,0 +1,105 @@
+"""Streaming window aggregations over the ``events`` stream (SURVEY
+§2.9): the batch window specs from operators/events.py run under
+``readStream`` with watermarks. Batch/stream parity is the test —
+each streaming query's availableNow output must equal its
+oracle-checked batch twin.
+
+Late data: the 1-hour watermark bounds state; in availableNow test
+runs nothing is late, so parity with batch is exact. ``complete`` vs
+``append`` mode: the aggregations here use append mode + watermark —
+the production configuration, where a window emits once it can no
+longer receive late rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream. The file carries TIMESTAMP(NANOS),
+    which the vectorized reader rejects (tables.py): same legacy-long
+    workaround, applied to the streaming reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # schema required for streaming reads; derive it from the batch path
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_tumbling_hourly (same spec + watermark)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_session_stats: native session_window
+    state merging under a watermark."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "append"):
+    """Drain an availableNow streaming query into an in-memory table;
+    returns after termination (test harness helper)."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def streaming_batch_parity(
+    spark: SparkSession, batch_df: DataFrame, stream_df: DataFrame, name: str
+) -> tuple[int, int]:
+    """Run the streaming query to completion and return (n_mismatched,
+    n_batch_rows) against the batch result — 0 mismatches = parity.
+
+    complete mode on purpose: with append + watermark, windows
+    overlapping the final hour of a finite input are held in state
+    forever (the watermark can never pass them), so an availableNow
+    drain would under-emit the tail. Production streams use append;
+    parity against a finite batch needs every window."""
+    run_to_memory(stream_df, name, mode="complete")
+    streamed = spark.table(name)
+    missing = batch_df.exceptAll(streamed).count()
+    extra = streamed.exceptAll(batch_df).count()
+    return missing + extra, batch_df.count()
+
+

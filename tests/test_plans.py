@@ -1,0 +1,111 @@
+"""Physical-plan assertions: the scan-pushdown / join-strategy /
+shuffle-shape claims made in operator docstrings, checked against
+explain() output so they can't silently rot.
+
+These run against sf0.001 (plan shape is SF-independent)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from benchviz_spark.operators.relational import (
+    q3_top_unshipped_orders,
+    q5_region_revenue,
+    scalar_functions_projection,
+    topk_expensive_orders,
+)
+from benchviz_spark.operators.similarity import similarity_exact_topk
+from benchviz_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_pushed_to_parquet_scan(spark):
+    """q3's date filters must reach the lineitem/orders scans as
+    PushedFilters, not run post-scan only."""
+    plan = formatted_plan(q3_top_unshipped_orders(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan(l_shipdate" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_no_forced_broadcast_of_customer(spark):
+    """Round-1 scale defect: customer (SF-scaled) was force-broadcast in
+    q3/q5. The static plan must not broadcast customer or supplier —
+    AQE may still choose to at tiny SF, which is fine, but the *hint*
+    must be gone. nation/region keep explicit broadcasts."""
+    for q in (q3_top_unshipped_orders, q5_region_revenue):
+        optimized = q(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        for tbl in ("customer", "supplier"):
+            for line in optimized.splitlines():
+                if "ResolvedHint" in line and tbl in line.lower():
+                    pytest.fail(f"{q.__name__} still hints broadcast for {tbl}: {line}")
+
+
+def test_q5_broadcasts_tiny_dims(spark):
+    plan = formatted_plan(q5_region_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # nation/region explicit hints
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A projection query must not read every column: ReadSchema for
+    part contains only the referenced columns."""
+    plan = formatted_plan(scalar_functions_projection(spark, SF_DIR))
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines, plan
+    schema_line = read_schema_lines[0]
+    assert "p_mfgr" not in schema_line  # unreferenced columns pruned
+    assert "p_comment" not in schema_line
+    assert "p_retailprice" in schema_line
+
+
+def test_topk_plans_take_ordered(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    plan = formatted_plan(topk_expensive_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_corpus_not_shuffled_before_scoring(spark):
+    """The exact top-k must broadcast the query side: the corpus's only
+    shuffle is the final per-query window, so exactly one Exchange
+    hashpartitioning on query_id appears and no SortMergeJoin exists."""
+    plan = formatted_plan(similarity_exact_topk(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_parse(spark):
+    """The benchviz ingest parse (regex projections) stays inside
+    whole-stage codegen — no Python evaluation nodes."""
+    from benchviz_spark.pipeline import bench_log_pipeline
+
+    df = bench_log_pipeline(spark, SF_DIR)
+    # collect() executes THIS DataFrame's QueryExecution (count() would
+    # plan a separate one), so AQE's final plan becomes inspectable.
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N)" is the WholeStageCodegen marker in executed-plan strings
+    assert "*(" in final_plan, final_plan
+    assert "BatchEvalPython" not in final_plan
+    assert "ArrowEvalPython" not in final_plan
+
+
+def test_events_scan_prunes_columns(spark):
+    events = load_table(spark, SF_DIR, "events").select("event_type").distinct()
+    plan = formatted_plan(events)
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in schema_line
+    assert "user_id" not in schema_line
