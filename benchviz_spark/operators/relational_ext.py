@@ -1,0 +1,270 @@
+"""Second-wave relational coverage: the remaining classic TPC-H query
+shapes (Q2/Q7/Q13/Q14/Q16/Q19/Q22 analogues adapted to the driver's
+slimmed schemas), so a user of any standard analytic SQL surface finds
+their query shape here. All oracle-checked.
+
+Plan notes are per-query; the shared rules from relational.py apply
+(rounded float aggs, BIGINT counts, total orders under every limit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated "min within group" selection.
+# ---------------------------------------------------------------------------
+@query(
+    "q2_cheapest_part_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice = (
+      SELECT min(p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+    )
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def q2_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min selection. Implemented as a rank window rather
+    than a self-join: one shuffle on p_brand instead of two scans. Ties
+    (several parts at the brand minimum) are all kept, like the
+    correlated predicate keeps them."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: bilateral volumes with a CASE'd dimension.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_bilateral_nation_revenue",
+    oracle="""
+    SELECT supp_nation, cust_nation, ship_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+    )
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_bilateral_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop star join with both nation roles; the nation filter is
+    applied BEFORE the fact joins (dimension-side pruning), and both
+    nation copies broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: distribution of per-customer order counts (left join keeps
+# zero-order customers).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: conditional-aggregation share.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass conditional aggregation — one join, one agg, no
+    second scan for the denominator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share_pct"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-count per group with a NOT IN exclusion subquery.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN compiles to an anti-join against the (filtered, tiny)
+    exclusion set — broadcast; the distinct-count shuffles (brand, type,
+    suppkey) once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive predicates (OR-of-ANDs).
+# ---------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic pushdown test: part-side conjuncts (brand, size)
+    prune the build side before the join; the residual OR runs post-join.
+    Catalyst extracts the common part-only predicate automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30)
+           & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50)
+           & (F.col("l_quantity") >= 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar AVG subquery + NOT EXISTS.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no URGENT order, by nation:
+    scalar subquery (1-row broadcast) + anti-join + aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -146,6 +146,92 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize into cells, probe nearest
+# cells only.
+# ---------------------------------------------------------------------------
+N_CELLS_MOD = 31  # centroids = vectors with vec_id % 31 == 3 (~n/31 cells)
+N_PROBE = 3
+
+
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id): every vector assigned to its nearest centroid.
+
+    Centroids are a deterministic corpus sample (the 0-iteration k-means
+    variant — production IVF would Lloyd-iterate the same assignment
+    plan a few times; the dataflow below IS one Lloyd E-step). The
+    centroid set is tiny and broadcast; assignment is a 1-vs-k fan-out
+    + row_number, never a corpus shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CELLS_MOD)) == 3).select(
+        F.col("vec_id").alias("cell_id"), _as_double("embedding").alias("cvec")
+    )
+    scored = emb.select("vec_id", _as_double("embedding").alias("v")).join(
+        F.broadcast(cents)
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cell_id")
+    )
+    return (
+        scored.select(
+            "vec_id", "cell_id", _cosine(F.col("v"), F.col("cvec")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+@query("similarity_ann_ivf_topk")  # no SQL oracle: IVF probing isn't SQL; recall
+def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF: queries probe their N_PROBE nearest cells and
+    re-rank only vectors in those cells. At 1e9+ vectors the cell count
+    grows ~sqrt(n) and the probed fraction shrinks accordingly; the plan
+    (assign -> probe -> candidate equi-join on cell -> exact re-rank)
+    is scale-invariant. Recall pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CELLS_MOD)) == 3).select(
+        F.col("vec_id").alias("cell_id"), _as_double("embedding").alias("cvec")
+    )
+    cells = ivf_cells(spark, sf_dir)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+    # probe list: top-N_PROBE cells per query
+    probe_w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("query_id", "cell_id", _cosine(F.col("qe"), F.col("cvec")).alias("cos"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell_id")
+    )
+    cand = (
+        cells.filter(F.col("vec_id") >= N_QUERIES)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(probes), "cell_id")
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"))
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @query("similarity_ann_lsh_topk")  # no SQL oracle: LSH bucketing isn't SQL; recall
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-LSH: queries and corpus are bucketed by the

@@ -92,12 +92,48 @@ def _write_demo_tree(root: str) -> None:
                 f.write("\n".join(lines) + "\n")
 
 
-@query("bench_log_pipeline")  # rows-only: input is a log tree, not a parquet view
+# The demo tree is deterministic, so the flagship pipeline has an exact
+# golden oracle: the reference semantics applied by hand to _DEMO_LINES.
+# Note BenchmarkThroughput-8's '5 MB/s' parses to 0 (the >=2-digit MB/s
+# regex quirk, file_generator.go:84) and FAIL/PASS/ok lines drop.
+_PIPELINE_ORACLE = """
+    SELECT * FROM (VALUES
+      (DATE '2015-01-01', 'sql', 'BenchmarkBank2_Cockroach-8',
+         CAST(1328086 AS BIGINT), CAST(2317 AS BIGINT), CAST(183965 AS BIGINT), 0.0),
+      (DATE '2015-01-01', 'sql', 'BenchmarkScan1000_Cockroach-16',
+         CAST(2000000 AS BIGINT), CAST(10 AS BIGINT), CAST(1024 AS BIGINT), 12.5),
+      (DATE '2015-01-01', 'sql', 'BenchmarkThroughput-8',
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+      (DATE '2015-01-01', 'sql/parser', 'BenchmarkParse-8',
+         CAST(52341 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+      (DATE '2015-01-02', 'sql', 'BenchmarkBank2_Cockroach-8',
+         CAST(1328086 AS BIGINT), CAST(2317 AS BIGINT), CAST(183965 AS BIGINT), 0.0),
+      (DATE '2015-01-02', 'sql', 'BenchmarkScan1000_Cockroach-16',
+         CAST(2000000 AS BIGINT), CAST(10 AS BIGINT), CAST(1024 AS BIGINT), 12.5),
+      (DATE '2015-01-02', 'sql', 'BenchmarkThroughput-8',
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+      (DATE '2015-01-02', 'sql/parser', 'BenchmarkParse-8',
+         CAST(52341 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+      (DATE '2015-12-15', 'sql', 'BenchmarkBank2_Cockroach-8',
+         CAST(1328086 AS BIGINT), CAST(2317 AS BIGINT), CAST(183965 AS BIGINT), 0.0),
+      (DATE '2015-12-15', 'sql', 'BenchmarkScan1000_Cockroach-16',
+         CAST(2000000 AS BIGINT), CAST(10 AS BIGINT), CAST(1024 AS BIGINT), 12.5),
+      (DATE '2015-12-15', 'sql', 'BenchmarkThroughput-8',
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+      (DATE '2015-12-15', 'sql/parser', 'BenchmarkParse-8',
+         CAST(52341 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0)
+    ) AS t(run_date, package, test_name, ns_per_op, allocs_per_op,
+           bytes_per_op, mb_per_s)
+"""
+
+
+@query("bench_log_pipeline", oracle=_PIPELINE_ORACLE)
 def bench_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship reference workload end-to-end: generate a deterministic
     benchSamples tree, ingest it (scan -> parse -> LWW dedup), and return
     the fact table. Exercises every reference ingest operator
-    (SURVEY §2.1 S2-S3, §2.2 F1-F5, §2.4 A1)."""
+    (SURVEY §2.1 S2-S3, §2.2 F1-F5, §2.4 A1). The oracle is the golden
+    expected output (reference semantics hand-applied to the fixture)."""
     root = os.path.join(tempfile.gettempdir(), "benchviz_demo_tree")
     _write_demo_tree(root)
     fact = build_fact_table(spark, root)

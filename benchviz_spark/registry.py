@@ -23,6 +23,7 @@ _ORACLES: dict[str, str] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = (
     "benchviz_spark.operators.relational",
+    "benchviz_spark.operators.relational_ext",
     "benchviz_spark.operators.compare",
     "benchviz_spark.operators.asof",
     "benchviz_spark.operators.dedup",
@@ -30,6 +31,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.text_analysis",
     "benchviz_spark.operators.events",
     "benchviz_spark.operators.multimodal",
+    "benchviz_spark.operators.skew",
     "benchviz_spark.pipeline",
 )
 

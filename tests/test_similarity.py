@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from benchviz_spark.operators.similarity import (
+    similarity_ann_ivf_topk,
     similarity_ann_lsh_topk,
     similarity_exact_topk,
 )
@@ -53,6 +54,22 @@ def test_ann_rank1_mostly_found(exact, ann):
     must be recovered for most queries."""
     found = sum(1 for q in exact if exact[q][0] in set(ann.get(q, [])))
     assert found >= 6, f"rank-1 neighbor found for only {found}/10 queries"
+
+
+def test_ivf_recall(spark, exact):
+    """IVF with nprobe=3 of ~16 cells. Random near-orthogonal vectors
+    are the adversarial case for IVF (no cluster structure, so a true
+    neighbor's cell barely correlates with the query's probes) — the
+    bound is correspondingly modest; clustered real embeddings do far
+    better. Checks the probe machinery, not embedding quality."""
+    ivf = _topk(similarity_ann_ivf_topk(spark, SF_DIR))
+    hits = sum(len(set(ivf.get(q, [])) & set(v)) for q, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert total == 100
+    assert hits / total >= 0.25, f"IVF recall@10 = {hits / total}"
+    for q, ids in ivf.items():
+        assert len(ids) == len(set(ids))
+        assert all(n >= 10 for n in ids)
 
 
 def test_ann_is_subset_of_true_cosine_order(spark, exact, ann):
