@@ -305,6 +305,60 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: blocked exact pairs over the vector column.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_blocked_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    )
+    SELECT left_id, right_id, label, cosine FROM (
+      SELECT a.vec_id AS left_id, b.vec_id AS right_id, a.label AS label,
+             round(
+               list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm), 6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LABEL BLOCKING: pairs
+    are only compared inside a blocking key (here the label column; in
+    production a coarse quantizer cell or LSH bucket — see
+    similarity.ivf_cells). Blocking turns O(n^2) into O(sum block^2),
+    the standard scale move for embedding dedup; within blocks the
+    cosine is exact and oracle-checked."""
+    from benchviz_spark.operators.similarity import _as_double, _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sides = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    a = sides.select(
+        F.col("vec_id").alias("left_id"), "label", F.col("v").alias("va")
+    )
+    b = sides.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("left_id") < F.col("right_id")))
+        .select(
+            "left_id",
+            "right_id",
+            "label",
+            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints: the vectorized-Python (§2.10 pandas_udf) surface.
 # ---------------------------------------------------------------------------
 def _simhash_udf():

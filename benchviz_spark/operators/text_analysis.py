@@ -78,6 +78,50 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (token-count budgeting without a real BPE
+# vocab: words / digit runs / single punctuation, the GPT-2 pre-token
+# shape).
+# ---------------------------------------------------------------------------
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(toks) AS BIGINT)                    AS n_bpe_tokens,
+           CAST(len(list_filter(toks, t -> t ~ '^[a-z]+$')) AS BIGINT) AS n_word_tokens,
+           CAST(len(list_filter(toks, t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_number_tokens
+    FROM (
+      SELECT doc_id, {_NORM_SQL} AS norm,
+             regexp_extract_all({_NORM_SQL}, '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with a BPE-style pre-tokenizer regex alongside
+    the whitespace count — the estimate an LLM-data pipeline uses to
+    budget training tokens before running a real tokenizer. Narrow
+    projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = F.regexp_extract_all(norm, F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("long").alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_number_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus term/document frequency (explode -> two-level aggregation).
 # ---------------------------------------------------------------------------
 @query(
