@@ -332,19 +332,23 @@ def dedup_embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     similarity.ivf_cells). Blocking turns O(n^2) into O(sum block^2),
     the standard scale move for embedding dedup; within blocks the
     cosine is exact and oracle-checked."""
-    from benchviz_spark.operators.similarity import _as_double, _cosine
+    from benchviz_spark.operators.similarity import _as_double, _dot, _norm
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted BEFORE the join: computed once per vector (n rows),
+    # not once per pair (sum of block^2 rows)
     sides = emb.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
-    )
+        "vec_id",
+        "label",
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
     a = sides.select(
-        F.col("vec_id").alias("left_id"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("left_id"), "label",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = sides.select(
-        F.col("vec_id").alias("right_id"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
+        F.col("vec_id").alias("right_id"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("left_id") < F.col("right_id")))
@@ -352,7 +356,9 @@ def dedup_embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             "left_id",
             "right_id",
             "label",
-            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )

@@ -235,6 +235,34 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (rollup/cube's general form).
+# ---------------------------------------------------------------------------
+@query(
+    "groupingsets_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def groupingsets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical grouping sets — the shape rollup/cube can't
+    express (two independent single-column sets + grand total). Spark
+    plans one Expand + one aggregation, same as rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q22 shape: scalar AVG subquery + NOT EXISTS.
 # ---------------------------------------------------------------------------
 @query(

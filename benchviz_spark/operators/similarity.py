@@ -232,6 +232,42 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Grouped-map (applyInPandas) surface: per-group numpy computation.
+# ---------------------------------------------------------------------------
+@query("similarity_label_centroid_dist")  # rows-only; pytest checks vs native math
+def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distances via ``applyInPandas``: each label
+    group arrives as one Arrow-backed pandas frame, numpy computes the
+    group centroid and every member's euclidean distance to it. The
+    grouped-map surface is for per-group model-ish math that Catalyst
+    can't express (here it could — tests pin it against the native
+    formulation — but the point is the contract: one shuffle on the
+    group key, Python sees whole groups, output schema is declared)."""
+    import pandas as pd  # noqa: F401 (Arrow path)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid_dist(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        centroid = mat.mean(axis=0)
+        dist = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+                "dist_to_centroid": dist.round(6),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid_dist, schema="vec_id long, label int, dist_to_centroid double"
+    )
+
+
 @query("similarity_ann_lsh_topk")  # no SQL oracle: LSH bucketing isn't SQL; recall
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-LSH: queries and corpus are bucketed by the

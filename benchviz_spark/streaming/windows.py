@@ -71,6 +71,20 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id with bounded state:
+    dropDuplicatesWithinWatermark keeps only ids seen inside the
+    watermark horizon, so state is O(events per hour), not O(all
+    history) — the streaming twin of exact dedup. Parity with batch
+    dropDuplicates is tested (the finite test input has no late data)."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append"):
     """Drain an availableNow streaming query into an in-memory table;
     returns after termination (test harness helper)."""

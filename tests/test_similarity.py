@@ -72,6 +72,33 @@ def test_ivf_recall(spark, exact):
         assert all(n >= 10 for n in ids)
 
 
+def test_label_centroid_dist_matches_native(spark):
+    """applyInPandas grouped-map must agree with the pure-Catalyst
+    formulation of the same math."""
+    from pyspark.sql import functions as F
+
+    from benchviz_spark.operators.similarity import similarity_label_centroid_dist
+
+    got = {
+        r.vec_id: r.dist_to_centroid
+        for r in similarity_label_centroid_dist(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # native: explode positions, mean per (label, pos), join back, sum sq
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    native = (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)), 6).alias("d"))
+    )
+    for r in native.collect():
+        assert abs(got[r.vec_id] - r.d) < 1e-5, r.vec_id
+    assert len(got) == emb.count()
+
+
 def test_ann_is_subset_of_true_cosine_order(spark, exact, ann):
     """ANN output must never invent similarity: every returned neighbor
     is a real corpus vector, ranks are contiguous from 1, and per-query

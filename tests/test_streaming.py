@@ -15,6 +15,8 @@ from benchviz_spark.operators.events import (
 from benchviz_spark.pipeline import run_pipeline
 from benchviz_spark.streaming.ingest import run_streaming_pipeline
 from benchviz_spark.streaming.windows import (
+    run_to_memory,
+    stream_dedup_events,
     stream_session_stats,
     stream_tumbling_hourly,
     streaming_batch_parity,
@@ -95,6 +97,27 @@ def test_stream_tumbling_equals_batch(spark):
     )
     assert n > 0
     assert mismatches == 0
+
+
+def test_stream_dedup_equals_batch(spark):
+    from benchviz_spark.sources.tables import load_table
+
+    run_to_memory(stream_dedup_events(spark, SF_DIR), "stream_dedup_t")
+    # row-set compare (exceptAll against a memory-sink table trips an
+    # analyzer INTERNAL_ERROR on this Spark build)
+    streamed = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.table("stream_dedup_t").collect()
+    }
+    batch = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in load_table(spark, SF_DIR, "events")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    }
+    assert batch
+    assert streamed == batch
 
 
 def test_stream_session_equals_batch(spark):
