@@ -84,7 +84,9 @@ def explode_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference F7 (map un-nesting): build the nested map shape the
     reference stores (key -> stats), then explode it back to rows. The
     round-trip result equals the flat aggregation, which is what the
-    oracle checks."""
+    oracle checks. NOTE: the map build costs a second shuffle the flat
+    aggregation doesn't need — this query is deliberately the
+    round-trip demo; use the plain groupBy when you only need counts."""
     events = load_table(spark, sf_dir, "events")
     nested = (
         events.groupBy("user_id", "event_type")

@@ -192,6 +192,48 @@ def decode_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+@query("multimodal_frame_sample")  # rows-only: codec stub isn't SQL
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: each payload is
+    sliced into fixed-stride 'frames' (stand-in for decoded video
+    frames; real ffmpeg drops into the same mapInPandas slot), and a
+    deterministic sample of up to 4 frames is fingerprinted. Output is
+    one row per (doc, frame) — the exploded shape a frame-level
+    training pipeline consumes."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    frame_schema = "doc_id long, frame_idx int, frame_offset long, frame_hash long"
+
+    def sample_batches(batches):
+        import numpy as np
+
+        for batch in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_hash": []}
+            for doc_id, p in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(p)
+                stride = max(len(data) // 4, 1)
+                for i, off in enumerate(range(0, len(data), stride)):
+                    if i >= 4:
+                        break
+                    frame = data[off : off + stride]
+                    h = np.int64(
+                        int.from_bytes(frame[:8].ljust(8, b"\0"), "little")
+                        ^ (len(frame) << 32)
+                    )
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_hash"].append(int(h))
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(sample_batches, schema=frame_schema).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 @query("multimodal_decode_features")  # rows-only: decode stub isn't SQL
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing: text -> binary payload column ->

@@ -235,6 +235,36 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact interpolated quantiles per group (the exact counterpart of
+# approx_stats_orders' sketch path).
+# ---------------------------------------------------------------------------
+@query(
+    "quantiles_exact_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS price_p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantiles_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) per-group quantiles — Spark's percentile()
+    and DuckDB's quantile_cont share linear-interpolation semantics, so
+    this is value-checkable where approx_percentile is not. Exact
+    percentile sorts within each group; at 100 TB you'd reach for the
+    approx sketch unless the audit demands exactness — the engine
+    offers both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Explicit GROUPING SETS (rollup/cube's general form).
 # ---------------------------------------------------------------------------
 @query(

@@ -233,6 +233,72 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lloyd-iterated k-means training for IVF centroids (iterative
+# algorithm on DataFrames).
+# ---------------------------------------------------------------------------
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, n_iter: int = 3
+) -> tuple[DataFrame, list[float]]:
+    """k-means over the embedding corpus: the seed centroids are the
+    same deterministic sample ivf_cells uses; each Lloyd iteration is
+    (assign to nearest centroid) -> (mean per cell), both as DataFrame
+    ops. Returns (centroids(cell_id, cvec), inertia_per_iteration).
+
+    Iterative-algorithm mechanics on Spark: each iteration's centroid
+    table is collapsed to a LOCAL list (k x dim floats — tiny) and
+    re-broadcast, which truncates the lineage so the plan does not grow
+    with iterations (the classic iterative-DataFrame trap). The corpus
+    is never collected.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents_rows = [
+        (int(r.vec_id), list(r.v))
+        for r in emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CELLS_MOD)) == 3).collect()
+    ]
+    inertia_hist: list[float] = []
+    cents_df = None
+    for _ in range(n_iter):
+        cents_df = spark.createDataFrame(cents_rows, "cell_id long, cvec array<double>")
+        # E-step: nearest centroid by squared euclidean distance
+        dist2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        assigned = (
+            emb.join(F.broadcast(cents_df))
+            .select("vec_id", "v", "cell_id", dist2.alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        inertia_hist.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        # M-step: per-cell mean, element-wise via posexplode + avg
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell_id", F.transform(F.col("pm"), lambda s: s.m).alias("cvec")
+            )
+        )
+        cents_rows = [(int(r.cell_id), list(r.cvec)) for r in means.collect()]
+    return cents_df, inertia_hist
+
+
+# ---------------------------------------------------------------------------
 # Grouped-map (applyInPandas) surface: per-group numpy computation.
 # ---------------------------------------------------------------------------
 @query("similarity_label_centroid_dist")  # rows-only; pytest checks vs native math

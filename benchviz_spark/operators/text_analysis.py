@@ -301,6 +301,35 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling (polynomial) hash fingerprint — order-sensitive, computable
+# incrementally, the hash family behind rsync/rabin chunking.
+# ---------------------------------------------------------------------------
+_ROLL_P = (1 << 31) - 1  # Mersenne prime modulus: acc*B + h < 2^39 << int64
+_ROLL_B = 131
+
+
+@query("text_rolling_hash")  # rows-only: cross-engine hash primitives differ
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: fold over tokens with
+    h = (h * B + xxhash(token)) mod p, as a Catalyst ``aggregate`` —
+    unlike md5-of-text this extends incrementally (append tokens =
+    resume the fold), which is what chunk-level dedup builds on.
+    Deterministic; pinned against a local Python reference in
+    tests/test_text_rolling.py (no SQL oracle: xxhash64 is
+    Spark-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * _ROLL_B + F.pmod(F.xxhash64(t), F.lit(_ROLL_P)), F.lit(_ROLL_P)
+        ),
+    )
+    return docs.select("doc_id", rolled.alias("rolling_hash"))
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprints: content hash + shard key.
 # ---------------------------------------------------------------------------
 @query(

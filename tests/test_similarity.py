@@ -72,6 +72,18 @@ def test_ivf_recall(spark, exact):
         assert all(n >= 10 for n in ids)
 
 
+def test_kmeans_inertia_decreases(spark):
+    """Lloyd iterations must not increase inertia (k-means convergence
+    invariant), and centroids keep shape."""
+    from benchviz_spark.operators.similarity import kmeans_train
+
+    cents, inertia = kmeans_train(spark, "/root/testdata/sf0.001", n_iter=3)
+    assert len(inertia) == 3
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])), inertia
+    rows = cents.collect()
+    assert rows and all(len(r.cvec) == 64 for r in rows)
+
+
 def test_label_centroid_dist_matches_native(spark):
     """applyInPandas grouped-map must agree with the pure-Catalyst
     formulation of the same math."""
