@@ -103,6 +103,27 @@ def test_whole_stage_codegen_covers_parse(spark):
     assert "ArrowEvalPython" not in final_plan
 
 
+def test_q19_part_predicates_pushed(spark):
+    """The OR-of-ANDs predicate: Catalyst must extract the part-only
+    disjunction and push it into the part scan (classic Q19 behavior)."""
+    from benchviz_spark.operators.relational_ext import q19_disjunctive_revenue
+
+    plan = formatted_plan(q19_disjunctive_revenue(spark, SF_DIR))
+    part_scan = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "Brand" in l
+    ]
+    assert part_scan, plan
+
+
+def test_skew_salted_agg_two_phases(spark):
+    """The salted aggregation must plan two aggregation levels (salted
+    partial + final merge), not one giant per-key reduction."""
+    from benchviz_spark.operators.skew import skew_salted_type_totals
+
+    plan = formatted_plan(skew_salted_type_totals(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # 2 logical levels x partial/final
+
+
 def test_events_scan_prunes_columns(spark):
     events = load_table(spark, SF_DIR, "events").select("event_type").distinct()
     plan = formatted_plan(events)
