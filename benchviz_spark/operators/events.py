@@ -155,6 +155,67 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup: one pass materializes the
+# finest grain; coarser grains fold the finer one, never the raw table.
+# ---------------------------------------------------------------------------
+@query(
+    "events_multires_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT time_bucket(INTERVAL 1 DAY, bucket) AS bucket, event_type,
+             sum(n) AS n, sum(v) AS v
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT resolution, bucket_s, event_type, n_events, total_value FROM (
+      SELECT '1h' AS resolution, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_s,
+             event_type, CAST(n AS BIGINT) AS n_events, round(v, 4) AS total_value
+      FROM hourly
+      UNION ALL
+      SELECT '1d', CAST(floor(epoch(bucket)) AS BIGINT), event_type,
+             CAST(n AS BIGINT), round(v, 4)
+      FROM daily
+    )
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable/continuous-aggregate pattern: the 1-hour rollup is
+    computed from raw events ONCE; the 1-day tier aggregates the hourly
+    tier (24x fewer rows), not the raw table. At 100 TB the hourly tier
+    is the only full-scan; every coarser resolution (and any dashboard
+    query) reads rollups. The oracle mirrors the same two-tier fold, so
+    associativity of the fold is value-checked."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n", "v"
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    )
+    def tier(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("resolution"),
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("v", 4).alias("total_value"),
+        )
+
+    return tier(hourly, "1h").unionByName(tier(daily, "1d"))
+
+
+# ---------------------------------------------------------------------------
 # Day-over-day regression detection (the reference's natural extension:
 # SURVEY §2.5 — lag/delta over an ordered series).
 # ---------------------------------------------------------------------------
