@@ -155,6 +155,57 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval join: purchase x views of the same user within the prior
+# hour (the batch twin of the stream-stream join in streaming/windows).
+# ---------------------------------------------------------------------------
+@query(
+    "events_purchase_view_pairs",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def events_purchase_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded interval join (every view within the hour before a
+    purchase, not just the latest — that one is the as-of join). The
+    equi-key (user_id) carries the shuffle; the time-range is a
+    residual predicate, so this is a hash join + filter, not a
+    nested-loop range join."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            F.unix_timestamp("p_ts").alias("purchase_ts_s"),
+            F.unix_timestamp("v_ts").alias("view_ts_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hypertable-style multi-resolution rollup: one pass materializes the
 # finest grain; coarser grains fold the finer one, never the raw table.
 # ---------------------------------------------------------------------------

@@ -301,6 +301,49 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking via Python UDTF (the §2.10 table-function surface):
+# one input row -> N context-window chunks.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+
+
+def _chunk_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkText:
+        def eval(self, text, max_tokens):
+            if not text:
+                return
+            toks = text.split(" ")
+            for i in range(0, len(toks), max_tokens):
+                chunk = toks[i : i + max_tokens]
+                yield i // max_tokens, " ".join(chunk), len(chunk)
+
+    return ChunkText
+
+
+@query("text_chunk_documents")  # rows-only: UDTF; reassembly pinned in pytest
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the split every LLM training pipeline
+    applies before tokenization — as a Python UDTF (one doc row in, one
+    row per chunk out, LATERAL-joined). Chunks carry (doc_id, index,
+    token count) so downstream dedup/packing keeps provenance.
+    tests/test_text_chunks.py proves chunks reassemble the document
+    exactly and respect the size bound."""
+    spark.udtf.register("chunk_text", _chunk_udtf())
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    docs.select("doc_id", norm.alias("norm")).createOrReplaceTempView("docs_chunk_v")
+    return spark.sql(
+        f"""
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM docs_chunk_v, LATERAL chunk_text(norm, {CHUNK_TOKENS}) c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling (polynomial) hash fingerprint — order-sensitive, computable
 # incrementally, the hash family behind rsync/rabin chunking.
 # ---------------------------------------------------------------------------

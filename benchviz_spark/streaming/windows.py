@@ -85,6 +85,47 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    views within the preceding hour. Both sides are watermarked; the
+    time-range condition bounds each side's join state to one hour of
+    events — without it a stream-stream join would buffer both streams
+    forever. Batch twin: events_purchase_view_pairs (oracle-checked);
+    parity is tested."""
+    events = read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.unix_timestamp("p_ts").alias("purchase_ts_s"),
+        F.unix_timestamp("v_ts").alias("view_ts_s"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append"):
     """Drain an availableNow streaming query into an in-memory table;
     returns after termination (test harness helper)."""

@@ -120,6 +120,22 @@ def test_stream_dedup_equals_batch(spark):
     assert streamed == batch
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join parity: every (purchase, view) pair
+    the batch interval join produces must come out of the watermarked
+    stream-stream join, and nothing else."""
+    from benchviz_spark.operators.events import events_purchase_view_pairs
+    from benchviz_spark.streaming.windows import stream_stream_purchase_views
+
+    run_to_memory(stream_stream_purchase_views(spark, SF_DIR), "ss_join_t")
+    streamed = {
+        tuple(r) for r in spark.table("ss_join_t").collect()
+    }
+    batch = {tuple(r) for r in events_purchase_view_pairs(spark, SF_DIR).collect()}
+    assert batch
+    assert streamed == batch
+
+
 def test_stream_session_equals_batch(spark):
     mismatches, n = streaming_batch_parity(
         spark,
