@@ -523,3 +523,314 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Third-wave TPC-H shapes: Q8/Q9/Q11/Q15/Q20/Q21 analogues complete the
+# 22-query suite. The driver's schema has no partsupp table, so Q9/Q11/
+# Q20 keep their defining operator shape (multi-way join + CASE'd share,
+# profit by nation x year, HAVING-vs-global-scalar, nested semi-join
+# chain with a correlated quantity threshold) over the tables that do
+# exist; the plan shapes are what the suite exercises, and each is
+# oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "q8_nation_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of ECONOMY-part revenue sold into AMERICA,
+    per order year. Eight-table join; only the genuinely tiny dims
+    (nation x2, region) are broadcast-hinted — part, supplier, customer
+    all grow with SF, so their join strategy is left to AQE (the q3/q5
+    lesson from round 1). The CASE'd conditional share is computed in
+    one aggregation pass, not two joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    share = F.sum(
+        F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0))
+    ) / F.sum("volume")
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit_by_nation_year",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit on red-named parts by supplier nation x order year.
+    (The reference schema carries no partsupp.ps_supplycost, so profit
+    is the discounted revenue — the five-way join + group shape is
+    Q9's.) The LIKE filter is evaluated at the part scan, shrinking the
+    probe side before any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_nation_balance_concentration",
+    oracle="""
+    SELECT n_name, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING sum(s_acctbal) > (
+      SELECT sum(s_acctbal) * 0.04 FROM supplier
+    )
+    ORDER BY total_bal DESC, n_name
+    """,
+)
+def q11_nation_balance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: groups whose share exceeds a fraction of the GLOBAL total —
+    the HAVING-against-scalar-subquery shape. (partsupp value -> supplier
+    account balance on this schema.) The global total is a 1-row agg
+    broadcast into the filter; the grouped agg and the global agg each
+    scan supplier once — no self-join of grouped results."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    total = supp.agg((F.sum("s_acctbal") * 0.04).alias("threshold"))
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("raw_bal"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_bal") > F.col("threshold"))
+        .select("n_name", F.round("raw_bal", 2).alias("total_bal"))
+        .orderBy(F.col("total_bal").desc(), "n_name")
+    )
+
+
+@query(
+    "q15_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the view-backed argmax. The quarterly revenue "view" is
+    built once; its global max is a 1-row broadcast joined back as the
+    filter (not a sort of the whole view, not a second scan of
+    lineitem). Revenue is rounded BEFORE the max comparison on both
+    engines so float summation-order noise cannot split the argmax."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q20_bulk_small_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 100
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_bulk_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: the nested semi-join chain — suppliers who moved > 100 units
+    of any single small-named part. part-IN prunes lineitem first (semi
+    join), the (supp, part) agg applies the correlated threshold, and
+    the outer IN is a left-semi join into supplier: no step ever
+    produces duplicates for distinct() to clean up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    bulk = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers solely responsible for a finished order shipping
+    late (> 90 days after order date — this schema has no commit/receipt
+    dates, so lateness is anchored to o_orderdate). The EXISTS is a
+    left-semi and the NOT EXISTS a left-anti join on l_orderkey with a
+    non-equi supplier-mismatch condition; both probe sides are built
+    from the already-filtered late-lines frame, so the heavy
+    lineitem x lineitem work touches only qualifying orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("s2_suppkey")
+    )
+    # late lines of ANY supplier within status-F orders, for the anti side
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("s3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("s2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("s3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

