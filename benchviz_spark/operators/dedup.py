@@ -423,3 +423,102 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", simhash(_norm_text(F.col("text"))).alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph.
+# ---------------------------------------------------------------------------
+# Pair detection gives edges; an actual dedup pipeline must then GROUP
+# them (a~b, b~c => {a,b,c} is one document) and keep one representative
+# per group. That grouping is connected components — computed here with
+# min-label propagation on DataFrames, the same dataflow GraphFrames /
+# large-scale dedup pipelines (e.g. the CCNet/RefinedWeb lineage) use.
+_CLUSTER_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 1, 1)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         )) AS s
+  FROM tok WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT left_id, right_id FROM (
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION ALL
+  SELECT right_id, left_id FROM pairs
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+@query("dedup_duplicate_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: cluster_id = the
+    smallest doc_id reachable through Jaccard>=0.5 near-dup edges
+    (singletons are their own cluster). Downstream keep-one dedup is
+    then ``filter(doc_id == cluster_id)``.
+
+    Iterative-dataflow mechanics: min-label propagation. Each round,
+    every node's label becomes min(own, neighbors'); rounds repeat until
+    a no-change fixpoint, reached after at most diameter(component)
+    rounds (near-dup clusters are near-cliques, so 1-2 in practice).
+    The edge list is localCheckpoint'ed ONCE (it feeds every round —
+    without the checkpoint each round would re-run the whole
+    prefix-filter pair join), and each round's label table is
+    localCheckpoint'ed to truncate lineage — the iterative-DataFrame
+    trap kmeans_train documents. Labels/edges are (long, long) pairs:
+    the shuffled state is 16 bytes a row no matter how wide the
+    documents are, which is what lets the loop run at corpus scale.
+
+    The oracle computes the same fixpoint non-iteratively: a DuckDB
+    recursive-CTE transitive closure, then min over each reachability
+    set — quadratic in cluster size, fine at sf0.01, and a genuinely
+    independent formulation of "same component"."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("left_id", "right_id")
+    edges = (
+        pairs.union(pairs.select(F.col("right_id"), F.col("left_id")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
+    while True:
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

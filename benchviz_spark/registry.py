@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.events",
     "benchviz_spark.operators.multimodal",
     "benchviz_spark.operators.skew",
+    "benchviz_spark.operators.sampling",
     "benchviz_spark.pipeline",
 )
 
