@@ -302,3 +302,117 @@ def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") - F.lag("n").over(w)).cast("long").alias("delta_vs_prev_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: staged conversion with ordering constraints.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT count(v.user_id) AS viewed,
+           count(c.user_id) AS then_clicked,
+           count(p.user_id) AS then_purchased
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click precedes
+    a purchase. Each stage is one aggregation of the (already filtered)
+    events scan joined to the previous stage's 1-row-per-user frame;
+    every join and aggregation keys on user_id, so after the first
+    shuffle the stages reuse the same hash partitioning — Catalyst
+    inserts no further Exchange. No window over the full event stream,
+    no per-user event-list collect."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        staged = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            staged = staged.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return staged.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = first_after("view", None, "", "v_ts")
+    c = first_after("click", v, "v_ts", "c_ts")
+    p = first_after("purchase", c, "c_ts", "p_ts")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("v_ts").alias("viewed"),
+            F.count("c_ts").alias("then_clicked"),
+            F.count("p_ts").alias("then_purchased"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: first-seen day x activity offsets.
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT cohort_day,
+           count(DISTINCT f.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN a.active_day = f.cohort_day + 1
+                               THEN f.user_id END) AS retained_d1,
+           count(DISTINCT CASE WHEN a.active_day = f.cohort_day + 7
+                               THEN f.user_id END) AS retained_d7
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY cohort_day
+    ORDER BY cohort_day
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active day;
+    how many returned exactly 1 and 7 days later. The user->cohort map
+    and the distinct (user, day) activity set are both 1-row-per-key
+    aggregates keyed on user_id — the join between them is
+    co-partitioned, and the final rollup shuffles cohort-day rows, not
+    events. At 100 TB both intermediates are bounded by |users|, not
+    |events|."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    first_seen = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day.alias("active_day")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(
+                    F.col("active_day") == F.date_add("cohort_day", 1), F.col("user_id")
+                )
+            ).alias("retained_d1"),
+            F.countDistinct(
+                F.when(
+                    F.col("active_day") == F.date_add("cohort_day", 7), F.col("user_id")
+                )
+            ).alias("retained_d7"),
+        )
+        .orderBy("cohort_day")
+    )

@@ -1,7 +1,9 @@
-"""Second-wave relational coverage: the remaining classic TPC-H query
-shapes (Q2/Q7/Q13/Q14/Q16/Q19/Q22 analogues adapted to the driver's
-slimmed schemas), so a user of any standard analytic SQL surface finds
-their query shape here. All oracle-checked.
+"""Second- and third-wave relational coverage: with relational.py's
+Q1/Q3/Q5 etc., every one of the 22 classic TPC-H query shapes has an
+analogue here (adapted to the driver's slimmed schemas — see the
+third-wave banner below for how the partsupp-dependent ones map), so a
+user of any standard analytic SQL surface finds their query shape.
+All oracle-checked.
 
 Plan notes are per-query; the shared rules from relational.py apply
 (rounded float aggs, BIGINT counts, total orders under every limit).
