@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from benchviz_spark.registry import query
 from benchviz_spark.serving.json_sink import (
@@ -146,3 +147,32 @@ def bench_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bytes_per_op",
         "mb_per_s",
     ).orderBy("run_date", "package", "test_name")
+
+
+def bench_regressions(
+    fact: DataFrame, threshold_pct: float = 20.0
+) -> DataFrame:
+    """Day-over-day regression detection — the judgement the reference
+    leaves to a human squinting at its charts (README.md:1's whole
+    purpose; generate_benchmark_plot.js renders the four metric series
+    precisely so someone can spot these), engine-ized.
+
+    For every (package, test) series ordered by run_date: flag runs
+    whose ns/op worsened by more than ``threshold_pct`` vs the previous
+    run. One window shuffle keyed (package, test_name) — the same
+    partitioning the per-test serving aggregation uses, so in the full
+    pipeline plan the two share an Exchange. Zero-valued previous runs
+    (metric absent -> reference's Go zero-default) are skipped rather
+    than divided by."""
+    w = W.partitionBy("package", "test_name").orderBy("run_date")
+    prev = F.lag("ns_per_op").over(w)
+    pct = (F.col("ns_per_op") - F.col("prev_ns")) * 100.0 / F.col("prev_ns")
+    return (
+        fact.withColumn("prev_ns", prev)
+        .filter(F.col("prev_ns").isNotNull() & (F.col("prev_ns") > 0))
+        .withColumn("pct_change", F.round(pct, 2))
+        .filter(F.col("pct_change") > threshold_pct)
+        .select(
+            "package", "test_name", "run_date", "prev_ns", "ns_per_op", "pct_change"
+        )
+    )
