@@ -335,10 +335,12 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
     """Ordered funnel: users whose first view precedes a click precedes
     a purchase. Each stage is one aggregation of the (already filtered)
     events scan joined to the previous stage's 1-row-per-user frame;
-    every join and aggregation keys on user_id, so after the first
-    shuffle the stages reuse the same hash partitioning — Catalyst
-    inserts no further Exchange. No window over the full event stream,
-    no per-user event-list collect."""
+    every join and aggregation keys on user_id, so each aggregation's
+    shuffle doubles as its join alignment — every hash Exchange in the
+    plan keys on user_id and none re-partitions on another key
+    (asserted in tests/test_plans.py), and identical stage subtrees
+    dedupe via ReusedExchange at runtime. No window over the full event
+    stream, no per-user event-list collect."""
     events = load_table(spark, sf_dir, "events")
 
     def first_after(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:

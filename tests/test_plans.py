@@ -130,3 +130,41 @@ def test_events_scan_prunes_columns(spark):
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "props" not in schema_line
     assert "user_id" not in schema_line
+
+
+def test_sampling_is_narrow_projection(spark):
+    """The split/stratified sample must add no Exchange: a pure per-row
+    hash projection (SCALE.md 'Sampling / splits')."""
+    from benchviz_spark.operators.sampling import (
+        sample_split_documents,
+        sample_stratified_documents,
+    )
+
+    for q in (sample_split_documents, sample_stratified_documents):
+        plan = formatted_plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{q.__name__} shuffles:\n{plan}"
+        assert "Python" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """With broadcast disabled (the 100-TB shape), the funnel's stage
+    joins must ride the stage aggregations' user_id partitioning: every
+    Exchange in the plan keys on user_id, and there are no more of them
+    than the three stage aggregations need."""
+    import re
+
+    from benchviz_spark.operators.events import events_funnel_view_click_purchase
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(events_funnel_view_click_purchase(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    exchanges = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert exchanges, "expected shuffle exchanges with broadcast disabled"
+    # every hash exchange keys on user_id: aggregation output feeds each
+    # join directly, with no re-partitioning on any other key (the final
+    # 1-row agg uses a SinglePartition exchange, not hashpartitioning)
+    assert set(exchanges) <= {"user_id"}, exchanges
