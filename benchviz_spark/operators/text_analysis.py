@@ -394,3 +394,69 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("shard_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk assignment of documents to
+# fixed-capacity training sequences.
+# ---------------------------------------------------------------------------
+SEQ_CAPACITY = 2048  # tokens per training sequence
+N_PACK_SHARDS = 32  # independent packing streams (per-partition at scale)
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_offset / {SEQ_CAPACITY}.0) AS BIGINT) AS seq_id,
+           start_offset
+    FROM (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data packing: documents are concatenated per shard
+    (in doc_id order) into one token stream that is then cut into
+    SEQ_CAPACITY-token sequences; each document is assigned the
+    sequence its first token lands in. This is the standard
+    concat-then-chunk scheme (documents straddle cut points; the
+    training loader splits them), chosen over greedy bin-packing
+    because it needs no sequential packer state: the whole assignment
+    is one running-sum window.
+
+    Scale: sharding by doc_id % N gives each stream bounded size and
+    makes the single window shuffle N-way parallel; at 100 TB you raise
+    N to the cluster's write parallelism and the plan is unchanged. The
+    assignment is deterministic (pure function of doc_id order), so
+    re-runs produce identical packings — same property the sampling
+    splits guarantee."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(N_PACK_SHARDS)).alias("shard"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_CAPACITY)
+        .cast("long")
+        .alias("seq_id"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    )
