@@ -307,3 +307,17 @@ def test_bench_regressions_flags_only_real_jumps(spark, regression_tree):
     assert r.prev_ns == 100 and r.ns_per_op == 150
     assert r.pct_change == 50.0
     assert r.run_date.isoformat() == "2015-01-02"
+
+
+def test_ingest_via_filesystem_uri(spark, sample_tree):
+    """S1/S7 dissolve into direct URI reads (SURVEY §2.1): the ingest
+    must accept a Hadoop-FS URI root (file:// here; s3a:// in
+    production takes the identical code path through the FileSystem
+    API) and produce the same fact table as the bare-path read."""
+    plain = build_fact_table(spark, sample_tree)
+    via_uri = build_fact_table(spark, "file://" + sample_tree)
+    assert via_uri.count() == plain.count()
+    cols = ["run_date", "package", "test_name", "ns_per_op"]
+    assert sorted(map(tuple, via_uri.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )
