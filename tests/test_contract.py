@@ -60,3 +60,22 @@ def test_bench_emits_single_json_line():
     assert len(payload["queries"]) >= 60
     failed = [k for k, v in payload["queries"].items() if v is None]
     assert not failed, failed
+
+
+def test_all_query_outputs_are_scalar_typed(spark):
+    """The driver's rows-only canonicalizer hashes result cells with
+    pandas; array/map/struct cells raise 'unhashable type' and void the
+    check (round-1 approx_stats_orders regression). Every registered
+    query must therefore resolve to a schema of scalar columns only —
+    complex intermediates are fine, the RESULT frame is the contract."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from benchviz_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        for f in fn(spark, sf).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
