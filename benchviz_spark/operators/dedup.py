@@ -500,25 +500,28 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
+
+    def label_sum(df: DataFrame) -> int:
+        # decimal sum: id sums can exceed int64 at corpus scale
+        return int(df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0])
+
+    prev_sum = label_sum(labels)
     while True:
         neighbor = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "label")
         )
-        new_labels = (
+        labels = (
             labels.select("doc_id", "label")
             .union(neighbor)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # labels are component-wise non-increasing, so the fixpoint test
+        # is one scalar: the label sum stops falling (no join needed)
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
