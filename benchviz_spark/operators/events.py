@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from benchviz_spark.registry import query
 from benchviz_spark.sources.tables import load_table
@@ -417,4 +418,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_d7"),
         )
         .orderBy("cohort_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection over the daily series.
+# ---------------------------------------------------------------------------
+@query(
+    "events_value_anomalies",
+    oracle="""
+    SELECT day, event_type, daily_total, z
+    FROM (
+      SELECT day, event_type, daily_total,
+             round((daily_total - avg(daily_total) OVER w)
+                   / stddev_samp(daily_total) OVER w, 3) AS z
+      FROM (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               round(sum(value), 2) AS daily_total
+        FROM events GROUP BY 1, 2
+      )
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+      )
+    )
+    WHERE abs(z) > 1.5
+    ORDER BY day, event_type
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose per-type total deviates > 1.5 rolling-week sigmas —
+    the statistical twin of pipeline.bench_regressions' threshold rule.
+    One shuffle keyed event_type for both the daily rollup and the
+    7-row frame; the anomaly filter runs on the z-score AFTER rounding
+    to 3 places on both engines, so float noise in the windowed
+    mean/stddev cannot flip boundary rows between them."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("daily_total"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    z = F.round(
+        (F.col("daily_total") - F.avg("daily_total").over(w))
+        / F.stddev_samp("daily_total").over(w),
+        3,
+    )
+    return (
+        daily.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 1.5)
+        .orderBy("day", "event_type")
     )
