@@ -730,11 +730,41 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_stats_orders")  # no oracle: approx algorithms differ by engine
-def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "stats_orders_exact",
+    oracle="""
+    SELECT
+      count(DISTINCT o_custkey)                    AS n_customers,
+      round(quantile_cont(o_totalprice, 0.50), 4)  AS price_p50,
+      round(quantile_cont(o_totalprice, 0.95), 4)  AS price_p95,
+      round(quantile_cont(o_totalprice, 0.99), 4)  AS price_p99
+    FROM orders
+    """,
+)
+def stats_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics — the value-checkable twin of
+    :func:`approx_stats_orders`. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear-interpolation semantics, so this twin
+    hash-matches where the sketch-based version cannot. At 100 TB the
+    approx version is the production path (fixed-size sketches, one
+    pass); this exact form is the audit/verification path."""
     orders = load_table(spark, sf_dir, "orders")
-    # Quantiles are projected to scalar columns: the driver's rows-only
-    # canonicalizer can't hash an array cell.
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("price_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("price_p95"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("price_p99"),
+    )
+
+
+def approx_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based order statistics (HLL++ count-distinct +
+    approx_percentile). Not registered: approx algorithms differ across
+    engines, so no cross-engine oracle can hash-match. Accuracy is
+    bounded against :func:`stats_orders_exact` in
+    tests/test_contract.py instead — the 100-TB production path keeps a
+    pytest-verified error envelope rather than a driver row."""
+    orders = load_table(spark, sf_dir, "orders")
     quantiles = F.expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99))")
     return orders.agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
