@@ -1,12 +1,28 @@
 """Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line on stdout:
-    {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+Prints exactly ONE compact JSON line on stdout (the driver captures only
+the last ~2.2 KB of stdout, so the full per-query map goes to a file):
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec", "sf": 0.1,
+     "n_queries": 89, "n_failed": 0, "queries": {<top-10 slowest>},
+     "timings_file": ".benchmarks/bench_sf0.1.json",
+     "regressions": ["name x1.8", ...]}
+
+The complete ``{name: sec}`` map is written to
+``.benchmarks/bench_sf{sf}.json`` and committed, so round-over-round
+timing diffs live in git history. Before overwriting, the previous
+committed timings are loaded and any query slower than
+REGRESSION_FACTOR x its previous time (above a small absolute floor) is
+named in ``regressions``.
+
+Each query is forced with a ``noop``-format write, which fully evaluates
+every output column on the executors without materializing rows on the
+driver — ``count()`` would let Catalyst prune deterministic projections,
+under-measuring projection-only queries.
 
 All Spark chatter goes to stderr; a query failure records null for that
 query and continues (one bad query must not blank the whole round's
-bench data again).
+bench data).
 """
 
 from __future__ import annotations
@@ -22,7 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from benchviz_spark.registry import all_queries  # noqa: E402
 from benchviz_spark.session import get_spark  # noqa: E402
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_DIR = os.path.join(REPO, ".benchmarks")
+
+# A query is a regression when it is this factor slower than its
+# previously committed time AND the slowdown exceeds the absolute floor
+# (sub-second queries jitter too much for a pure ratio test).
+REGRESSION_FACTOR = 1.5
+REGRESSION_FLOOR_SEC = 0.4
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -30,9 +54,29 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _timings_path(sf: float) -> str:
+    return os.path.join(BENCH_DIR, f"bench_sf{sf:g}.json")
+
+
+def find_regressions(
+    new: dict[str, float | None], old: dict[str, float | None]
+) -> list[str]:
+    """Names of queries ≥REGRESSION_FACTOR slower than their previous
+    committed time (with an absolute floor to ignore sub-second jitter)."""
+    out = []
+    for name, sec in new.items():
+        prev = old.get(name)
+        if sec is None or prev is None or prev <= 0:
+            continue
+        if sec > prev * REGRESSION_FACTOR and sec - prev > REGRESSION_FLOOR_SEC:
+            out.append(f"{name} x{sec / prev:.1f}")
+    return sorted(out)
+
+
 def main() -> None:
     spark = get_spark("benchviz_bench")
     queries = all_queries()
+    sf = _sf_from_dir(SF_DIR)
     # Warm the JVM/parquet footers so the first timed query isn't paying
     # session startup.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
@@ -42,9 +86,12 @@ def main() -> None:
     for name in sorted(queries):
         t0 = time.perf_counter()
         try:
-            # count() forces full execution of every operator in the plan
-            # without materializing result rows on the driver.
-            queries[name](spark, SF_DIR).count()
+            # noop write fully evaluates every output column without
+            # collecting rows; count() would prune deterministic
+            # projections and under-measure projection-only queries.
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = elapsed
             total += elapsed
@@ -52,15 +99,48 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = None
 
+    path = _timings_path(sf)
+    previous: dict[str, float | None] = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                previous = json.load(fh).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            previous = {}
+    regressions = find_regressions(timings, previous)
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(
+            {"sf": sf, "total_sec": round(total, 3), "queries": timings},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:10]
+    )
+    failed = sum(1 for v in timings.values() if v is None)
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": failed,
+                "queries": slowest,
+                "timings_file": os.path.relpath(path, REPO),
+                "regressions": regressions[:8],
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -38,7 +38,8 @@ def test_entry_runs_flagship_at_smoke_sf(spark):
 
 def test_bench_emits_single_json_line():
     """bench.py at sf0.001 (keep CI fast): stdout must be exactly one
-    parseable JSON object with the driver's expected keys."""
+    parseable JSON object, small enough to survive the driver's ~2.2 KB
+    stdout-tail capture, with the full per-query map in a file."""
     env = dict(
         os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4"
     )
@@ -53,13 +54,29 @@ def test_bench_emits_single_json_line():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, out.stdout
+    # the driver keeps only the stdout tail; the line must fit whole
+    assert len(lines[0]) < 2000, len(lines[0])
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert isinstance(payload["value"], (int, float))
-    assert len(payload["queries"]) >= 60
-    failed = [k for k, v in payload["queries"].items() if v is None]
-    assert not failed, failed
+    assert payload["n_queries"] >= 60
+    assert payload["n_failed"] == 0, out.stderr[-2000:]
+    assert 0 < len(payload["queries"]) <= 10  # top-10 slowest only
+    # the full map landed in the committed timings file
+    with open(os.path.join(REPO, payload["timings_file"])) as fh:
+        full = json.load(fh)
+    assert len(full["queries"]) == payload["n_queries"]
+
+
+def test_bench_regression_guard():
+    from bench import find_regressions
+
+    old = {"a": 1.0, "b": 0.1, "c": 2.0, "d": None, "gone": 1.0}
+    new = {"a": 1.9, "b": 0.3, "c": 2.2, "d": 1.0, "fresh": 5.0}
+    # a: 1.9x and +0.9s -> flagged; b: 3x but only +0.2s (under floor);
+    # c: within factor; d/gone/fresh: no baseline pair
+    assert find_regressions(new, old) == ["a x1.9"]
 
 
 def test_driver_window_is_fully_oracle_backed():
