@@ -159,7 +159,9 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE jaccard >= 0.5
     """,
 )
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """All document pairs with 3-gram-shingle Jaccard >= 0.5 — EXACT,
     via prefix filtering (the AllPairs/PPJoin family): order each doc's
     shingles by global rarity and index only the first
@@ -172,13 +174,28 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically (the sf0.1 bench measured 50s). Prefix postings hold
     each doc's RAREST shingles, so lists stay short no matter how much
     benign overlap the corpus has — this is the formulation that
-    survives 100 TB. Same oracle, same exact result."""
+    survives 100 TB. Same oracle, same exact result.
+
+    The shingle document-frequency table joins WITHOUT a broadcast hint:
+    3-word-shingle vocabulary grows roughly linearly with the corpus, so
+    a forced broadcast is a 100-TB OOM; AQE broadcasts it on its own at
+    small scale, and at large scale it becomes an ordinary shuffle join
+    on 8-byte keys. ``df_cap`` is the standard large-corpus guard: drop
+    shingles occurring in more than ``df_cap`` documents from CANDIDATE
+    GENERATION (verification stays exact, so precision is unaffected —
+    every emitted pair carries its true Jaccard). Only pairs whose
+    prefixes consist entirely of capped ultra-common shingles can be
+    missed; rarity ordering makes that the already-degenerate tail.
+    Default None keeps the operator fully exact (the oracle contract)."""
     t = 0.5
     sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
     postings = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
-    # global document frequency per shingle — vocabulary-sized, broadcast
+    # global document frequency per shingle — vocabulary-sized: NO
+    # broadcast hint (see docstring)
     df = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = postings.join(F.broadcast(df), "h").withColumn(
+    if df_cap is not None:
+        df = df.filter(F.col("df") <= df_cap)
+    ranked = postings.join(df, "h").withColumn(
         "pos",
         F.row_number().over(
             W.partitionBy("doc_id").orderBy(F.col("df"), F.col("h"))

@@ -174,17 +174,19 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. The document-frequency side is
-    vocabulary-sized, so it broadcasts at any corpus scale; the n_docs
-    scalar folds in as a crossJoin of a 1-row aggregate (Catalyst turns
-    it into a broadcast nested loop of width 1)."""
+    """Top-3 TF-IDF terms per document. The document-frequency join
+    carries NO broadcast hint: word vocabulary grows with the corpus
+    (Heaps' law) and a forced broadcast of it is a 100-TB OOM — AQE
+    broadcasts it on its own while it is actually small, and it degrades
+    gracefully to a shuffle join on the term key otherwise. The n_docs
+    scalar (1 row) keeps its explicit broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

@@ -70,3 +70,29 @@ def test_simhash_near_dups_are_close(spark, exact_pairs):
 
     for left, right in exact_pairs:
         assert hamming(sig[left], sig[right]) <= 16, (left, right)
+
+
+def test_jaccard_df_cap_trades_recall_not_precision(spark, exact_pairs):
+    """The large-corpus posting-list cap drops ultra-common shingles
+    from CANDIDATE GENERATION only. Every emitted pair must still carry
+    its true (exact-path) Jaccard — the cap may shrink the pair set,
+    never corrupt a surviving pair — and a cap far above any sf0.001
+    document frequency must change nothing at all."""
+    from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
+
+    exact = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    tight = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup_ngram_jaccard_pairs(spark, SF_DIR, df_cap=2).collect()
+    }
+    assert set(tight) <= set(exact)
+    for pair, j in tight.items():
+        assert j == exact[pair]
+    loose = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in dedup_ngram_jaccard_pairs(spark, SF_DIR, df_cap=10_000).collect()
+    }
+    assert loose == exact

@@ -168,3 +168,20 @@ def test_funnel_reuses_user_partitioning(spark):
     # join directly, with no re-partitioning on any other key (the final
     # 1-row agg uses a SinglePartition exchange, not hashpartitioning)
     assert set(exchanges) <= {"user_id"}, exchanges
+
+
+def test_no_vocabulary_sized_broadcast_hints(spark):
+    """Round-2 scale defect: the shingle / term document-frequency
+    tables (vocabulary-sized, which grows with the corpus) carried
+    forced broadcast hints — a 100-TB OOM. The analyzed plans must not
+    hint them; tfidf keeps exactly one hint, the 1-row n_docs scalar."""
+    from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
+    from benchviz_spark.operators.text_analysis import text_tfidf_top_terms
+
+    jac = dedup_ngram_jaccard_pairs(spark, SF_DIR)
+    analyzed = jac._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+    tfidf = text_tfidf_top_terms(spark, SF_DIR)
+    analyzed = tfidf._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
