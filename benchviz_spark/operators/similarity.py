@@ -27,6 +27,8 @@ Scale design:
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,17 +128,21 @@ def _bucket_structs() -> Column:
     the row's embedding against that table's hyperplanes, packed into an
     int. Pure Catalyst — 60 dot products per row.
 
-    The hyperplane tensor enters the plan as ONE nested array literal
-    and the per-table/per-bit loops are higher-order functions, not an
-    unrolled Python loop over 3,840 scalar literals: the unrolled form
-    produced an expression tree so large it fell out of whole-stage
-    codegen and evaluated interpreted (measured 6x slower on the sf0.1
-    bench, plus seconds of Janino compile time). Bit packing is a
+    The hyperplane tensor enters the plan as ONE from_json string
+    constant (see ``_const_array``) and the per-table/per-bit loops are
+    higher-order functions, not an unrolled Python loop over 3,840
+    scalar literals: the unrolled form produced an expression tree so
+    large it fell out of whole-stage codegen and evaluated interpreted
+    (measured 6x slower on the sf0.1 bench, plus seconds of Janino
+    compile time), and even the nested F.lit form costs seconds of
+    driver-side py4j construction + analysis per call. Bit packing is a
     zip_with against a power-of-two weight vector folded with
     aggregate — the same deterministic left-to-right fold as before, so
     bucket ids are bit-identical to the unrolled version (asserted when
     this change landed)."""
-    planes = F.lit(np.asarray(_HYPERPLANES).tolist())  # array<array<array<double>>>
+    planes = _const_array(
+        np.asarray(_HYPERPLANES).tolist(), "array<array<array<double>>>"
+    )
     weights = F.lit([float(1 << j) for j in range(N_BITS)])
     emb_d = _as_double(F.col("embedding"))
     return F.transform(
@@ -170,76 +176,135 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF (inverted-file) ANN: coarse-quantize into cells, probe nearest
 # cells only.
 # ---------------------------------------------------------------------------
-N_CELLS_MOD = 31  # centroids = vectors with vec_id % 31 == 3 (~n/31 cells)
-N_PROBE = 3
+N_CENTROIDS = 32  # fixed k — centroid literals stay k x dim KBs at ANY corpus size
+N_PROBE = 6  # probe 6/32 cells ~= the probed fraction IVF papers tune for
+# One Lloyd refinement of the hash-sample seeds: each extra iteration
+# costs a full E+M pass (two actions); on near-random embeddings the
+# second iteration moves recall by noise only. Raise for clustered
+# production corpora.
+KMEANS_ITERS = 1
+
+
+def _const_array(data, schema: str) -> Column:
+    """A large numeric constant as ONE ``from_json`` string literal.
+    ``F.lit`` on a k x dim nested list builds thousands of py4j Literal
+    nodes — measured ~1.5 s of driver-side plan construction + analysis
+    PER CALL at 32x64 — while a single string literal is O(1) to build
+    and Catalyst's ConstantFolding evaluates the deterministic parse
+    once at optimization time."""
+    return F.from_json(F.lit(json.dumps(data)), schema)
+
+
+def _dotf(arr: Column, c: Column) -> Column:
+    """dot(arr, c) with the float->double cast at ELEMENT level: an
+    array-wide cast referenced inside a higher-order lambda would be
+    re-evaluated (re-allocated) once per centroid per row."""
+    return F.aggregate(
+        F.zip_with(arr, c, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_centroids(
+    spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS, n_iter: int = KMEANS_ITERS
+) -> tuple[list[int], list[list[float]]]:
+    """(cell_ids, centroid_vectors): k Lloyd-trained centroids as plain
+    local lists (k x dim floats — KBs). k is FIXED (or, in production,
+    ~sqrt(n) chosen by config), never a function of corpus size — the
+    round-2 design took every 31st vector as a centroid, which made the
+    centroid table O(n) and assignment O(n^2/31), a quadratic
+    scale-killer. Training cost is n_iter narrow passes at O(n*k)."""
+    rows, _ = _kmeans_rows(spark, sf_dir, n_iter=n_iter, k=k, compute_inertia=False)
+    return [cid for cid, _ in rows], [vec for _, vec in rows]
 
 
 def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell_id): every vector assigned to its nearest centroid.
-
-    Centroids are a deterministic corpus sample (the 0-iteration k-means
-    variant — production IVF would Lloyd-iterate the same assignment
-    plan a few times; the dataflow below IS one Lloyd E-step). The
-    centroid set is tiny and broadcast; assignment is a 1-vs-k fan-out
-    + row_number, never a corpus shuffle."""
+    """(vec_id, cell_id): every vector assigned to its nearest of the k
+    trained centroids. Assignment enters the plan as a literal-centroid
+    argmax projection — narrow, no join, no shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CELLS_MOD)) == 3).select(
-        F.col("vec_id").alias("cell_id"), _as_double("embedding").alias("cvec")
+    ids, vecs = ivf_centroids(spark, sf_dir)
+    return _ivf_assign(emb, ids, vecs)
+
+
+def _cell_id_col(ids: list[int], vecs: list[list[float]]) -> Column:
+    """cell_id of the max rounded dot product of ``embedding`` against
+    NORMALIZED centroid literals (argmax of cosine == argmax of dot
+    with unit centroids, since the row norm is constant across
+    candidates) — one narrow zero-shuffle expression."""
+    unit = _unit_rows(vecs)
+    # max by (dot, -cell_id): ties resolve to the lowest cell id
+    pairs = F.zip_with(
+        _const_array(unit, "array<array<double>>"),
+        _const_array([-int(i) for i in ids], "array<long>"),
+        lambda c, ni: F.struct(
+            F.round(_dotf(F.col("embedding"), c), 6).alias("dot"),
+            ni.alias("neg_id"),
+        ),
     )
-    scored = emb.select("vec_id", _as_double("embedding").alias("v")).join(
-        F.broadcast(cents)
-    )
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cell_id")
-    )
-    return (
-        scored.select(
-            "vec_id", "cell_id", _cosine(F.col("v"), F.col("cvec")).alias("cos")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id")
-    )
+    return (-F.array_max(pairs)["neg_id"]).cast("long")
+
+
+def _ivf_assign(emb: DataFrame, ids: list[int], vecs: list[list[float]]) -> DataFrame:
+    return emb.select("vec_id", _cell_id_col(ids, vecs).alias("cell_id"))
+
+
+def _unit_rows(vecs: list[list[float]]) -> list[list[float]]:
+    arr = np.asarray(vecs, dtype="float64")
+    norms = np.linalg.norm(arr, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return (arr / norms).tolist()
 
 
 @query("similarity_ann_ivf_topk")  # no SQL oracle: IVF probing isn't SQL; recall
 def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via IVF: queries probe their N_PROBE nearest cells and
-    re-rank only vectors in those cells. At 1e9+ vectors the cell count
-    grows ~sqrt(n) and the probed fraction shrinks accordingly; the plan
-    (assign -> probe -> candidate equi-join on cell -> exact re-rank)
-    is scale-invariant. Recall pinned in tests/test_similarity.py."""
+    """ANN top-10 via IVF: k-means-trained fixed-k coarse quantizer;
+    queries probe their N_PROBE nearest cells and re-rank only vectors
+    in those cells. Centroids live as a k x dim literal (KBs at any
+    corpus size), so BOTH corpus assignment and query probing are
+    narrow zero-shuffle projections — O(n*k) flops, no candidate
+    fan-out until the (small) cell equi-join; the plan
+    (train -> assign -> probe -> candidate equi-join on cell -> exact
+    re-rank) is scale-invariant. Recall pinned in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CELLS_MOD)) == 3).select(
-        F.col("vec_id").alias("cell_id"), _as_double("embedding").alias("cvec")
-    )
-    cells = ivf_cells(spark, sf_dir)
+    ids, vecs = ivf_centroids(spark, sf_dir)
 
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    # probe list: top-N_PROBE cells per query by dot against unit
+    # centroids (rank-equivalent to cosine; 10 queries x k cells)
+    unit = _unit_rows(vecs)
+    scored_cells = F.zip_with(
+        _const_array(unit, "array<array<double>>"),
+        _const_array([int(i) for i in ids], "array<long>"),
+        lambda c, i: F.struct(
+            F.round(_dotf(F.col("embedding"), c), 6).alias("dot"),
+            i.alias("cell_id"),
+        ),
     )
-    # probe list: top-N_PROBE cells per query
-    probe_w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("s.dot").desc(), F.col("s.cell_id")
+    )
     probes = (
-        queries.join(F.broadcast(cents))
-        .select("query_id", "cell_id", _cosine(F.col("qe"), F.col("cvec")).alias("cos"))
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.explode(scored_cells).alias("s"))
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "cell_id")
+        .select("query_id", F.col("s.cell_id").cast("long").alias("cell_id"))
     )
-    cand = (
-        cells.filter(F.col("vec_id") >= N_QUERIES)
-        .withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(probes), "cell_id")
-        .select("query_id", "neighbor_id")
+    # candidates carry their embedding straight out of the (narrow)
+    # assignment projection — no corpus re-join for the re-rank
+    cells = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("ce"),
+        _cell_id_col(ids, vecs).alias("cell_id"),
     )
-    qe = emb.select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"))
-    ce = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
     scored = (
-        cand.join(F.broadcast(qe), "query_id")
-        .join(ce, "neighbor_id")
+        cells.join(F.broadcast(probes), "cell_id")
+        .join(F.broadcast(qe), "query_id")
         .select(
             "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
         )
@@ -256,66 +321,106 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lloyd-iterated k-means training for IVF centroids (iterative
 # algorithm on DataFrames).
 # ---------------------------------------------------------------------------
-def kmeans_train(
-    spark: SparkSession, sf_dir: str, n_iter: int = 3
-) -> tuple[DataFrame, list[float]]:
-    """k-means over the embedding corpus: the seed centroids are the
-    same deterministic sample ivf_cells uses; each Lloyd iteration is
-    (assign to nearest centroid) -> (mean per cell), both as DataFrame
-    ops. Returns (centroids(cell_id, cvec), inertia_per_iteration).
+def _kmeans_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int,
+    k: int,
+    compute_inertia: bool,
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Lloyd iterations, ONE Spark action per iteration.
 
-    Iterative-algorithm mechanics on Spark: each iteration's centroid
-    table is collapsed to a LOCAL list (k x dim floats — tiny) and
-    re-broadcast, which truncates the lineage so the plan does not grow
-    with iterations (the classic iterative-DataFrame trap). The corpus
-    is never collected.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    cents_rows = [
-        (int(r.vec_id), list(r.v))
-        for r in emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CELLS_MOD)) == 3).collect()
-    ]
+    Seeds are the k vectors with the smallest xxhash64(vec_id) — a
+    deterministic pseudo-random sample that plans as a TakeOrdered
+    per-partition heap (O(k) driver memory at any corpus size) and
+    lives INSIDE the first iteration's plan, so seeding costs no extra
+    action. Each iteration is: broadcast the k centroids, fan out
+    corpus x k with a map-side-combined min_by per vec_id (E-step),
+    then per-cell element means via posexplode (M-step), collected as k
+    local rows — which also truncates the lineage so the plan does not
+    grow with iterations (the classic iterative-DataFrame trap).
+
+    Training is the part of IVF that may shuffle corpus rows; in
+    production it runs on a bounded deterministic sample (FAISS-style),
+    so every per-iteration cost here is sample-bounded, while corpus
+    ASSIGNMENT (:func:`_ivf_assign`) stays narrow and literal-based.
+    The corpus is never collected."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows: list[tuple[int, list[float]]] | None = None
     inertia_hist: list[float] = []
-    cents_df = None
     for _ in range(n_iter):
-        cents_df = spark.createDataFrame(cents_rows, "cell_id long, cvec array<double>")
-        # E-step: nearest centroid by squared euclidean distance
-        dist2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        if rows is None:
+            seed_w = W.orderBy(F.xxhash64(F.col("vec_id")))
+            cents = (
+                emb.orderBy(F.xxhash64(F.col("vec_id")))
+                .limit(k)
+                .select(
+                    (F.row_number().over(seed_w) - 1).cast("long").alias("cell_id"),
+                    _as_double("embedding").alias("cvec"),
+                )
+            )
+        else:
+            cents = spark.createDataFrame(rows, "cell_id long, cvec array<double>")
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cvec"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
             F.lit(0.0),
-            lambda acc, d: acc + d,
+            lambda acc, v: acc + v,
         )
-        assigned = (
-            emb.join(F.broadcast(cents_df))
-            .select("vec_id", "v", "cell_id", dist2.alias("d2"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell_id"))
-                ),
+        fanout = emb.join(F.broadcast(cents)).select(
+            "vec_id", "embedding", "cell_id", d2.alias("d2")
+        )
+        if compute_inertia:
+            inertia_hist.append(
+                fanout.groupBy("vec_id")
+                .agg(F.min("d2").alias("d2"))
+                .agg(F.sum("d2"))
+                .collect()[0][0]
             )
-            .filter(F.col("rn") == 1)
+        # E-step argmin (deterministic: the order struct is unique per
+        # group) fused with the M-step per-cell element means.
+        assigned = fanout.groupBy("vec_id").agg(
+            F.min_by(F.col("cell_id"), F.struct("d2", "cell_id")).alias("cell_id"),
+            F.first("embedding").alias("embedding"),
         )
-        inertia_hist.append(assigned.agg(F.sum("d2")).collect()[0][0])
-        # M-step: per-cell mean, element-wise via posexplode + avg
         means = (
-            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+            assigned.select("cell_id", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select(
-                "cell_id", F.transform(F.col("pm"), lambda s: s.m).alias("cvec")
-            )
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
         )
-        cents_rows = [(int(r.cell_id), list(r.cvec)) for r in means.collect()]
-    return cents_df, inertia_hist
+        # k x dim scalar rows — assemble the vectors driver-side instead
+        # of paying a second shuffle for collect_list reassembly
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            by_cell.setdefault(int(r.cell_id), {})[int(r.pos)] = float(r.m)
+        rows = sorted(
+            (cid, [elems[p] for p in sorted(elems)]) for cid, elems in by_cell.items()
+        )
+    return rows, inertia_hist
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = 3,
+    k: int = N_CENTROIDS,
+    compute_inertia: bool = True,
+) -> tuple[DataFrame, list[float]]:
+    """k-means over the embedding corpus with a FIXED k (see
+    :func:`_kmeans_rows` for the scale mechanics). Returns
+    (centroids(cell_id, cvec), inertia_per_iteration);
+    ``compute_inertia=False`` skips the per-iteration inertia action
+    (one extra corpus pass each) for load-bearing callers like IVF."""
+    rows, inertia_hist = _kmeans_rows(
+        spark, sf_dir, n_iter=n_iter, k=k, compute_inertia=compute_inertia
+    )
+    return (
+        spark.createDataFrame(rows, "cell_id long, cvec array<double>"),
+        inertia_hist,
+    )
 
 
 # ---------------------------------------------------------------------------
