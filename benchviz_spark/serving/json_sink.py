@@ -30,17 +30,34 @@ from pyspark.sql import functions as F
 
 def _go_number(col: F.Column) -> F.Column:
     """Render a double the way Go json.Marshal does: integral values
-    without a trailing '.0', and no scientific notation (a raw
-    double->string cast yields '1.0E7' for 1e7). Non-integral values go
-    through decimal(30,6) — wide enough for any parsed MB/s figure —
-    then trailing zeros after the point are stripped ('12.500000' ->
-    '12.5')."""
+    without a trailing '.0', positional (non-scientific) notation, and
+    otherwise the shortest digit string that round-trips.
+
+    - Integral values: long cast ('4.0' -> '4'; also covers 1e7, where
+      a raw string cast would yield '1.0E7').
+    - Non-integral values whose plain cast has no exponent (i.e.
+      1e-3 <= |v| < 1e7 — every realistic MB/s figure): the JVM cast
+      IS the unique-round-trip digit string, same digits Go emits; no
+      decimal() truncation (the round-2 sink rounded to 6 fractional
+      digits here, diverging from Go on >6-decimal values).
+    - Non-integral values the JVM renders scientifically: re-expanded
+      positionally via a wide decimal — (38,35) below 1 (covers Go's
+      positional range down to 1e-6 losslessly: <= 6 leading zeros +
+      <= 17 significant digits), (38,10) above (a double >= 1e7 has
+      < 10 fractional digits of resolution). Outside Go's own
+      positional window (|v| < 1e-6 or >= 1e21) Go switches to e-form
+      and this rendering intentionally stays positional — unreachable
+      for parsed benchmark metrics."""
     as_long = col.cast("long")
-    decimal_str = F.regexp_replace(
-        col.cast("decimal(30,6)").cast("string"), r"(\.\d*?)0+$", "$1"
+    plain = col.cast("string")
+    strip = lambda c: F.regexp_replace(  # noqa: E731 - drop trailing zeros
+        F.regexp_replace(c.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
     )
-    return F.when(col == as_long.cast("double"), as_long.cast("string")).otherwise(
-        F.regexp_replace(decimal_str, r"\.$", "")
+    return (
+        F.when(col == as_long.cast("double"), as_long.cast("string"))
+        .when(~plain.contains("E"), plain)
+        .when(F.abs(col) < 1, strip(col.cast("decimal(38,35)")))
+        .otherwise(strip(col.cast("decimal(38,10)")))
     )
 
 
@@ -105,8 +122,25 @@ def catalog_json(fact: DataFrame) -> str:
 
 def write_serving_tree(per_test: DataFrame, out_dir: str) -> None:
     """Write each per-test document to ``<out_dir>/<package>/<test>.json``
-    (the reference's serving layout). Executor-side foreachPartition —
-    no driver bottleneck, arbitrarily many files in parallel."""
+    (the reference's serving layout — reference S7 publishes the same
+    tree to an object store).
+
+    Local path (no URI scheme): executor-side foreachPartition — no
+    driver bottleneck, arbitrarily many files in parallel.
+
+    URI root (``file://``, ``s3a://``, ``hdfs://``, ...): routed through
+    the Hadoop FileSystem API, which is where the object-store
+    connectors live. Python executors have no JVM gateway, so this path
+    streams documents through the driver (``toLocalIterator`` — one
+    partition in memory at a time). The serving documents are an
+    already-aggregated catalog (one small JSON per (package, test)),
+    so the publish step is catalog-bounded, not data-bounded; for a
+    catalog too large for a single writer, stage executor-locally with
+    the foreachPartition path and bulk-publish (`hadoop distcp`-style)
+    instead."""
+    if "://" in out_dir:
+        _write_serving_tree_hadoop_fs(per_test, out_dir)
+        return
 
     def write_partition(rows):
         for row in rows:
@@ -116,6 +150,26 @@ def write_serving_tree(per_test: DataFrame, out_dir: str) -> None:
                 f.write(row["json"])
 
     per_test.foreachPartition(write_partition)
+
+
+def _write_serving_tree_hadoop_fs(per_test: DataFrame, out_uri: str) -> None:
+    """Driver-side writer against the Hadoop FileSystem API (the
+    portable surface over file://, s3a://, hdfs://, ...). mkdirs is
+    implicit in FileSystem.create."""
+    spark = per_test.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(out_uri)
+    fs = root.getFileSystem(hconf)
+    for row in per_test.toLocalIterator():
+        path = jvm.org.apache.hadoop.fs.Path(
+            root, f"{row['package']}/{row['test_name']}.json"
+        )
+        out = fs.create(path, True)
+        try:
+            out.write(bytearray(row["json"].encode("utf-8")))
+        finally:
+            out.close()
 
 
 PRIORITY_ACTIONS = ("Scan", "Delete", "Update", "Insert")

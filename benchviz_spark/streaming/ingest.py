@@ -70,6 +70,7 @@ def run_streaming_pipeline(
     out_dir: str,
     checkpoint_dir: str,
     await_termination: bool = True,
+    touched_only: bool = False,
 ):
     """Incremental ingest + serving regeneration.
 
@@ -78,7 +79,15 @@ def run_streaming_pipeline(
     store. Restart-safe: the checkpoint tracks which files were
     ingested, and bronze appends are idempotent per batchId directory.
     Returns the StreamingQuery (already terminated if await_termination).
-    """
+
+    ``touched_only=True`` restricts each regeneration to the packages
+    present in the micro-batch: a serving document only changes when its
+    package receives new rows (one JSON doc per (package, test), LWW
+    over history), so untouched subtrees are provably identical and
+    skipping them turns the per-batch write cost from O(catalog) into
+    O(touched packages). The touched set is a collect of the batch's
+    distinct packages — bounded by the reference's package whitelist
+    (dozens), never by data volume."""
     bronze = os.path.join(out_dir, "_bronze")
     os.makedirs(out_dir, exist_ok=True)
     parsed = parse_bench_lines(read_bench_lines_stream(spark, samples_root))
@@ -89,6 +98,13 @@ def run_streaming_pipeline(
             os.path.join(bronze, f"batch={batch_id}")
         )
         fact = dedup_last_write_wins(spark.read.parquet(os.path.join(bronze, "*")))
+        if touched_only:
+            touched = [
+                r.package for r in batch_df.select("package").distinct().collect()
+            ]
+            if not touched:
+                return
+            fact = fact.filter(F.col("package").isin(touched))
         write_serving_tree(per_test_json(fact), out_dir)
 
     query = (

@@ -11,7 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from benchviz_spark.pipeline import catalog_listing, point_lookup, run_pipeline
-from benchviz_spark.serving.json_sink import catalog_json, per_test_json
+from benchviz_spark.serving.json_sink import (
+    catalog_json,
+    per_test_json,
+    write_serving_tree,
+)
 from benchviz_spark.sources.bench_logs import build_fact_table, read_bench_lines
 
 CANONICAL_LINE = (
@@ -321,3 +325,69 @@ def test_ingest_via_filesystem_uri(spark, sample_tree):
     assert sorted(map(tuple, via_uri.select(cols).collect())) == sorted(
         map(tuple, plain.select(cols).collect())
     )
+
+
+def test_go_number_shortest_round_trip(spark):
+    """Go json.Marshal emits the shortest positional digit string that
+    round-trips (for 1e-6 <= |v| < 1e21). The sink must match it
+    exactly — the round-2 decimal(30,6) path rounded >6-decimal values.
+    The expectation is computed from Python's repr (also shortest
+    round-trip) re-rendered positionally."""
+    from decimal import Decimal
+
+    from benchviz_spark.serving.json_sink import _go_number
+
+    values = [
+        4.0,
+        12.5,
+        0.0,
+        85.21,
+        0.30000000000000004,
+        1.0e7,
+        10000000.5,
+        123456789.125,
+        0.0005,
+        1.23456789012345e-05,
+        3.141592653589793,
+        2.0 / 3.0,
+        99999.99999999999,
+    ]
+
+    def go_render(v: float) -> str:
+        if v == int(v):
+            return str(int(v))
+        return format(Decimal(repr(v)), "f")
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = [r.s for r in df.select(_go_number(F.col("v")).alias("s")).collect()]
+    assert got == [go_render(v) for v in values]
+    # every rendering round-trips to the exact double
+    assert [float(s) for s in got] == values
+
+
+def test_serving_tree_via_hadoop_fs_uri(spark, sample_tree, tmp_path):
+    """S7: a URI root routes through the Hadoop FileSystem API (the
+    portable object-store surface), producing the identical tree to the
+    local-path writer."""
+    fact = build_fact_table(spark, sample_tree)
+    docs = per_test_json(fact)
+
+    local_out = str(tmp_path / "local")
+    write_serving_tree(docs, local_out)
+    uri_out = str(tmp_path / "via_fs")
+    write_serving_tree(docs, f"file://{uri_out}")
+
+    def snap(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fname in files:
+                if not fname.endswith(".json"):  # Hadoop .crc sidecars
+                    continue
+                p = os.path.join(dirpath, fname)
+                with open(p) as fh:
+                    out[os.path.relpath(p, root)] = fh.read()
+        return out
+
+    local_snap, uri_snap = snap(local_out), snap(uri_out)
+    assert local_snap == uri_snap
+    assert local_snap, "serving tree must not be empty"

@@ -145,3 +145,38 @@ def test_stream_session_equals_batch(spark):
     )
     assert n > 0
     assert mismatches == 0
+
+
+def test_streaming_touched_only_rewrites_touched_package_only(spark, tmp_path):
+    """touched_only=True must rewrite only the subtree of packages
+    present in the micro-batch: after batch 2 touches kv only, the sql
+    document's mtime is unchanged (proof it was not rewritten) while
+    the kv document updates — and the final tree equals a full
+    regeneration."""
+    import time as _time
+
+    tree = str(tmp_path / "samples")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write(tree, "01-01-2015", "sql", "a.test.stdout",
+           ["BenchmarkAlpha-8 \t 10 \t 100 ns/op"])
+    _write(tree, "01-01-2015", "kv", "b.test.stdout",
+           ["BenchmarkBeta-8 \t 10 \t 200 ns/op"])
+    run_streaming_pipeline(spark, tree, out, ckpt, touched_only=True)
+
+    sql_doc = os.path.join(out, "sql", "BenchmarkAlpha-8.json")
+    kv_doc = os.path.join(out, "kv", "BenchmarkBeta-8.json")
+    mtime_sql = os.path.getmtime(sql_doc)
+    _time.sleep(1.1)  # ensure an mtime change would be visible
+
+    _write(tree, "02-01-2015", "kv", "b.test.stdout",
+           ["BenchmarkBeta-8 \t 10 \t 250 ns/op"])
+    run_streaming_pipeline(spark, tree, out, ckpt, touched_only=True)
+
+    assert os.path.getmtime(sql_doc) == mtime_sql, "untouched sql was rewritten"
+    assert os.path.getmtime(kv_doc) > mtime_sql, "touched kv was not rewritten"
+    doc = json.loads(open(kv_doc).read())
+    assert doc == {
+        "01-01-2015": {"N": 200, "A": 0, "B": 0, "M": 0},
+        "02-01-2015": {"N": 250, "A": 0, "B": 0, "M": 0},
+    }
