@@ -497,26 +497,41 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every node's label becomes min(own, neighbors'); rounds repeat until
     a no-change fixpoint, reached after at most diameter(component)
     rounds (near-dup clusters are near-cliques, so 1-2 in practice).
-    The edge list is localCheckpoint'ed ONCE (it feeds every round —
+    The pair list is localCheckpoint'ed ONCE (it feeds every round —
     without the checkpoint each round would re-run the whole
-    prefix-filter pair join), and each round's label table is
-    localCheckpoint'ed to truncate lineage — the iterative-DataFrame
-    trap kmeans_train documents. Labels/edges are (long, long) pairs:
-    the shuffled state is 16 bytes a row no matter how wide the
-    documents are, which is what lets the loop run at corpus scale.
+    prefix-filter pair join), each round's label table is
+    localCheckpoint'ed to truncate lineage (the iterative-DataFrame
+    trap kmeans_train documents), and the loop runs over the EDGE
+    SUBGRAPH only — singleton documents rejoin after convergence via a
+    left join + coalesce, so the iterated state scales with the
+    duplicate rate, not the corpus. Labels/edges are (long, long)
+    pairs: the shuffled state is 16 bytes a row no matter how wide the
+    documents are.
 
     The oracle computes the same fixpoint non-iteratively: a DuckDB
     recursive-CTE transitive closure, then min over each reachability
     set — quadratic in cluster size, fine at sf0.01, and a genuinely
     independent formulation of "same component"."""
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("left_id", "right_id")
-    edges = (
-        pairs.union(pairs.select(F.col("right_id"), F.col("left_id")))
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("left_id", "right_id")
+        .cache()  # feeds every round; cache keeps the AQE-planned shape
+    )
+    edges = pairs.union(pairs.select(F.col("right_id"), F.col("left_id"))).toDF(
+        "src", "dst"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that appear in a near-dup edge: every other
+    # document is a singleton whose label can never change, so it joins
+    # back after convergence (coalesce below). The loop's working set
+    # thus scales with the duplicate subgraph (dup-rate-bounded), not
+    # the corpus.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
 
     def label_sum(df: DataFrame) -> int:
         # decimal sum: id sums can exceed int64 at corpus scale
@@ -541,4 +556,9 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    # converged labels are checkpoint-materialized, so the pair cache is
+    # no longer reachable from the result lineage
+    pairs.unpersist()
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
