@@ -1,0 +1,198 @@
+"""Data-quality / profiling operators over ``documents`` (training-data
+pipeline tier, alongside dedup/text_analysis/sampling).
+
+The reference has no analogue (it is a benchmark-log visualizer); these
+are the remaining table-stakes ops of a pretraining data pipeline: PII
+redaction, column profiling, length-distribution histograms, and
+weighted source mixing.
+
+Scale design:
+
+- Everything here is a narrow per-row projection or a single map-side-
+  combined aggregation — no joins, no windows, no Python. Redaction
+  regexes and histogram bucketing run inside whole-stage codegen.
+- ``profile_documents_columns`` computes every per-column metric in ONE
+  corpus pass (a single aggregate row, unpivoted with ``stack``) rather
+  than one scan per profiled column.
+- ``sample_weighted_mix`` reuses the pure-function md5 bucket from
+  :mod:`benchviz_spark.operators.sampling`: the kept set is a
+  deterministic function of (doc_id, source weight), so re-runs and
+  incremental appends mix identically with zero coordination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benchviz_spark.operators.sampling import _bucket_sql, hash_bucket
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB) — the cross-engine oracle is also a regex-dialect
+# compatibility check.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def redact_text(col: F.Column) -> F.Column:
+    """Emails, then IPv4s, then phone-shaped numbers replaced by typed
+    placeholder tokens (ordering matters: an IPv4 must not be half-eaten
+    by the phone pattern)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+@query(
+    "quality_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)  AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def quality_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII hit counts + an md5 of the redacted text (the
+    full redacted body stays distributed; the hash makes the transform
+    value-checkable without shipping bodies through the compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redact_text(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+@query(
+    "quality_profile_documents",
+    oracle="""
+    SELECT 'lang' AS column_name,
+           count(*) - count(lang)              AS n_nulls,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+           min(lang)                            AS min_value,
+           max(lang)                            AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*) - count(source),
+           CAST(count(DISTINCT source) AS BIGINT),
+           min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*) - count(n_chars),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+    FROM documents
+    """,
+)
+def quality_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (null count / distinct count / min / max) for the
+    catalogable columns, in ONE corpus pass: a single aggregate row of
+    3 x 4 metrics, unpivoted to (column_name, metrics) rows with stack.
+    The naive per-column formulation scans the table once per column —
+    at 100 TB the difference between one job and three."""
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        *[
+            m
+            for c in ("lang", "source", "n_chars")
+            for m in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_distinct"),
+                F.min(c).cast("string").alias(f"{c}_min"),
+                F.max(c).cast("string").alias(f"{c}_max"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max"
+        for c in ("lang", "source", "n_chars")
+    )
+    return row.selectExpr(
+        f"stack(3, {stack}) AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+HIST_BIN_WIDTH = 100
+
+
+@query(
+    "quality_length_histogram",
+    oracle=f"""
+    SELECT (n_chars // {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH} AS bin_lo,
+           count(*)     AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def quality_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in fixed-width bins — the standard
+    pre-filter diagnostic before length cutoffs. One map-side-combined
+    aggregation; output is histogram-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_lo = (F.floor(F.col("n_chars") / HIST_BIN_WIDTH) * HIST_BIN_WIDTH).alias(
+        "bin_lo"
+    )
+    return docs.groupBy(bin_lo).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# Weighted mixing: keep-rate (percent) per source, derived from the
+# source's numeric suffix so both engines compute it from the data
+# itself (a real pipeline would join a weights table; a deterministic
+# formula keeps the oracle self-contained).
+_MIX_SALT = "mix-v1"
+
+
+def _mix_rate_sql(src: str = "source") -> str:
+    return f"(20 + 4 * (regexp_extract({src}, '\\d+$')::BIGINT % 20))"
+
+
+@query(
+    "sample_weighted_mix",
+    oracle=f"""
+    SELECT source,
+           CAST({_mix_rate_sql()} AS BIGINT) AS rate_pct,
+           count(*) FILTER (
+             WHERE {_bucket_sql(_MIX_SALT)} < {_mix_rate_sql()}
+           ) AS n_kept,
+           count(*) AS n_total
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted mixing (the 'data recipe' step of pretraining
+    set construction): each source keeps rate_pct% of its documents,
+    selected by the same pure md5-bucket function the split/stratified
+    samplers use — deterministic across re-runs, engines, and
+    partitioning. The per-row keep decision is a narrow projection; the
+    per-source report is one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        20 + 4 * (F.regexp_extract("source", r"\d+$", 0).cast("bigint") % 20)
+    ).alias("rate_pct")
+    kept = (hash_bucket(F.col("doc_id"), _MIX_SALT) < F.col("rate_pct")).cast("long")
+    return (
+        docs.select("doc_id", "source", rate)
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.sum(kept).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )

@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.multimodal",
     "benchviz_spark.operators.skew",
     "benchviz_spark.operators.sampling",
+    "benchviz_spark.operators.quality",
     "benchviz_spark.pipeline",
 )
 
