@@ -325,14 +325,39 @@ def _chunk_udtf():
     return ChunkText
 
 
-@query("text_chunk_documents")  # rows-only: UDTF; reassembly pinned in pytest
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, ((len(t) - 1) // {CHUNK_TOKENS}) + 1)) AS c
+      FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_idx,
+           array_to_string(
+             t[c * {CHUNK_TOKENS} + 1 : least((c + 1) * {CHUNK_TOKENS}, len(t))],
+             ' '
+           ) AS chunk,
+           CAST(least((c + 1) * {CHUNK_TOKENS}, len(t)) - c * {CHUNK_TOKENS} AS INT)
+             AS n_tokens
+    FROM idx
+    """,
+)
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking — the split every LLM training pipeline
     applies before tokenization — as a Python UDTF (one doc row in, one
     row per chunk out, LATERAL-joined). Chunks carry (doc_id, index,
     token count) so downstream dedup/packing keeps provenance.
     tests/test_text_chunks.py proves chunks reassemble the document
-    exactly and respect the size bound."""
+    exactly and respect the size bound; the DuckDB oracle recomputes
+    the identical chunking relationally (list slices over
+    generate_series), making the UDTF value-checkable cross-engine."""
     spark.udtf.register("chunk_text", _chunk_udtf())
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))

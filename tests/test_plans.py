@@ -185,3 +185,24 @@ def test_no_vocabulary_sized_broadcast_hints(spark):
     tfidf = text_tfidf_top_terms(spark, SF_DIR)
     analyzed = tfidf._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """IVF corpus assignment must be a literal-centroid projection:
+    no Exchange, no Join, no Python in the plan (training actions have
+    already run by the time the assignment DataFrame exists)."""
+    from benchviz_spark.operators.similarity import ivf_cells
+
+    plan = formatted_plan(ivf_cells(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_ivf_topk_broadcasts_probe_side(spark):
+    """The candidate/re-rank joins must broadcast the tiny (probes,
+    query) sides — a sort-merge join would shuffle the corpus."""
+    from benchviz_spark.operators.similarity import similarity_ann_ivf_topk
+
+    plan = formatted_plan(similarity_ann_ivf_topk(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
