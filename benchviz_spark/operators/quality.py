@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from benchviz_spark.operators.dedup import _norm_text
 from benchviz_spark.operators.sampling import _bucket_sql, hash_bucket
 from benchviz_spark.registry import query
 from benchviz_spark.sources.tables import load_table
@@ -194,5 +195,83 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(kept).alias("n_kept"),
             F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@query(
+    "quality_repetition_metrics",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n_words,
+             round(len(list_distinct(t))::DOUBLE / len(t), 6) AS distinct_word_ratio,
+             CASE WHEN len(t) >= 2
+                  THEN round(1.0 - len(list_distinct(list_transform(
+                         range(1, len(t)), i -> t[i] || ' ' || t[i+1]
+                       )))::DOUBLE / (len(t) - 1), 6)
+                  ELSE 0.0 END AS dup_2gram_frac,
+             t
+      FROM tok
+    ),
+    freq AS (
+      SELECT doc_id, w, count(*) AS wc
+      FROM (SELECT doc_id, unnest(t) AS w FROM base)
+      GROUP BY 1, 2
+    ),
+    tops AS (SELECT doc_id, max(wc) AS max_wc FROM freq GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, b.distinct_word_ratio,
+           round(t.max_wc::DOUBLE / b.n_words, 6) AS top_word_frac, b.dup_2gram_frac
+    FROM base b JOIN tops t USING (doc_id)
+    """,
+)
+def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document: distinct-word
+    ratio, most-frequent-word share, and duplicated-2-gram fraction —
+    the signals that catch boilerplate and degenerate repetition.
+
+    Scale design: the ratio columns are pure narrow array math inside
+    the scan projection (``array_distinct`` / ``zip_with`` over shifted
+    slices — no free column refs inside lambdas, see dedup._shingles).
+    Only the top-word share needs per-word frequencies; that path is
+    explode + two-level hash aggregation, and because a document's
+    exploded words stay in one partition, map-side combine collapses the
+    shuffle to one row per distinct (doc, word) — the wire carries the
+    vocabulary of each document, never its token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(_norm_text(F.col("text")), " ")
+    sz = F.size(t)
+    g2 = F.zip_with(
+        F.slice(t, 1, sz - 1),
+        F.slice(t, 2, sz - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    base = docs.select(
+        "doc_id",
+        sz.cast("long").alias("n_words"),
+        F.round(F.size(F.array_distinct(t)) / sz, 6).alias("distinct_word_ratio"),
+        F.when(
+            sz >= 2,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(g2)) / (sz - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+        F.explode(t).alias("w"),
+    )
+    return (
+        base.groupBy("doc_id", "n_words", "distinct_word_ratio", "dup_2gram_frac", "w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .groupBy("doc_id", "n_words", "distinct_word_ratio", "dup_2gram_frac")
+        .agg(F.max("wc").alias("max_wc"))
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_word_ratio",
+            F.round(F.col("max_wc") / F.col("n_words"), 6).alias("top_word_frac"),
+            "dup_2gram_frac",
         )
     )

@@ -487,3 +487,58 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seq_id"),
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring: the classic language-model quality filter.
+# ---------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    gf AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM tok)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * -ln(cf::DOUBLE / n_total)) / sum(tf), 6) AS avg_nll
+    FROM tf JOIN gf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram distribution — the standard cheap LM quality signal
+    (high avg_nll = rare-token soup; very low = degenerate repetition).
+
+    Scale design mirrors TF-IDF exactly: per-doc and global term counts
+    are two map-side-combined aggregations over one exploded token
+    relation (Catalyst reuses the exchange); the vocabulary join carries
+    NO broadcast hint (Heaps' law growth — AQE decides), while the
+    1-row token-total keeps its explicit broadcast. The weighted NLL sum
+    is a third map-side-combined aggregation, so the wire never carries
+    token streams, only (doc, term) partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    gf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tf.join(gf, "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("cf").cast("double") / F.col("n_total"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_nll"),
+        )
+        .select("doc_id", "n_tokens", "avg_nll")
+    )

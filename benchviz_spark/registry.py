@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.skew",
     "benchviz_spark.operators.sampling",
     "benchviz_spark.operators.quality",
+    "benchviz_spark.operators.decontam",
     "benchviz_spark.pipeline",
 )
 
@@ -77,6 +78,11 @@ _WINDOW = (
     "skew_salted_distinct_users",
     "sample_split_documents",
     "sample_stratified_documents",
+    "sample_weighted_mix",
+    "quality_redact_pii",
+    "quality_profile_documents",
+    "quality_repetition_metrics",
+    "decontam_eval_overlap",
     "bench_log_pipeline",
     # Compare / as-of -------------------------------------------------------
     "compare_event_type_series",
@@ -90,15 +96,10 @@ _WINDOW = (
     "q9_product_profit_by_nation_year",
     "q21_waiting_suppliers",
     "window_top3_orders_per_customer",
-    "window_customer_running_spend",
     "rollup_lineitem_status",
-    "cube_part_brand_type",
     "topk_expensive_orders",
     "range_join_price_bands",
-    "subquery_above_avg_orders",
-    "semi_join_urgent_customers",
     "full_outer_join_daily_type_counts",
-    "pivot_status_by_returnflag",
     "stats_orders_exact",
 )
 
