@@ -548,3 +548,38 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         F.last("av", ignorenulls=True).over(w).alias("avg_value_ffill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension enrichment: events joined to the customer dimension.
+# (Batch twin of streaming.windows.stream_enriched_user_events.)
+# ---------------------------------------------------------------------------
+@query(
+    "events_enriched_user_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_enriched_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream enriched with the customer dimension and rolled up
+    per (market segment, event type) — the canonical fact-to-dimension
+    enrichment. The dimension join is unhinted: customer grows with SF
+    (the round-1 lesson), so AQE broadcasts it while small and falls
+    back to a key-partitioned join at scale; the rollup is one
+    map-side-combined aggregation whose key space (segments x types) is
+    tiny."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -250,7 +250,12 @@ def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(t, 2, sz - 1),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    base = docs.select(
+    # Metrics land in a projection BELOW the explode: a single select
+    # mixing explode(t) with these expressions plans as
+    # Generate -> Project, recomputing every array expression once per
+    # TOKEN row (O(len^2) per doc, verified in explain). Two selects
+    # keep them per-document.
+    narrow = docs.select(
         "doc_id",
         sz.cast("long").alias("n_words"),
         F.round(F.size(F.array_distinct(t)) / sz, 6).alias("distinct_word_ratio"),
@@ -260,7 +265,14 @@ def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_2gram_frac"),
-        F.explode(t).alias("w"),
+        t.alias("t"),
+    )
+    base = narrow.select(
+        "doc_id",
+        "n_words",
+        "distinct_word_ratio",
+        "dup_2gram_frac",
+        F.explode("t").alias("w"),
     )
     return (
         base.groupBy("doc_id", "n_words", "distinct_word_ratio", "dup_2gram_frac", "w")

@@ -158,3 +158,24 @@ def streaming_batch_parity(
     return missing + extra, batch_df.count()
 
 
+
+def stream_enriched_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the
+    static customer dimension, rolled up per (segment, type). The
+    static side is re-resolved each micro-batch (so a dimension refresh
+    is picked up without restarting the stream) and joins broadcast
+    while small — the standard streaming enrichment topology. Batch
+    twin: events_enriched_user_segment (oracle-checked); parity tested
+    in complete mode."""
+    from benchviz_spark.sources.tables import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

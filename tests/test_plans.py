@@ -206,3 +206,59 @@ def test_ivf_topk_broadcasts_probe_side(spark):
 
     plan = formatted_plan(similarity_ann_ivf_topk(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontam_broadcasts_eval_side_only(spark):
+    """decontam's ONE justified broadcast: the eval-split shingle set
+    (bounded by benchmark-suite size, not corpus size). The plan must
+    broadcast-join it and contain zero Python nodes."""
+    from benchviz_spark.operators.decontam import decontam_eval_overlap
+
+    plan = formatted_plan(decontam_eval_overlap(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_repetition_metrics_two_shuffles_no_python(spark):
+    """Ratios ride the scan projection; only the word-frequency path
+    shuffles (two aggregation levels). More exchanges would mean a
+    reformulation regressed the narrow design."""
+    from benchviz_spark.operators.quality import quality_repetition_metrics
+
+    import re
+
+    plan = formatted_plan(quality_repetition_metrics(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    # the narrow metrics must be computed per DOCUMENT (Project below
+    # Generate), not per exploded token row
+    tree = plan.split("(1) Scan")[0]
+    assert tree.index("Generate") < tree.index("Project"), tree
+
+
+def test_gap_fill_and_enrichment_carry_no_forced_broadcasts(spark):
+    """The gap-fill spine (types x hours) and the customer dimension
+    both grow with data span/SF: neither may carry a broadcast hint —
+    AQE decides at runtime."""
+    from benchviz_spark.operators.events import (
+        events_enriched_user_segment,
+        events_gap_filled_hourly,
+    )
+
+    for q in (events_gap_filled_hourly, events_enriched_user_segment):
+        optimized = q(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in optimized, (q.__name__, optimized)
+
+
+def test_unigram_logprob_hints_only_the_scalar(spark):
+    """The vocabulary join must stay unhinted (Heaps'-law growth); the
+    only ResolvedHint allowed is the 1-row token-total broadcast."""
+    from benchviz_spark.operators.text_analysis import text_unigram_logprob
+
+    optimized = (
+        text_unigram_logprob(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    hints = [l for l in optimized.splitlines() if "ResolvedHint" in l]
+    assert len(hints) <= 1, hints

@@ -180,3 +180,18 @@ def test_streaming_touched_only_rewrites_touched_package_only(spark, tmp_path):
         "01-01-2015": {"N": 200, "A": 0, "B": 0, "M": 0},
         "02-01-2015": {"N": 250, "A": 0, "B": 0, "M": 0},
     }
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from benchviz_spark.operators.events import events_enriched_user_segment
+    from benchviz_spark.streaming.windows import (
+        stream_enriched_user_events,
+        streaming_batch_parity,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = events_enriched_user_segment(spark, sf_dir)
+    stream = stream_enriched_user_events(spark, sf_dir)
+    mismatched, n = streaming_batch_parity(spark, batch, stream, "enriched_seg")
+    assert n > 0
+    assert mismatched == 0
