@@ -1,0 +1,140 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Single flagship query chaining the pipeline stages every other module
+provides individually — the shape a real pretraining data job has:
+
+    documents
+      -> drop the eval split            (decontam.EVAL_MOD carve)
+      -> drop contaminated documents    (decontam_eval_overlap >= THRESHOLD)
+      -> quality gate                   (minimum length)
+      -> exact dedup, keep lowest id    (dedup_exact fingerprint)
+      -> deterministic train/val/test   (sampling.hash_bucket)
+
+The reference has no analogue (it is a benchmark-log visualizer); this
+exists because composability IS the engine claim — each stage is the
+already-oracle-checked operator, and this query proves they compose
+into one Catalyst plan without materialization barriers between stages.
+
+Scale design: the composition adds NOTHING beyond its parts — Catalyst
+fuses the eval-carve, the length gate, and the fingerprint projection
+into the one scan; the only exchanges are the two the component
+operators already own (the contamination aggregation's hash shuffle and
+the dedup window's fingerprint shuffle), and the flagged-id anti-join
+stays broadcast-sized because contaminated-doc count is bounded by the
+eval suite, not the corpus. A 100-TB run therefore costs: one corpus
+scan + one shingle-hash aggregation + one 32-byte-key window shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.operators.decontam import (
+    EVAL_MOD,
+    NGRAM,
+    THRESHOLD,
+    _NGRAM_CONCAT,
+    decontam_eval_overlap,
+)
+from benchviz_spark.operators.dedup import _norm_text
+from benchviz_spark.operators.sampling import (
+    TRAIN_UPTO,
+    VAL_UPTO,
+    _bucket_sql,
+    hash_bucket,
+)
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+MIN_CHARS = 100  # quality gate: drop fragments below this length
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {NGRAM - 2}, 1)),
+               i -> {_NGRAM_CONCAT}
+             )) AS s
+      FROM tok WHERE len(t) >= {NGRAM}
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    posting AS (
+      SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+      FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    flagged AS (
+      SELECT doc_id
+      FROM (
+        SELECT p.doc_id, p.n_shingles, count(*) AS n_contaminated
+        FROM posting p JOIN ev USING (g)
+        GROUP BY 1, 2
+      )
+      WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= {THRESHOLD}
+    ),
+    gated AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+      WHERE doc_id % {EVAL_MOD} <> 0
+        AND n_chars >= {MIN_CHARS}
+        AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    deduped AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, {_bucket_sql('split:')} AS bucket FROM deduped)
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as one DataFrame: eval carve-out ->
+    contamination filter -> length gate -> exact dedup (lowest surviving
+    doc_id wins) -> split assignment. Every document that remains after
+    curation, with its final train/val/test split.
+
+    The dedup winner is chosen among *gated survivors* (not raw docs):
+    a duplicate group whose lowest member was itself removed for
+    contamination keeps its next-lowest member — matching what a staged
+    pipeline materializing between steps would produce."""
+    flagged = (
+        decontam_eval_overlap(spark, sf_dir)
+        .filter(F.col("contamination") >= THRESHOLD)
+        .select("doc_id")
+    )
+    gated = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % EVAL_MOD != 0) & (F.col("n_chars") >= MIN_CHARS)
+        )
+        .join(flagged, "doc_id", "left_anti")
+        .withColumn("fp", F.md5(_norm_text(F.col("text"))))
+    )
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1)
+    split = (
+        F.when(F.col("bucket") < TRAIN_UPTO, "train")
+        .when(F.col("bucket") < VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return (
+        deduped.withColumn("bucket", hash_bucket(F.col("doc_id"), "split:"))
+        .withColumn("split", split)
+        .select("doc_id", "lang", "source", "n_chars", "split")
+    )

@@ -35,6 +35,8 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.sampling",
     "benchviz_spark.operators.quality",
     "benchviz_spark.operators.decontam",
+    "benchviz_spark.operators.analytics",
+    "benchviz_spark.operators.curation",
     "benchviz_spark.pipeline",
 )
 
