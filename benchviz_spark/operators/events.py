@@ -583,3 +583,99 @@ def events_enriched_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: first-order event-type transition matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n_transitions,
+           round(n_transitions::DOUBLE /
+                 sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM t
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (previous type -> type) pair, the transition
+    count and conditional probability. The sequence-mining primitive
+    behind session-flow and funnel-drop analysis.
+
+    Scale: the lag window shuffles once on user_id and sorts only
+    within each user's slice (per-user history is bounded, corpus-sized
+    fan-out is across users — exactly how Spark parallelizes window
+    partitions). The transition aggregate then map-side-combines to at
+    most |types|^2 rows, and the probability normalization windows over
+    that tiny matrix, not the events. One corpus shuffle total."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = F.sum("n_transitions").over(W.partitionBy("prev_type"))
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(F.col("n_transitions").cast("double") / total, 6).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-style last-write-wins state: latest props per user.
+# ---------------------------------------------------------------------------
+@query(
+    "events_latest_user_state",
+    oracle="""
+    SELECT user_id, n_events, last_ts_s, last_props FROM (
+      SELECT user_id, props AS last_props,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events,
+             CAST(floor(epoch(max(ts) OVER (PARTITION BY user_id))) AS BIGINT)
+               AS last_ts_s
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins materialized state per user — the CDC/upsert
+    compaction every table-maintenance job runs (same semantics as the
+    ingest tier's per-file LWW, bench_logs.py:154-168, lifted to the
+    user-event stream). (ts, event_id) is a total order, so the winner
+    is unique.
+
+    Scale: ``max_by`` keyed on a (ts, event_id) struct is a plain
+    aggregate — partial winners combine map-side, so the shuffle moves
+    ONE candidate row per (user, partition), never a user's history,
+    and no sort happens anywhere (the oracle's row_number window is the
+    relational spec, not the plan). This is the aggregate-vs-window
+    distinction that matters at 100 TB: compacting 1e9 users'
+    histories costs one narrow shuffle of winners."""
+    events = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.max("ts")).alias("last_ts_s"),
+        F.max_by("props", order_key).alias("last_props"),
+    )
