@@ -308,3 +308,100 @@ def stats_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped two-sample comparison: exact Kolmogorov-Smirnov statistic.
+# ---------------------------------------------------------------------------
+_KS_SCHEMA = "dow int, n_purchase long, n_click long, ks_stat double"
+
+
+def _ks_fn(left, right):
+    import numpy as np
+    import pandas as pd
+
+    if len(left) == 0 or len(right) == 0:
+        return pd.DataFrame(
+            {
+                "dow": pd.Series(dtype="int32"),
+                "n_purchase": pd.Series(dtype="int64"),
+                "n_click": pd.Series(dtype="int64"),
+                "ks_stat": pd.Series(dtype="float64"),
+            }
+        )
+    a = np.sort(left["value"].to_numpy(dtype=np.float64))
+    b = np.sort(right["value"].to_numpy(dtype=np.float64))
+    grid = np.concatenate([a, b])
+    # Integer-count formulation: D = max|ca*nb - cb*na| / (na*nb) keeps
+    # the maximization exact (no float CDF subtraction), matching the
+    # oracle's integer window counts bit-for-bit.
+    ca = np.searchsorted(a, grid, side="right").astype(np.int64)
+    cb = np.searchsorted(b, grid, side="right").astype(np.int64)
+    d = int(np.max(np.abs(ca * len(b) - cb * len(a))))
+    return pd.DataFrame(
+        [
+            {
+                "dow": int(left["dow"].iloc[0]),
+                "n_purchase": len(a),
+                "n_click": len(b),
+                "ks_stat": round(d / (len(a) * len(b)), 6),
+            }
+        ]
+    )
+
+
+@query(
+    "stats_ks_purchase_vs_click",
+    oracle="""
+    WITH pts AS (
+      SELECT dayofweek(ts) + 1 AS dow, value, event_type AS t
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    tot AS (
+      SELECT dow,
+             sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)    AS nc
+      FROM pts GROUP BY 1
+    ),
+    cdf AS (
+      SELECT dow,
+             sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) OVER w AS cp,
+             sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) OVER w    AS cc
+      FROM pts
+      WINDOW w AS (PARTITION BY dow ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(np AS BIGINT) AS n_purchase,
+           CAST(nc AS BIGINT) AS n_click,
+           round(max(abs(cp * nc - cc * np))::DOUBLE / (np * nc), 6) AS ks_stat
+    FROM cdf JOIN tot USING (dow)
+    WHERE np > 0 AND nc > 0
+    GROUP BY dow, np, nc
+    """,
+)
+def stats_ks_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between purchase
+    and click value distributions, per day-of-week — "did the spend
+    distribution shift" as a first-class operator. This is the
+    ``cogroup().applyInPandas`` surface: two keyed relations aligned
+    group-by-group into one Python function (the contract a
+    statistical-test or model-eval stage drops into), with the
+    RANGE-frame window SQL as the exact relational spec. The pandas
+    side maximizes over INTEGER rank counts (D = max|ca*nb - cb*na|),
+    so no float CDF subtraction enters the comparison.
+
+    Scale: cogroup shuffles each side once on the group key; each
+    group must fit one executor (the applyInPandas contract —
+    fine here: groups are bounded day-of-week slices). For unbounded
+    groups the fallback IS the oracle's formulation: the RANGE-frame
+    running-count window, distributed like any other window."""
+    events = load_table(spark, sf_dir, "events")
+    dow = F.dayofweek("ts").alias("dow")
+    purchases = events.filter(F.col("event_type") == "purchase").select(dow, "value")
+    clicks = events.filter(F.col("event_type") == "click").select(dow, "value")
+    return (
+        purchases.groupBy("dow")
+        .cogroup(clicks.groupBy("dow"))
+        .applyInPandas(_ks_fn, schema=_KS_SCHEMA)
+    )

@@ -679,3 +679,64 @@ def events_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.max("ts")).alias("last_ts_s"),
         F.max_by("props", order_key).alias("last_props"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame: 7-day rolling median / mean of daily totals.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 DAY, ts))) AS BIGINT) AS day_s,
+             event_type,
+             round(sum(value), 4) AS daily_total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_s, daily_total,
+           round(median(daily_total) OVER w, 6) AS rolling_median_7d,
+           round(avg(daily_total) OVER w, 6)    AS rolling_avg_7d,
+           CAST(count(*) OVER w AS BIGINT)      AS n_days_in_window
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_s
+                 RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling median and mean of each event type's daily value
+    total — a TIME-RANGE window frame (RANGE BETWEEN 6 days PRECEDING,
+    in epoch seconds), not a row-count frame: days missing from the
+    series correctly shrink the window rather than silently widening
+    it. Median-in-a-moving-window is the robust trendline variant of
+    events_daily_delta's lag arithmetic.
+
+    Determinism: daily totals are rounded BEFORE the median so both
+    engines interpolate identical doubles. Scale: the frame operates on
+    the DAILY aggregate (365 rows/type/year regardless of corpus
+    size), so the corpus cost is the one tumbling-window shuffle;
+    the range-frame sort is over the tiny rollup."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("daily_total"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("day_s"),
+            "event_type",
+            "daily_total",
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_s")
+        .rangeBetween(-6 * 86400, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_s",
+        "daily_total",
+        F.round(F.percentile("daily_total", F.lit(0.5)).over(w), 6).alias(
+            "rolling_median_7d"
+        ),
+        F.round(F.avg("daily_total").over(w), 6).alias("rolling_avg_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_window"),
+    )
