@@ -1,0 +1,169 @@
+"""Graph analytics over relationally-derived edge lists.
+
+Complements the dedup tier's connected components (dedup.py — min-label
+propagation) with WEIGHTED iterative propagation: PageRank over the
+nation-to-nation trade graph (customer nation -> supplier nation,
+edge weight = trade revenue, the q7 join shape). Centrality over an
+entity graph is the standard "which node matters" query an analytics
+engine is expected to answer; the same loop body runs influence /
+label / mass propagation generally.
+
+Scale design:
+
+- The edge list is built by the q7 star join — Catalyst handles it like
+  any TPC-H query (small dims broadcast, one fact shuffle) and the
+  result is EDGE-cardinality (|nations|^2 here; entity-graph-sized
+  generally), decoupled from corpus size.
+- Each PageRank iteration is one join + one aggregation ON THE EDGE
+  LIST, shuffled by node key — the textbook distributed formulation.
+  Rank state is 16 bytes/node. Iterations are a fixed small constant
+  (power iteration converges geometrically; 3 here so the oracle can
+  unroll exactly).
+- The node count enters as a 1-row broadcast (no driver-side
+  ``.count()`` round trip), so the whole computation stays lazy.
+- Edge weights are rounded BEFORE out-degree normalization and ranks
+  only at the end (the round-before-ranking oracle-parity rule).
+
+Reference parity: the reference has no graph operator (it is a ~590 LoC
+log visualizer, SURVEY.md §1); this extends the engine the direction
+its time-series + relational surface points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import load_table
+
+DAMPING = 0.85
+N_ITERS = 3
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS,
+             damping: float = DAMPING) -> DataFrame:
+    """Power-iteration PageRank. ``nodes``: (nation); ``edges``:
+    (src, dst, p) with p the out-normalized weight. Returns (nation, r).
+
+    Each iteration: contributions = edges ⋈ ranks on src, aggregated by
+    dst; nodes with no in-edges keep the teleport term. All joins key
+    on the node id — at graph scale this is the exact shape GraphX's
+    Pregel aggregateMessages lowers to, expressed in DataFrame ops so
+    Catalyst/AQE plan it."""
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.join(F.broadcast(nn)).select(
+        "nation", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    teleport = F.lit(1.0 - damping) / F.col("n")
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("nation", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(nn))
+            .join(contrib, nodes["nation"] == contrib["dst"], "left")
+            .select(
+                "nation",
+                (teleport + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "r"
+                ),
+            )
+        )
+    return ranks
+
+
+def _rank_sql(i: int) -> str:
+    """One unrolled oracle iteration: r{i} from r{i-1}."""
+    return f"""
+    r{i} AS (
+      SELECT n.nation,
+             0.15 / nn.n + 0.85 * coalesce(sum(r{i - 1}.r * e.p), 0) AS r
+      FROM nodes n
+      CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = n.nation
+      LEFT JOIN r{i - 1} ON r{i - 1}.nation = e.src
+      GROUP BY n.nation, nn.n
+    )"""
+
+
+@query(
+    "graph_pagerank_trade_nations",
+    oracle=f"""
+    WITH rev AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM rev),
+    nodes AS (SELECT src AS nation FROM rev UNION SELECT dst FROM rev),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT nation, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {",".join(_rank_sql(i) for i in range(1, N_ITERS + 1))}
+    SELECT nation, round(r, 6) AS pagerank,
+           CAST(row_number() OVER (ORDER BY round(r, 6) DESC, nation) AS BIGINT)
+             AS centrality_rank
+    FROM r{N_ITERS}
+    """,
+)
+def graph_pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of each nation in the customer-nation ->
+    supplier-nation trade-revenue graph, {N} power iterations, damping
+    0.85 — "which nation is the gravitational center of trade flow".
+    The oracle unrolls the identical recurrence as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(cn, cust["c_nationkey"] == F.col("c_nk"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(sn, supp["s_nationkey"] == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("w")
+        )
+    )
+    edges = rev.select(
+        "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
+    )
+    nodes = (
+        rev.select(F.col("src").alias("nation"))
+        .union(rev.select("dst"))
+        .distinct()
+    )
+    ranks = pagerank(nodes, edges)
+    r6 = F.round("r", 6)
+    return ranks.select(
+        "nation",
+        r6.alias("pagerank"),
+        F.row_number()
+        .over(W.orderBy(r6.desc(), "nation"))
+        .cast("long")
+        .alias("centrality_rank"),
+    )
+
+
+graph_pagerank_trade_nations.__doc__ = graph_pagerank_trade_nations.__doc__.replace(
+    "{N}", str(N_ITERS)
+)

@@ -287,3 +287,64 @@ def quality_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_2gram_frac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprints: cross-system integrity checks.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_table_fingerprints",
+    oracle="""
+    WITH rows_h AS (
+      SELECT 'orders' AS tbl,
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                           CAST(o_orderdate AS VARCHAR))) AS h
+      FROM orders
+      UNION ALL
+      SELECT 'customer',
+             md5(concat_ws('|', c_custkey, c_nationkey, c_mktsegment))
+      FROM customer
+    )
+    SELECT tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(concat('0x', substr(h, 1, 15)) AS BIGINT)
+                         AS DECIMAL(38, 0))) AS VARCHAR) AS checksum,
+           min(h) AS min_hash,
+           max(h) AS max_hash
+    FROM rows_h GROUP BY tbl
+    """,
+)
+def quality_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per table: row-level md5
+    over a canonical key projection, combined with a commutative SUM
+    (first 15 hex chars as a 60-bit int, accumulated in decimal(38,0))
+    plus min/max hashes. Two systems that disagree on ANY row disagree
+    on the checksum with overwhelming probability — the
+    replication/migration integrity check (e.g. validating this engine
+    against the system it replaces) without moving or sorting data.
+
+    Scale: embarrassingly parallel — hash at scan speed, combine
+    map-side; the shuffle carries one partial (count, sum, min, max)
+    per table per partition. Only stable-rendering columns (ints,
+    strings, dates) enter the canonical string: float formatting is
+    engine-specific, which is WHY the fingerprint projection is typed,
+    not SELECT *. The checksum is emitted as a string because the
+    driver's canonicalizer hashes scalars, not 128-bit decimals."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def fp(df: DataFrame, tbl: str, cols: list[str]) -> DataFrame:
+        h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        return df.select(F.lit(tbl).alias("tbl"), h.alias("h"))
+
+    rows_h = fp(orders, "orders",
+                ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]).union(
+        fp(cust, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+    )
+    h60 = F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
+    return rows_h.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h60).cast("string").alias("checksum"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+    )

@@ -79,3 +79,56 @@ def skew_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted JOIN: replicate the dim across salt values so a hot fact key
+# spreads over N_SALTS reducers.
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_join_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-JOIN rewrite (the join-side sibling of the salted
+    aggregation above): fact rows add a deterministic salt, the dim
+    side replicates once per salt value, and the join key widens to
+    (key, salt) — a single hot key now lands on N_SALTS reducers
+    instead of one. The oracle is the plain join: salting is a
+    physical rewrite with identical semantics.
+
+    When to reach for it at 100 TB: AQE's skew-join splitting handles
+    sort-merge skew after the fact, but it can't split a hot BUILD side
+    nor help when the skewed key's rows must co-locate for a downstream
+    stateful op; the query-level rewrite works everywhere. Replication
+    cost is |dim| x N_SALTS rows — dims must be small-ish (here 8x
+    customer), which is exactly the regime where the hot-fact-key
+    problem lives."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    salted_fact = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SALTS // 2))
+    )
+    replicated_dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS // 2 - 1))).alias("salt"),
+    )
+    return (
+        salted_fact.join(
+            replicated_dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (salted_fact["salt"] == replicated_dim["salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )

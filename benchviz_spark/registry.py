@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.quality",
     "benchviz_spark.operators.decontam",
     "benchviz_spark.operators.analytics",
+    "benchviz_spark.operators.graph",
     "benchviz_spark.operators.curation",
     "benchviz_spark.pipeline",
 )
