@@ -235,15 +235,23 @@ def stats_source_term_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     src = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
-    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
-    corp = src.groupBy("term").agg(F.sum("c").alias("cc"))
-    corp_tot = corp.agg(F.sum("cc").alias("nn"))
+    # Marginals as WINDOW sums over the one (source, term) aggregate —
+    # no self-joins, so the corpus is tokenized once and everything
+    # after is two vocabulary-sized window shuffles. The grand total is
+    # the only extra branch (1 row; its partial-agg exchange is
+    # runtime-deduped via ReusedExchange).
+    corp_tot = src.agg(F.sum("c").alias("nn"))
+    m = src.select(
+        "source",
+        "term",
+        "c",
+        F.sum("c").over(W.partitionBy("source")).alias("n"),
+        F.sum("c").over(W.partitionBy("term")).alias("cc"),
+    )
     p = F.col("c").cast("double") / F.col("n")
     q = F.col("cc").cast("double") / F.col("nn")
     return (
-        src.join(src_tot, "source")
-        .join(corp, "term")
-        .join(F.broadcast(corp_tot))
+        m.join(F.broadcast(corp_tot))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms"),

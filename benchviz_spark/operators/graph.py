@@ -143,6 +143,13 @@ def graph_pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("w")
         )
+        # Truncate lineage at the edge list (entity-graph-sized, not
+        # corpus-sized): without this every iteration's plan re-embeds
+        # the whole q7 star-join subtree and the tree grows
+        # geometrically with iterations (measured: 114 scans / 137
+        # exchanges at 3 iters). Same pattern as connected components
+        # (dedup.py duplicate clustering).
+        .localCheckpoint()
     )
     edges = rev.select(
         "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
