@@ -436,7 +436,7 @@ N_PACK_SHARDS = 32  # independent packing streams (per-partition at scale)
     oracle=f"""
     SELECT doc_id, shard, n_tokens,
            CAST(floor(start_offset / {SEQ_CAPACITY}.0) AS BIGINT) AS seq_id,
-           start_offset
+           CAST(start_offset AS BIGINT) AS start_offset
     FROM (
       SELECT doc_id, shard, n_tokens,
              sum(n_tokens) OVER (

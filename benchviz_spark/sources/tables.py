@@ -37,15 +37,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. Read it as a raw long (legacy conf, settable
-    at runtime so it works under the driver's own session too) and
-    truncate ns -> µs with integer division — float division at 1e18
-    magnitudes would lose µs precision.
+    """events.ts is parquet TIMESTAMP(NANOS). How that column loads
+    depends on the Spark version, so branch on the *loaded* dtype rather
+    than assuming one behavior:
+
+    - Spark 4.x reads TIMESTAMP(NANOS) natively as ``timestamp_ntz``
+      (truncating ns -> µs itself); cast to the session-TZ timestamp the
+      rest of the library expects. The session is pinned to UTC
+      (session.py) so the cast is a stable relabel, not a shift.
+    - Spark 3.x rejects NANOS outright unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+      column arrives as a raw ns-since-epoch BIGINT; truncate ns -> µs
+      with integer division (float division at 1e18 magnitudes would
+      lose µs precision).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Spark 3.x: "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))"
+        # unless the legacy conf is set (runtime-settable there).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp":
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

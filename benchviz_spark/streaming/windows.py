@@ -18,18 +18,27 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream. The file carries TIMESTAMP(NANOS),
-    which the vectorized reader rejects (tables.py): same legacy-long
-    workaround, applied to the streaming reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # schema required for streaming reads; derive it from the batch path
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    """events.parquet as a stream. The file carries TIMESTAMP(NANOS);
+    like the batch loader (tables.py:_load_events) the conversion
+    branches on the dtype Spark actually loads: 4.x reads it natively as
+    timestamp_ntz (cast to session-TZ timestamp), 3.x needs the
+    legacy-long workaround (ns BIGINT -> integer-divide to µs)."""
+    try:
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp":
+        return stream
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
