@@ -133,6 +133,12 @@ def window_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+# Contiguous range buckets for the distributed Zipf rank: each bucket is
+# ~vocab/N rows through one task instead of the whole vocabulary through
+# one unpartitioned window. Raise with cluster size; the driver-side
+# state is always exactly N bucket counts.
+ZIPF_RANK_BUCKETS = 32
+
 
 @query(
     "stats_zipf_fit",
@@ -160,11 +166,19 @@ def stats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment sketch like corr/covar above.
 
     Scale: everything after the token aggregation is VOCABULARY-sized
-    (Heaps' law: ~n^0.5-0.8, not n). The global rank window is a single
-    sort of that vocabulary table — at 100 TB web text that is ~1e8
-    rows of (term, count), a sort Spark does distributed + merge; the
-    regression itself then reduces to six doubles. No corpus-sized
-    structure survives past the first aggregation."""
+    (Heaps' law: ~n^0.5-0.8, not n) — but at 100 TB web text that is
+    still ~1e8 rows of (term, count), so a global rank must NOT be a
+    single unpartitioned window (one task sorts the whole vocabulary).
+    Instead: two-stage distributed rank. Range-partition the vocabulary
+    on the rank ordering (tf DESC, term) into ZIPF_RANK_BUCKETS
+    contiguous buckets, collect only the 32 per-bucket COUNTS to the
+    driver (same bounded-collect pattern as k-means centroids), turn
+    them into cumulative bucket offsets, and rank within each bucket
+    with a window PARTITIONED by bucket: global_rank = bucket_offset +
+    within-bucket row_number. The vocabulary is localCheckpoint'd first
+    because three jobs read it (range-boundary sampling, bucket counts,
+    the ranked scan) — without it the corpus-sized tokenize+agg lineage
+    would run three times. The regression then reduces to six doubles."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(
@@ -172,11 +186,23 @@ def stats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    ranked = tf.select(
+    tf = tf.localCheckpoint(eager=True)
+    parted = tf.repartitionByRange(
+        ZIPF_RANK_BUCKETS, F.col("tf").desc(), F.col("term")
+    ).withColumn("pid", F.spark_partition_id())
+    sizes = {
+        r["pid"]: r["n"]
+        for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, rank_offset long")
+    w_bucket = W.partitionBy("pid").orderBy(F.col("tf").desc(), F.col("term"))
+    ranked = parted.join(F.broadcast(off_df), "pid").select(
         "tf",
-        F.row_number()
-        .over(W.orderBy(F.col("tf").desc(), F.col("term")))
-        .alias("rank"),
+        (F.row_number().over(w_bucket) + F.col("rank_offset")).alias("rank"),
     )
     ln_tf, ln_rank = F.log(F.col("tf")), F.log(F.col("rank"))
     return ranked.agg(

@@ -262,3 +262,21 @@ def test_unigram_logprob_hints_only_the_scalar(spark):
     )
     hints = [l for l in optimized.splitlines() if "ResolvedHint" in l]
     assert len(hints) <= 1, hints
+
+
+def test_zipf_rank_window_is_partitioned(spark):
+    """stats_zipf_fit's vocabulary rank must never be a global
+    unpartitioned window (one task would sort ~1e8 terms at 100 TB).
+    Every windowspecdefinition in the executed plan must lead with the
+    range-bucket pid partition column (VERDICT r3 #5)."""
+    import re
+
+    from benchviz_spark.operators.analytics import stats_zipf_fit
+
+    plan = (
+        stats_zipf_fit(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "expected a window in the zipf plan"
+    for lead in specs:
+        assert lead.strip().startswith("pid#"), (lead, specs)
