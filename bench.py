@@ -83,7 +83,16 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     total = 0.0
-    for name in sorted(queries):
+    for i, name in enumerate(sorted(queries)):
+        if i and i % 15 == 0:
+            # ~115 queries share one JVM: broadcast/shuffle refs from
+            # earlier queries pile up until a driver GC lets the
+            # ContextCleaner release them, and late-alphabet queries
+            # were paying 5-10x their isolated time under that debt.
+            # Untimed periodic GC keeps each timing about the query,
+            # not about the 100 queries before it.
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             # noop write fully evaluates every output column without
