@@ -43,28 +43,19 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate records only the FIRST 50 entries of
 # ``queries()`` (registration order), so ordering is part of the external
-# contract. This window pins those 50 slots explicitly: every
-# training-data-pipeline family (dedup / similarity / text / events /
-# multimodal / skew / sampling / bench-log pipeline) plus the compare /
-# as-of operators and a representative relational core. Every name here
-# must carry a DuckDB oracle so no window slot is wasted on a weaker
-# rows-only check. Queries beyond the window remain registered and are
-# guarded by the local oracle-parity replica (tests/test_oracle_parity.py).
+# contract. This window pins those 50 slots explicitly, and ROTATES each
+# round so every operator accumulates at least one driver-green row:
+# names already driver-green in a prior round's CORRECTNESS_r{N}.json
+# yield their slot to oracle-paired queries the driver has never
+# checked. Round-4 window = the 17 rows that erred (or hash-failed) in
+# r03 and must re-verify after the events-loader fix, plus the 15
+# round-3 additions and the remaining never-driver-checked LLM-tier +
+# relational queries. Every name here must carry a DuckDB oracle so no
+# slot is wasted on a weaker rows-only check. Queries outside the
+# window remain registered and guarded by the committed local replica
+# (PARITY_LOCAL.json + tests/test_oracle_parity.py).
 _WINDOW = (
-    # LLM-data-pipeline tier ------------------------------------------------
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_blocked_pairs",
-    "dedup_duplicate_clusters",
-    "similarity_exact_topk",
-    "text_token_stats",
-    "text_bpe_token_counts",
-    "text_term_frequency",
-    "text_tfidf_top_terms",
-    "text_language_id",
-    "text_quality_scores",
-    "text_fingerprints",
-    "text_pack_sequences",
+    # Erred in r03 (events loader) — re-verify first ------------------------
     "events_tumbling_hourly",
     "events_sliding_hourly_halfhour",
     "events_session_stats",
@@ -74,36 +65,51 @@ _WINDOW = (
     "events_funnel_view_click_purchase",
     "events_retention_cohorts",
     "events_value_anomalies",
-    "multimodal_embedding_stats",
-    "multimodal_embedding_normalized_checksum",
-    "multimodal_binary_metadata",
     "skew_salted_type_totals",
     "skew_salted_distinct_users",
-    "sample_split_documents",
-    "sample_stratified_documents",
-    "sample_weighted_mix",
-    "quality_redact_pii",
-    "quality_profile_documents",
-    "quality_repetition_metrics",
-    "decontam_eval_overlap",
-    "bench_log_pipeline",
-    # Compare / as-of -------------------------------------------------------
     "compare_event_type_series",
     "explode_user_type_matrix",
     "json_props_extraction",
     "asof_purchase_last_view",
-    # Relational core -------------------------------------------------------
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_region_revenue",
-    "q9_product_profit_by_nation_year",
-    "q21_waiting_suppliers",
-    "window_top3_orders_per_customer",
-    "rollup_lineitem_status",
-    "topk_expensive_orders",
-    "range_join_price_bands",
     "full_outer_join_daily_type_counts",
-    "stats_orders_exact",
+    "text_pack_sequences",
+    # Round-3/4 additions, never driver-checked -----------------------------
+    "graph_pagerank_trade_nations",
+    "curation_pipeline",
+    "dedup_levenshtein_pairs",
+    "stats_moments_by_returnflag",
+    "stats_zipf_fit",
+    "stats_source_term_divergence",
+    "stats_winsorized_prices",
+    "stats_ks_purchase_vs_click",
+    "events_type_transitions",
+    "events_latest_user_state",
+    "events_rolling_median_daily",
+    "events_gap_filled_hourly",
+    "events_enriched_user_segment",
+    "skew_salted_join_segments",
+    "quality_table_fingerprints",
+    "quality_length_histogram",
+    "window_price_quartiles",
+    # Oracle-paired LLM tier, never driver-checked --------------------------
+    "multimodal_quantization_error",
+    "decontam_clean_corpus",
+    "text_unigram_logprob",
+    "text_chunk_documents",
+    # Family representatives (contract: every family in every window) -------
+    "similarity_exact_topk",
+    "sample_weighted_mix",
+    "bench_log_pipeline",
+    # Relational, never driver-checked (+ q1 as the flagship constant) ------
+    "q1_pricing_summary",
+    "q2_cheapest_part_per_brand",
+    "q4_priority_order_counts",
+    "q6_forecast_revenue",
+    "q7_bilateral_nation_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_revenue",
+    "subquery_above_avg_orders",
 )
 
 
