@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from benchviz_spark.registry import query
-from benchviz_spark.sources.tables import load_table
+from benchviz_spark.sources.tables import load_table, spread
 
 # MinHash parameters: 8 bands x 4 rows = 32 hash functions. With
 # jaccard>=0.5 targets, P(candidate) = 1-(1-s^4)^8 -> 0.99+ at s=0.8,
@@ -351,7 +351,7 @@ def dedup_embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     cosine is exact and oracle-checked."""
     from benchviz_spark.operators.similarity import _as_double, _dot, _norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     # norms hoisted BEFORE the join: computed once per vector (n rows),
     # not once per pair (sum of block^2 rows)
     sides = emb.select(
@@ -612,20 +612,18 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected column, not recomputed in filter + select. At 100 TB the
     block key widens (lang, length-bucket, simhash prefix) to keep
     block^2 bounded; the plan shape is unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / LEV_LEN_BUCKET).alias("len_bucket"),
         F.substring(_norm_text(F.col("text")), 1, LEV_PREFIX).alias("p"),
     )
-    # The probe side carries the block^2 DP work; a single parquet
-    # split would serialize it onto one task (the sf0.1 file is one
-    # split -> one core did 100% of the distance math). Spread the
-    # streamed rows round-robin: with the build side broadcast, any
-    # probe partitioning yields the same pairs.
-    n_slices = max(spark.sparkContext.defaultParallelism, 8)
-    a, b = d.repartition(n_slices).alias("a"), d.alias("b")
+    # The probe side carries the block^2 DP work; spread() above keeps
+    # it spread across cores even on a single-split local file (with
+    # the build side broadcast, any probe partitioning yields the same
+    # pairs).
+    a, b = d.alias("a"), d.alias("b")
     banded = F.levenshtein(F.col("a.p"), F.col("b.p"), LEV_MAX_DIST)
     return (
         a.join(

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from benchviz_spark.registry import query
-from benchviz_spark.sources.tables import load_table
+from benchviz_spark.sources.tables import load_table, spread
 
 
 def _sum_double(arr: Column) -> Column:
@@ -292,7 +292,7 @@ def multimodal_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame
     per row that parallelizes embarrassingly, which beats any
     reformulation that would shuffle dim x corpus exploded rows to
     dodge it."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     s = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0
 
     def deq(x):

@@ -67,6 +67,28 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to cluster parallelism — but ONLY
+    when the source yields fewer partitions than cores.
+
+    Why: the testdata parquet files are written as a single row group,
+    so Spark's split planning cannot parallelize the scan and every
+    per-row expression in the scan stage (regex tokenization, shingle
+    explodes, array math) runs on ONE core. For compute-bound operators
+    the fix is one linear shuffle of the raw rows before the heavy
+    expressions — measured 4.5 s -> 1.0 s for the 4-gram shingle stage
+    at sf0.1. The partition-count guard makes this a no-op on a real
+    cluster, where a 100 TB table arrives as thousands of splits and a
+    forced repartition to #cores would *reduce* parallelism: the
+    repartition only fires in the degenerate few-splits case it exists
+    to fix.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
