@@ -639,3 +639,94 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-containment dedup: near-subset documents (quote/excerpt and
+# boilerplate-wrap duplication that symmetric Jaccard under-scores).
+# ---------------------------------------------------------------------------
+CONTAINMENT_T = 0.9
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS s
+      FROM tok WHERE len(t) >= 3
+    )
+    SELECT contained_id, container_id, containment FROM (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
+               AS containment
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    ) WHERE containment >= {CONTAINMENT_T}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-subset pairs: contained document A has >=90% of
+    its 3-gram shingles inside container B. Catches the asymmetric
+    duplication Jaccard misses by construction — a short document
+    quoted whole inside a long one scores J ~ |A|/|B| (tiny) but
+    containment ~ 1.0. Standard component of a pretraining dedup stack
+    alongside the symmetric detectors.
+
+    Scale design: same prefix-filter family as
+    ``dedup_ngram_jaccard_pairs``, with the containment asymmetry: only
+    the CONTAINED side is prefix-pruned (a pair with C(A->B) >= t must
+    collide inside A's |A| - ceil(t*|A|) + 1 rarest shingles), while
+    the container side indexes all its postings. Candidates are
+    therefore bounded by rare-shingle posting lists (rarity ordering
+    comes from the same global document-frequency table, built
+    unhinted — vocabulary-sized, AQE decides the join strategy).
+    Verification re-checks the exact containment on the full shingle
+    arrays, so every emitted pair is exact — the prefix filter only
+    prunes, never approximates."""
+    t = CONTAINMENT_T
+    sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
+    postings = sh.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
+    df = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = postings.join(df, "h").withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("df"), F.col("h"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    ).select("doc_id", "h")
+    a, b = prefix.alias("a"), postings.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .distinct()
+    )
+    left = sh.select(F.col("doc_id").alias("contained_id"), F.col("hs").alias("sa"))
+    right = sh.select(F.col("doc_id").alias("container_id"), F.col("hs").alias("sb"))
+    containment = F.round(
+        F.size(F.array_intersect("sa", "sb")) / F.size("sa").cast("double"), 6
+    )
+    return (
+        cand.join(left, "contained_id")
+        .join(right, "container_id")
+        .select("contained_id", "container_id", containment.alias("containment"))
+        .filter(F.col("containment") >= t)
+    )

@@ -740,3 +740,69 @@ def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("daily_total").over(w), 6).alias("rolling_avg_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics: the burstiness/health profile of each
+# user's event stream.
+# ---------------------------------------------------------------------------
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+             )) // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)      AS n_gaps,
+           CAST(min(gap_s) AS BIGINT)    AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT)    AS max_gap_s,
+           round(sum(gap_s)::DOUBLE / count(*), 6) AS avg_gap_s,
+           CAST(floor((sum(gap_s * gap_s) - sum(gap_s)::DOUBLE * sum(gap_s) / count(*))
+                 / (count(*) - 1)) AS BIGINT) AS var_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution (count / min / max / mean
+    / variance of whole-second gaps): the burstiness profile used for
+    bot detection and session-timeout calibration.
+
+    Scale: one shuffle on user_id for the lag window (per-user history
+    is bounded; parallelism is across users), then a map-side-combined
+    aggregate. Numeric determinism note: gaps are floored to integer
+    seconds and the variance is assembled from exact integer power sums
+    ((sum x^2) - (sum x)^2/n)/(n-1) — both engines do exact int64
+    arithmetic until a final two-operand double division — and the
+    variance is floored to an integer: at ~1e9 magnitudes, fractional
+    decimals sit below double precision, where the two engines'
+    rounding implementations legitimately disagree."""
+    events = load_table(spark, sf_dir, "events")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    # gaps are non-negative (ordered by ts), so floor == integer div;
+    # the division operates on exact int64 values < 2^53
+    gaps = events.select(
+        "user_id", F.floor(gap_us / 1000000).cast("long").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    n = F.count(F.lit(1))
+    sx = F.sum("gap_s")
+    sxx = F.sum(F.col("gap_s") * F.col("gap_s"))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            n.cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.round(sx.cast("double") / n, 6).alias("avg_gap_s"),
+            F.floor((sxx - sx.cast("double") * sx / n) / (n - F.lit(1)))
+            .cast("long")
+            .alias("var_gap_s"),
+        )
+        .filter(F.col("n_gaps") > 1)
+    )

@@ -174,3 +174,82 @@ def graph_pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_pagerank_trade_nations.__doc__ = graph_pagerank_trade_nations.__doc__.replace(
     "{N}", str(N_ITERS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the supplier co-occurrence graph.
+# ---------------------------------------------------------------------------
+TRI_TOP_EDGES = 2000
+
+
+@query(
+    "graph_triangle_suppliers",
+    oracle="""
+    WITH w AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS cnt
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT u, v FROM w ORDER BY cnt DESC, u, v LIMIT 2000
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the supplier co-occurrence graph
+    (suppliers are adjacent when they supply the same order) — the
+    clustering-coefficient numerator, and the classic test that a
+    system can do graph-pattern joins, not just linear aggregation.
+
+    Scale design: edges are oriented low-id -> high-id, so each
+    triangle (u < v < w) is counted exactly once as e(u,v) ⋈ e(v,w) ⋈
+    e(u,w) — no /6 dedup blowup, and wedge enumeration (the quadratic
+    step) happens only from each node toward HIGHER ids, the standard
+    degree-splitting trick that keeps the join bounded by sum(d_out^2)
+    with d_out ~ half the true degree. All three legs are equi-joins on
+    8-byte keys shuffled by node id; the co-occurrence edge build
+    self-joins lineitem on l_orderkey (per-order line counts are
+    bounded — TPC-H caps at 7), then aggregates to weighted edge
+    cardinality, decoupled from fact size. The graph is thresholded to
+    the TRI_TOP_EDGES strongest co-occurrence edges (deterministic
+    (count, u, v) ordering): dense relational co-occurrence graphs
+    (TPC-H's is near-complete) make raw triangle counts explode
+    combinatorially with SF, and the analytically interesting structure
+    is the heavy backbone; the top-M cut keeps the pattern-join cost
+    SF-stable while the edge build remains the only corpus-scale
+    stage. Spark's global sort+limit lowers to TakeOrdered (per
+    partition top-M, then a merge of M-sized heaps) — no single-task
+    sort of the edge list."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "u", "v")
+        .limit(TRI_TOP_EDGES)
+        .select("u", "v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))

@@ -348,3 +348,98 @@ def quality_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_hash"),
         F.max("h").alias("max_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality rules (Rae et al. 2021, §A1.1 of the
+# Gopher paper; the same family C4/RefinedWeb/Dolma filters use).
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+# the Gopher stop-word probe set (distinct-presence count, not tf)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GNORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_GSTOPS = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6)  AS mean_word_len,
+           round(symbol_ratio, 6)   AS symbol_ratio,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           n_stopwords,
+           CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS passes
+    FROM (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             len(replace(norm, ' ', ''))::DOUBLE / len(t) AS mean_word_len,
+             ((len(norm) - len(replace(norm, '#', '')))
+              + (len(norm) - len(replace(norm, '...', ''))) / 3)::DOUBLE
+               / len(t) AS symbol_ratio,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / len(t) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t), {_GSTOPS})) AS BIGINT)
+               AS n_stopwords
+      FROM (SELECT doc_id, {_GNORM} AS norm,
+                   string_split({_GNORM}, ' ') AS t
+            FROM documents)
+    )
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher heuristic quality gate, per document: word
+    count bounds, mean word length bounds, symbol-to-word ratio ('#'
+    and '...'), alphabetic-word fraction, and a distinct-stop-word
+    presence count, plus the combined pass flag. This is the standard
+    cheap pre-filter a pretraining pipeline runs before any model-based
+    scoring — and the rule thresholds are the Gopher paper's own.
+
+    Scale: one narrow scan-side projection per document — every rule is
+    a Catalyst string/array expression (no UDF, no shuffle, no join),
+    so the gate runs at parquet scan speed and composes with any
+    downstream operator. The stop-word probe uses array_intersect
+    against an 8-element literal array: distinct-presence, not term
+    frequency, exactly as the paper specifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    toks = F.split(norm, " ")
+    n_words = F.size(toks)
+    nw_d = n_words.cast("double")
+    mean_wlen = F.length(F.regexp_replace(norm, " ", "")).cast("double") / nw_d
+    n_hash = F.length(norm) - F.length(F.regexp_replace(norm, "#", ""))
+    n_ellipsis = F.length(norm) - F.length(F.replace(norm, F.lit("...")))
+    symbol_ratio = (n_hash + n_ellipsis / 3).cast("double") / nw_d
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nw_d
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("long")
+    passes = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        passes.cast("int").alias("passes"),
+    )

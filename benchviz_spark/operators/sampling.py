@@ -115,3 +115,93 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multilingual-pretraining
+# rebalancing scheme: keep probability proportional to c^alpha with
+# alpha < 1, so large sources are down-weighted relative to their raw
+# share). alpha = 1/2 deliberately: sqrt is exactly specified by IEEE
+# 754 (pow is not), so Spark and DuckDB compute bit-identical weights.
+# ---------------------------------------------------------------------------
+TEMP_ALPHA_DESC = "alpha=0.5 (sqrt)"
+TEMP_KEEP_SHARE = 0.5  # rebalanced corpus targets half the raw corpus
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS n FROM c),
+    rates AS (
+      SELECT source, n_docs,
+             round(sqrt(n_docs) / z, 6) AS mix_weight,
+             least(100, CAST(floor(round(
+               100 * {TEMP_KEEP_SHARE} * n * (sqrt(n_docs) / z) / n_docs, 6))
+               AS BIGINT)) AS rate_pct
+      FROM c CROSS JOIN tot
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           r.mix_weight, r.rate_pct,
+           CAST(count(*) FILTER (
+             WHERE {_bucket_sql('temp:')} < r.rate_pct) AS BIGINT) AS n_kept
+    FROM rates r JOIN documents d ON d.source = r.source
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-rebalanced keep rates and realized kept
+    counts: weight_s = sqrt(c_s)/sum(sqrt(c)), keep rate =
+    min(1, N_target * weight_s / c_s) quantized to integer percent, and
+    the kept set chosen by the same pure md5 bucket as every sampler
+    here — reproducible across engines, reruns, and appends.
+
+    Scale: the per-source count table is tiny (sources, not documents),
+    so the rate computation is a broadcast-sized cross join; the kept
+    filter is the usual narrow bucket projection. The integer-percent
+    quantization (after round-6) exists so the keep decision is stable
+    cross-engine: sqrt is IEEE-exact in both engines, and the only
+    float summation (sum of a handful of sqrt values) is rounded to 6
+    decimals before the floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.agg(
+        F.sum(F.sqrt("n_docs")).alias("z"), F.sum("n_docs").alias("n")
+    )
+    rates = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt("n_docs") / F.col("z"), 6).alias("mix_weight"),
+        F.least(
+            F.lit(100),
+            F.floor(
+                F.round(
+                    100
+                    * TEMP_KEEP_SHARE
+                    * F.col("n")
+                    * (F.sqrt("n_docs") / F.col("z"))
+                    / F.col("n_docs"),
+                    6,
+                )
+            ),
+        )
+        .cast("long")
+        .alias("rate_pct"),
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "mix_weight", "rate_pct")
+        .agg(
+            F.sum(
+                (hash_bucket(F.col("doc_id"), "temp:") < F.col("rate_pct")).cast(
+                    "long"
+                )
+            ).alias("n_kept")
+        )
+    )
+    return kept.select(
+        "source", F.col("n_docs").cast("long"), "mix_weight", "rate_pct", "n_kept"
+    ).orderBy("source")
