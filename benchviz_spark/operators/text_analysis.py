@@ -378,23 +378,44 @@ _ROLL_P = (1 << 31) - 1  # Mersenne prime modulus: acc*B + h < 2^39 << int64
 _ROLL_B = 131
 
 
-@query("text_rolling_hash")  # rows-only: cross-engine hash primitives differ
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split({_NORM_SQL}, ' '),
+                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {_ROLL_P})),
+             (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_P}) AS rolling_hash
+    FROM documents
+    """,
+)
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: fold over tokens with
-    h = (h * B + xxhash(token)) mod p, as a Catalyst ``aggregate`` —
+    h = (h * B + tokhash(token)) mod p, as a Catalyst ``aggregate`` —
     unlike md5-of-text this extends incrementally (append tokens =
     resume the fold), which is what chunk-level dedup builds on.
-    Deterministic; pinned against a local Python reference in
-    tests/test_text_rolling.py (no SQL oracle: xxhash64 is
-    Spark-specific)."""
+
+    The per-token hash is the 32-bit md5 prefix (the same cross-engine
+    device as sampling.hash_bucket) rather than xxhash64, exactly so
+    the whole fold is reproducible outside Spark: DuckDB replays it
+    with list_reduce and the seed prepended (its 2-arg fold has no
+    initial-accumulator slot), and tests/test_text_rolling.py pins a
+    pure-Python hashlib reference. All arithmetic stays < 2^39, exact
+    in int64 on every engine."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
+
+    def tok_hash(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(_ROLL_P),
+        )
+
     rolled = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * _ROLL_B + F.pmod(F.xxhash64(t), F.lit(_ROLL_P)), F.lit(_ROLL_P)
-        ),
+        lambda acc, t: F.pmod(acc * _ROLL_B + tok_hash(t), F.lit(_ROLL_P)),
     )
     return docs.select("doc_id", rolled.alias("rolling_hash"))
 
