@@ -84,19 +84,32 @@ def shingled_documents(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFram
     return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
 
 
-def hashed_shingled_documents(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def hashed_shingled_documents(
+    spark: SparkSession, sf_dir: str, n: int = 3, materialize: bool = False
+) -> DataFrame:
     """documents -> (doc_id, hs array<long>): distinct shingles hashed to
     int64 ONCE, scan-side. Every downstream op (postings joins, minhash,
     intersections) is integer-only — shuffling 8-byte keys instead of
     ~30-byte shingle strings, and evaluating xxhash64 once per shingle
-    instead of once per (shingle x hash-function)."""
+    instead of once per (shingle x hash-function).
+
+    ``materialize=True`` spreads the scan across cores and
+    localCheckpoints the result: callers that consume the shingle table
+    MORE THAN ONCE in one plan (the pair detectors read it as postings
+    AND as both verification sides) otherwise re-run the whole
+    normalize+shingle chain per consumer — measured as the dominant
+    cost of the jaccard pair query. Single-consumer callers (minhash)
+    leave it lazy and pay no write."""
     sh = shingled_documents(spark, sf_dir, n)
-    return sh.select(
+    out = sh.select(
         "doc_id",
         F.array_distinct(
             F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
         ).alias("hs"),
     )
+    if materialize:
+        return spread(spark, out).localCheckpoint(eager=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +201,9 @@ def dedup_ngram_jaccard_pairs(
     missed; rarity ordering makes that the already-degenerate tail.
     Default None keeps the operator fully exact (the oracle contract)."""
     t = 0.5
-    sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
+    sh = hashed_shingled_documents(spark, sf_dir, materialize=True).filter(
+        F.size("hs") > 0
+    )
     postings = sh.select("doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h"))
     # global document frequency per shingle — vocabulary-sized: NO
     # broadcast hint (see docstring)
@@ -692,7 +707,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays, so every emitted pair is exact — the prefix filter only
     prunes, never approximates."""
     t = CONTAINMENT_T
-    sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
+    sh = hashed_shingled_documents(spark, sf_dir, materialize=True).filter(
+        F.size("hs") > 0
+    )
     postings = sh.select(
         "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
     )
