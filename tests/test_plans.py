@@ -280,3 +280,47 @@ def test_zipf_rank_window_is_partitioned(spark):
     assert specs, "expected a window in the zipf plan"
     for lead in specs:
         assert lead.strip().startswith("pid#"), (lead, specs)
+
+
+def test_gopher_rules_is_single_scan_no_exchange(spark):
+    """The Gopher gate must stay a narrow scan-side projection: no
+    shuffle, no Python, one parquet scan."""
+    from benchviz_spark.operators.quality import quality_gopher_rules
+
+    import re
+
+    plan = formatted_plan(quality_gopher_rules(spark, SF_DIR))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_triangle_top_edges_lowers_to_take_ordered(spark):
+    """The top-M edge cut must be a TakeOrdered (per-partition heaps +
+    merge), never a global Sort of the edge list."""
+    from benchviz_spark.operators.graph import graph_triangle_suppliers
+
+    plan = (
+        graph_triangle_suppliers(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_containment_has_no_cartesian_product(spark):
+    """Candidate generation must ride the shingle equi-join; a
+    CartesianProduct/BroadcastNestedLoop node means the prefix filter
+    degenerated to all-pairs."""
+    from benchviz_spark.operators.dedup import dedup_containment_pairs
+
+    plan = (
+        dedup_containment_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
