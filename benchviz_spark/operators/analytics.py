@@ -439,3 +439,73 @@ def stats_ks_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("dow"))
         .applyInPandas(_ks_fn, schema=_KS_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom aggregate via GROUPED_AGG pandas_udf: Gini concentration of
+# per-type event values (the §2.10 grouped-aggregate UDF surface).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_value_gini_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+               AS i,
+             count(*)    OVER (PARTITION BY event_type) AS n,
+             sum(value)  OVER (PARTITION BY event_type) AS tot
+      FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(2.0 * sum(i * value) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM s GROUP BY 1
+    """,
+)
+def stats_value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution within each event
+    type — the inequality/concentration diagnostic ("do a few whale
+    purchases carry all revenue"). Implemented as a GROUPED_AGG
+    pandas_udf: the custom-aggregate surface (SURVEY §2.10) that
+    built-in aggregates don't cover, Arrow-batched per group rather
+    than per row.
+
+    The UDF sorts its group and applies the exact sorted-index
+    identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — the same spec the
+    oracle states with rank windows, so the two formulations check
+    each other. Values are rounded AFTER the deterministic ordered
+    summation (ties broken on event_id on both sides... the pandas
+    side sorts by value only, which suffices: equal values contribute
+    identically to sum(i*x_i) under any permutation of their index
+    range, so the tiebreak cannot change the statistic).
+
+    Scale: one shuffle on event_type; each group must fit one executor
+    (the GROUPED_AGG contract). For groups beyond that, the oracle's
+    rank-window formulation IS the distributed fallback — rank and the
+    two sums are ordinary windows/aggregates. Skewed type cardinality
+    would use the same salting rewrite as skew.py."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: this module uses
+    # `from __future__ import annotations`, which stringifies type
+    # hints and defeats pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini(v):
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = x.size
+        if n == 0 or x.sum() == 0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * np.dot(i, x) / (n * x.sum()) - (n + 1.0) / n)
+
+    events = load_table(spark, sf_dir, "events")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(); the count rides a separate tiny
+    # aggregation joined back on the |types|-sized result
+    g = events.groupBy("event_type").agg(F.round(gini(F.col("value")), 6).alias("gini"))
+    n = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return n.join(g, "event_type").select("event_type", "n_events", "gini")
