@@ -83,10 +83,15 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     repartition only fires in the degenerate few-splits case it exists
     to fix.
     """
-    n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    try:
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            return df.repartition(n)
+        return df
+    except Exception:
+        # e.g. Spark Connect, where sparkContext/.rdd are unavailable:
+        # fall back to the unspread plan rather than guessing a width
+        return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,30 @@
+"""Sketch error envelopes: the approximate aggregates must track their
+exact twins within the accuracy the sketch parameters promise."""
+
+from __future__ import annotations
+
+from benchviz_spark.operators.analytics import sketch_events_daily
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_distinct_within_rsd_envelope(spark):
+    rows = sketch_events_daily(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # 5 sigma on a 2% rsd sketch: generous but still catches a
+        # broken register merge or a silently changed rsd
+        assert abs(r.approx_users - r.exact_users) <= max(
+            5, 0.10 * r.exact_users
+        ), (r.day_s, r.approx_users, r.exact_users)
+
+
+def test_percentile_sketch_tracks_exact_median(spark):
+    rows = sketch_events_daily(spark, SF_DIR).collect()
+    for r in rows:
+        spread_band = 0.15 * abs(r.exact_p50_value) + 1e-6
+        assert abs(r.approx_p50_value - r.exact_p50_value) <= spread_band, (
+            r.day_s,
+            r.approx_p50_value,
+            r.exact_p50_value,
+        )
