@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from benchviz_spark.operators.dedup import shingled_documents
 from benchviz_spark.registry import query
+from benchviz_spark.sources.tables import spread
 
 NGRAM = 4
 EVAL_MOD = 11
@@ -85,7 +86,13 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a contamination fraction. Documents with zero overlap are absent
     (they need no decontamination action); callers filter at
     ``THRESHOLD`` or remove matched spans."""
-    sh = shingled_documents(spark, sf_dir, n=NGRAM).filter(F.size("shingles") > 0)
+    # consumed twice (eval side + corpus postings): materialize once,
+    # spread across cores — without this the normalize+shingle chain
+    # runs per consumer on a single-split scan (same pattern as
+    # dedup.hashed_shingled_documents(materialize=True))
+    sh = spread(
+        spark, shingled_documents(spark, sf_dir, n=NGRAM)
+    ).localCheckpoint(eager=True).filter(F.size("shingles") > 0)
     ev = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("shingles").alias("g"))
@@ -153,7 +160,7 @@ def decontam_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination — a left-anti join against the (tiny, broadcast-able
     by AQE) flagged set. This is the frame a pipeline feeds to
     tokenization."""
-    from benchviz_spark.sources.tables import load_table
+    from benchviz_spark.sources.tables import load_table, spread
 
     flagged = (
         decontam_eval_overlap(spark, sf_dir)
