@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from benchviz_spark.registry import query
 from benchviz_spark.sources.tables import load_table
@@ -205,3 +206,51 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "source", F.col("n_docs").cast("long"), "mix_weight", "rate_pct", "n_kept"
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size per-stratum sample: deterministic "reservoir" via hash
+# ordering (k smallest md5 values win — a pure function of the key, so
+# the sample is stable under reruns/appends/engines like every sampler
+# here, unlike a true streaming reservoir whose result depends on
+# arrival order).
+# ---------------------------------------------------------------------------
+RESERVOIR_K = 20
+
+
+@query(
+    "sample_reservoir_per_source",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('res:' || doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly K documents per source (fewer if the source is smaller),
+    chosen as the K smallest md5('res:' || doc_id) values — the
+    deterministic equivalent of per-stratum reservoir sampling. Because
+    the order key is a pure function of doc_id, appending data can only
+    displace winners by genuinely hashing lower, never reshuffle them.
+
+    Scale: one shuffle on source; the rank window sorts within each
+    source partition. A skewed giant source would use the same
+    two-stage top-K as the zipf rank (per-bucket top-K then merge K
+    winners) — K-bounded state either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "source", rk.alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source")
+    )

@@ -563,3 +563,71 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "avg_nll")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring: context-sensitive upgrade of the unigram filter.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    bigl AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+      FROM tok WHERE len(t) >= 2
+    ),
+    big AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bigl),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(-ln(c12::DOUBLE / c1)) / count(*), 6) AS avg_nll
+    FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY 1
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus
+    MLE bigram model p(w2|w1) = c(w1,w2)/c(w1,·) — the
+    context-sensitive sibling of ``text_unigram_logprob`` (a document
+    can look unigram-normal while its word ORDER is gibberish; this
+    catches that). No smoothing needed: every scored bigram
+    contributed to the counts, so probabilities are never zero.
+
+    Scale: the bigram count table grows with observed pairs (bounded
+    by corpus, far below vocab^2) and joins the exploded bigram stream
+    on (w1, w2) — an ordinary shuffle join map-side-combined on both
+    aggregation legs; no broadcast hint (bigram vocabulary grows with
+    the corpus — same rule as the unigram/tfidf vocabulary joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    big = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
+    return (
+        big.join(bc, ["w1", "w2"]).join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(nll) / F.count(F.lit(1)), 6).alias("avg_nll"),
+        )
+    )
