@@ -443,3 +443,57 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         passes.cast("int").alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy: the classic cheap gibberish detector
+# (base64 blobs / key dumps score high, repeated-char spam scores low,
+# natural language sits in a narrow band).
+# ---------------------------------------------------------------------------
+@query(
+    "quality_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '.')) AS c
+      FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)                        AS n_chars,
+           CAST(count(*) AS BIGINT)                      AS n_distinct_chars,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_nats
+    FROM cc GROUP BY 1
+    """,
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy over the whitespace-normalized
+    text, computed from counts as ln(N) - sum(c*ln c)/N (one log per
+    DISTINCT char, and numerically identical across engines after
+    round-6, unlike the -sum(p ln p) form whose summation order
+    differs).
+
+    Scale: the char explode is pipelined inside the scan stage and the
+    (doc_id, char) pre-aggregation map-side-combines to at most
+    |alphabet| rows per document before the shuffle — the same shape
+    (and cost bound) as the shingle pipelines, with a far smaller key
+    space. No UDF, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(_norm_text(F.col("text")), F.lit("."), 0)
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 6
+        ).alias("entropy_nats"),
+    )

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.analytics",
     "benchviz_spark.operators.graph",
     "benchviz_spark.operators.curation",
+    "benchviz_spark.operators.layout",
     "benchviz_spark.pipeline",
 )
 
