@@ -549,3 +549,162 @@ def sketch_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters: frequency estimation when the key
+# space itself is too large to shuffle.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 5  # independent hash rows; overshoot prob ~ e^-depth
+CMS_WIDTH = 4096  # counters per row; overshoot <= (e/width) * N w.h.p.
+CMS_CANDIDATE_PCT = 4  # doc sample that nominates candidate terms
+
+
+@query("sketch_heavy_hitter_terms")  # rows-only: estimates depend on the
+# sketch's hash family (xxhash64), which no cross-engine oracle shares;
+# the CMS guarantees (never undercount; bounded overcount) are pinned
+# in tests/test_sketches.py
+def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated corpus frequencies for candidate heavy-hitter terms
+    from a Count-Min sketch built as PLAIN DataFrame ops: the sketch
+    is a (depth x width) counter table — ``groupBy(seed,
+    pmod(xxhash64(term, seed), width)).count()`` — and a probe is a
+    join against it taking ``min(count)`` over the depth rows. Exact
+    counts ride alongside so the estimation error is part of the
+    output (and pinned by tests: CMS never undercounts, and overshoots
+    by at most ~(e/width)*N).
+
+    Scale: this is the frequency query that still works when the term
+    space itself is too large to shuffle — the sketch aggregation's
+    key space is capped at depth*width (20 Ki counters here) no matter
+    the corpus, every counter increment map-side-combines, and the
+    probe joins a candidate list against a 20 Ki-row table (broadcast
+    by size). Candidates come from a deterministic md5-bucket document
+    sample, so reruns nominate identical terms. The exact twin
+    (full-vocabulary groupBy) exists only for the envelope; a
+    production run drops it and nothing in the plan scales with
+    vocabulary size."""
+    from benchviz_spark.operators.sampling import hash_bucket
+    from benchviz_spark.operators.text_analysis import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
+        "seed"
+    )
+    keyed = terms.select(
+        "term",
+        seeds,
+    ).select(
+        "term",
+        "seed",
+        F.pmod(F.xxhash64("term", "seed"), F.lit(CMS_WIDTH)).alias("bucket"),
+    )
+    sketch = keyed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+    candidates = (
+        terms.filter(hash_bucket(F.col("doc_id"), "cms:") < CMS_CANDIDATE_PCT)
+        .select("term")
+        .distinct()
+    )
+    probe = candidates.select(
+        "term", seeds
+    ).select(
+        "term",
+        "seed",
+        F.pmod(F.xxhash64("term", "seed"), F.lit(CMS_WIDTH)).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("term")
+        .agg(F.min("counter").cast("long").alias("est_count"))
+    )
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        est.join(exact, "term")
+        .orderBy(F.col("est_count").desc(), "term")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: market segment x event type.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_chi2_segment_type",
+    oracle="""
+    WITH ct AS (
+      SELECT c.c_mktsegment AS segment, e.event_type,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT segment, sum(o) AS rs FROM ct GROUP BY 1),
+    cm AS (SELECT event_type, sum(o) AS cs FROM ct GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM ct),
+    grid AS (
+      SELECT rm.segment, rm.rs, cm.event_type, cm.cs,
+             coalesce(ct.o, 0.0) AS o
+      FROM rm CROSS JOIN cm
+      LEFT JOIN ct ON ct.segment = rm.segment
+                  AND ct.event_type = cm.event_type
+    )
+    SELECT round(sum((o - rs * cs / n) * (o - rs * cs / n)
+                     / (rs * cs / n)), 6)                      AS chi2,
+           CAST(((SELECT count(*) FROM rm) - 1)
+                * ((SELECT count(*) FROM cm) - 1) AS BIGINT)   AS dof,
+           CAST(n AS BIGINT)                                   AS n_events
+    FROM grid CROSS JOIN tot
+    GROUP BY n
+    """,
+)
+def stats_chi2_segment_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of customer market
+    segment and event type. The observed grid is completed with zero
+    cells (a missing (segment, type) pair still contributes its
+    expected count), so the statistic is correct even when a cell has
+    no events.
+
+    Scale: one fact-side join + aggregation produces the contingency
+    table, whose size is |segments| x |types| regardless of event
+    count; every downstream step (margins, expected grid, the final
+    sum) operates on that tiny table, broadcast-joined. The dimension
+    join is unhinted — AQE broadcasts customer while small and
+    key-partitions at scale."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    ct = (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rm = ct.groupBy("segment").agg(F.sum("o").alias("rs"))
+    cm = ct.groupBy("event_type").agg(F.sum("o").alias("cs"))
+    tot = ct.agg(F.sum("o").alias("n"))
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(F.broadcast(ct), ["segment", "event_type"], "left")
+        .select("segment", "event_type", "rs", "cs", F.coalesce("o", F.lit(0.0)).alias("o"))
+    )
+    e = F.col("rs") * F.col("cs") / F.col("n")
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+            (
+                (F.count_distinct("segment") - 1)
+                * (F.count_distinct("event_type") - 1)
+            )
+            .cast("long")
+            .alias("dof"),
+            F.sum("o").cast("long").alias("n_events"),
+        )
+    )

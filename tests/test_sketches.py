@@ -28,3 +28,33 @@ def test_percentile_sketch_tracks_exact_median(spark):
             r.approx_p50_value,
             r.exact_p50_value,
         )
+
+
+def test_cms_never_undercounts_and_bounds_overshoot(spark):
+    """Count-Min guarantees: est >= exact always (counters only ever
+    add colliding terms), and overshoot <= (e/width)*N with
+    probability ~1 - e^-depth (N = total token stream length)."""
+    from benchviz_spark.operators.analytics import (
+        CMS_WIDTH,
+        sketch_heavy_hitter_terms,
+    )
+    from benchviz_spark.operators.text_analysis import _tokens
+    from benchviz_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = sketch_heavy_hitter_terms(spark, SF_DIR).collect()
+    assert rows
+    n_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(_tokens(F.col("text"))))
+        .count()
+    )
+    bound = (2.718 / CMS_WIDTH) * n_tokens + 1
+    for r in rows:
+        assert r.est_count >= r.exact_count, (r.term, r.est_count, r.exact_count)
+        assert r.est_count - r.exact_count <= bound, (
+            r.term,
+            r.est_count,
+            r.exact_count,
+            bound,
+        )
