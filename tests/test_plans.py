@@ -324,3 +324,41 @@ def test_containment_has_no_cartesian_product(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_is_scan_side_with_broadcast_bounds(spark):
+    """The z-value projection must be pure scan-side bit arithmetic:
+    zero data shuffles (the only exchange is the broadcast of the
+    1-row min/max bounds) and zero Python nodes."""
+    from benchviz_spark.operators.layout import layout_zorder_events
+
+    plan = formatted_plan(layout_zorder_events(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_char_entropy_is_two_stage_agg_no_join(spark):
+    """Char entropy = explode + two map-side-combined aggregations;
+    there must be no join and no Python in the plan, and the first
+    shuffle key must be the (doc, char) pre-aggregation."""
+    from benchviz_spark.operators.quality import quality_char_entropy
+
+    import re
+
+    plan = formatted_plan(quality_char_entropy(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
+
+
+def test_cms_probe_broadcasts_fixed_size_sketch(spark):
+    """The Count-Min probe joins candidates against the depth*width
+    counter table — that side is capped at 20Ki rows by construction
+    and must arrive broadcast, never as a shuffled join side."""
+    from benchviz_spark.operators.analytics import sketch_heavy_hitter_terms
+
+    plan = formatted_plan(sketch_heavy_hitter_terms(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
