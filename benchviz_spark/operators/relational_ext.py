@@ -849,3 +849,126 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered semi join: the 100-TB shuffle reducer.
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 1 << 16  # m: bitset size
+BLOOM_HASHES = 3  # k: probes per key
+_BLOOM_WORDS = BLOOM_BITS // 64
+
+
+def _bloom_positions(key, i: int):
+    return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame holding the bloom bitset as a word_idx ->
+    64-bit-word map. Fixed size (<= m/64 entries, ~8 KiB here) no
+    matter how many keys went in — that is the whole point: the
+    build side compresses to a broadcastable constant."""
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_positions(F.col(key_col), i) for i in range(BLOOM_HASHES)]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("int").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            # shiftleft via call_function: the PySpark wrapper insists on a
+            # literal shift count, the SQL function takes a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            )
+        ).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("word_idx", "bits")))
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(key) -> F.Column:
+    """ALL k probe bits set in the broadcast ``bloom`` map column —
+    no false negatives; false positives removed by the exact join
+    that follows."""
+    hits = [
+        (
+            F.coalesce(
+                F.col("bloom")[(_bloom_positions(key, i) / 64).cast("int")],
+                F.lit(0).cast("long"),
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (_bloom_positions(key, i) % 64).cast("int"),
+                )
+            )
+            != 0
+        )
+        for i in range(BLOOM_HASHES)
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out & h
+    return out
+
+
+@query(
+    "join_bloom_prefilter_building",
+    oracle="""
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4)   AS total_value
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id
+                    AND c.c_mktsegment = 'BUILDING')
+    GROUP BY 1
+    """,
+)
+def join_bloom_prefilter_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event totals for BUILDING-segment customers, with the fact side
+    pre-filtered through a Bloom bitset built as plain DataFrame ops
+    (k=3 xxhash64 probes into an m=64Ki-bit map aggregated with
+    bit_or) before the exact semi join. Bloom filters have no false
+    negatives and the semi join removes the false positives, so the
+    result is bit-identical to the plain semi join — which is exactly
+    what the oracle runs.
+
+    Scale: this is how a selective dim filter reaches a 100-TB fact
+    scan without shuffling the fact table first. The bitset is a
+    FIXED ~8 KiB one-row map whatever the dimension's size (unlike
+    broadcasting the key set itself), the probe is a scan-side
+    expression on the fact, and only surviving rows (true matches +
+    ~0.1% false positives at these m/k settings) enter the semi
+    join's shuffle. Spark's own runtime row-level filtering injects
+    the same shape; doing it explicitly makes the plan deterministic
+    and the technique reusable against any join."""
+    events = load_table(spark, sf_dir, "events")
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bitmap = bloom_bitmap(building, "c_custkey")
+    prefiltered = (
+        events.crossJoin(F.broadcast(bitmap))
+        .filter(bloom_might_contain(F.col("user_id")))
+        .drop("bloom")
+    )
+    return (
+        prefiltered.join(
+            building, prefiltered.user_id == building.c_custkey, "leftsemi"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

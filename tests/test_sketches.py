@@ -58,3 +58,44 @@ def test_cms_never_undercounts_and_bounds_overshoot(spark):
             r.exact_count,
             bound,
         )
+
+
+def test_bloom_prefilter_no_false_negatives_bounded_fps(spark):
+    """Bloom invariants: every true match survives the prefilter (no
+    false negatives — the correctness property the exact-join rewrite
+    relies on), false positives stay under the m/k design bound, and
+    the bitset really is a fixed-size one-row map."""
+    from pyspark.sql import functions as F
+
+    from benchviz_spark.operators.relational_ext import (
+        _BLOOM_WORDS,
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from benchviz_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    dim = (
+        load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bm = bloom_bitmap(dim, "c_custkey")
+    bm_rows = bm.collect()
+    assert len(bm_rows) == 1
+    assert len(bm_rows[0]["bloom"]) <= _BLOOM_WORDS
+
+    kept = ev.crossJoin(F.broadcast(bm)).filter(
+        bloom_might_contain(F.col("user_id"))
+    )
+    n_total = ev.count()
+    n_kept = kept.count()
+    n_exact = ev.join(dim, ev.user_id == dim.c_custkey, "leftsemi").count()
+    # no false negatives: the kept superset covers every exact match
+    assert (
+        kept.join(dim, kept.user_id == dim.c_custkey, "leftsemi").count()
+        == n_exact
+    )
+    assert n_kept >= n_exact
+    # ~0.1% fp design point; 2% leaves jitter room without hiding breakage
+    assert n_kept - n_exact <= max(5, 0.02 * n_total), (n_kept, n_exact)
