@@ -254,3 +254,66 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RESERVOIR_K)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): one pass,
+# K-bounded state, deterministic.
+# ---------------------------------------------------------------------------
+ES_K = 50
+
+
+@query(
+    "sample_weighted_reservoir_es",
+    oracle=f"""
+    SELECT doc_id, source, w,
+           round(k, 6) AS sample_key
+    FROM (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS w,
+             exp(ln((('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0) / length(text)) AS k
+      FROM documents
+    )
+    ORDER BY k DESC, doc_id
+    LIMIT {ES_K}
+    """,
+)
+def sample_weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} documents under the Efraimidis-Spirakis weighted
+    reservoir scheme: each doc gets key u^(1/w) (u = md5-derived
+    uniform, w = text length) and the K largest keys win — a sample
+    WITHOUT replacement where inclusion probability tracks weight,
+    from ONE pass. The md5 uniform replaces the RNG, so the sample is
+    a pure function of doc_id: reruns, engine changes, and appends
+    agree on every key (the same determinism contract as every
+    sampler in this module).
+
+    Scale: the classic streaming form keeps a K-item heap; the Spark
+    lowering is a global top-K, which Catalyst executes as
+    TakeOrdered — per-partition K winners, then a K*partitions driver
+    merge — so state is K-bounded everywhere, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.length("text").cast("long")
+    key = F.exp(F.log(u) / F.length("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            w.alias("w"),
+            key.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(ES_K)
+        .select("doc_id", "source", "w", F.round("k", 6).alias("sample_key"))
+    )
