@@ -176,9 +176,13 @@ def stats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     them into cumulative bucket offsets, and rank within each bucket
     with a window PARTITIONED by bucket: global_rank = bucket_offset +
     within-bucket row_number. The vocabulary is localCheckpoint'd first
-    because three jobs read it (range-boundary sampling, bucket counts,
-    the ranked scan) — without it the corpus-sized tokenize+agg lineage
-    would run three times. The regression then reduces to six doubles."""
+    because multiple jobs read it (range-boundary sampling plus the
+    shuffle write) — without it the corpus-sized tokenize+agg lineage
+    would run repeatedly — and the RANGE-PARTITIONED result is
+    checkpointed AGAIN so that its sampled boundaries are pinned: the
+    bucket-count collect and the ranked scan must see the exact same
+    buckets, and repartitionByRange re-samples per action otherwise.
+    The regression then reduces to six doubles."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(
@@ -187,9 +191,16 @@ def stats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.localCheckpoint(eager=True)
-    parted = tf.repartitionByRange(
-        ZIPF_RANK_BUCKETS, F.col("tf").desc(), F.col("term")
-    ).withColumn("pid", F.spark_partition_id())
+    # Materialize the range partitioning ONCE: repartitionByRange samples
+    # its boundaries per action (RDD-id-seeded), so without this pin the
+    # bucket-count collect below and the final ranked scan could see
+    # DIFFERENT buckets whenever a partition exceeds the reservoir sample
+    # — silently corrupting the global ranks at scale.
+    parted = (
+        tf.repartitionByRange(ZIPF_RANK_BUCKETS, F.col("tf").desc(), F.col("term"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     sizes = {
         r["pid"]: r["n"]
         for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -216,8 +216,12 @@ def dedup_ngram_jaccard_pairs(
             W.partitionBy("doc_id").orderBy(F.col("df"), F.col("h"))
         ),
     )
+    # Size the prefix for the LOOSEST raw Jaccard that survives the
+    # final round-6 comparison (raw t - 5e-7 rounds up to t and is
+    # emitted), so the filter stays complete even on the rounding edge.
+    t_eff = t - 5e-7
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
     ).select("doc_id", "h")
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -720,8 +724,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("doc_id").orderBy(F.col("df"), F.col("h"))
         ),
     )
+    # Prefix bound from the LOOSEST raw containment that survives the
+    # final round-6 comparison (>= t): a pair at raw t - 5e-7 rounds up
+    # to t and is emitted by the oracle, so the prefix must be sized for
+    # it too or completeness silently breaks at |A| ~ 1e6 shingles.
+    t_eff = t - 5e-7
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
     ).select("doc_id", "h")
     a, b = prefix.alias("a"), postings.alias("b")
     cand = (

@@ -775,9 +775,10 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id for the lag window (per-user history
     is bounded; parallelism is across users), then a map-side-combined
     aggregate. Numeric determinism note: gaps are floored to integer
-    seconds and the variance is assembled from exact integer power sums
-    ((sum x^2) - (sum x)^2/n)/(n-1) — both engines do exact int64
-    arithmetic until a final two-operand double division — and the
+    seconds and the variance is assembled from exact power sums
+    ((sum x^2) - (sum x)^2/n)/(n-1) — both engines keep the sum of
+    squares exact (Spark decimal(38,0), DuckDB HUGEINT; int64 would
+    wrap at scale) until a final two-operand double division — and the
     variance is floored to an integer: at ~1e9 magnitudes, fractional
     decimals sit below double precision, where the two engines'
     rounding implementations legitimately disagree."""
@@ -792,7 +793,14 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_s").isNotNull())
     n = F.count(F.lit(1))
     sx = F.sum("gap_s")
-    sxx = F.sum(F.col("gap_s") * F.col("gap_s"))
+    # Sum of squares in decimal, not int64: a user with ~1e7-second gaps
+    # squares to 1e14 per row, and a few hundred thousand events would
+    # silently wrap int64. DuckDB's sum promotes to HUGEINT (exact
+    # 128-bit); decimal(38,0) is Spark's exact equivalent, so both
+    # engines stay exact until the single final double division.
+    sxx = F.sum(
+        F.col("gap_s").cast("decimal(19,0)") * F.col("gap_s").cast("decimal(19,0)")
+    )
     return (
         gaps.groupBy("user_id")
         .agg(
@@ -800,7 +808,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_s").cast("long").alias("min_gap_s"),
             F.max("gap_s").cast("long").alias("max_gap_s"),
             F.round(sx.cast("double") / n, 6).alias("avg_gap_s"),
-            F.floor((sxx - sx.cast("double") * sx / n) / (n - F.lit(1)))
+            F.floor((sxx.cast("double") - sx.cast("double") * sx / n) / (n - F.lit(1)))
             .cast("long")
             .alias("var_gap_s"),
         )

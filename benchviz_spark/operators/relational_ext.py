@@ -860,7 +860,14 @@ _BLOOM_WORDS = BLOOM_BITS // 64
 
 
 def _bloom_positions(key, i: int):
-    return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+    # xxhash64 is input-TYPE-sensitive: an int and a bigint holding the
+    # same value hash differently. Normalize every key to long so the
+    # build and probe sides always hash identically — type skew between
+    # them would otherwise produce silent false negatives, breaking the
+    # no-false-negative contract the exact-join rewrite relies on.
+    if not isinstance(key, F.Column):
+        key = F.col(key)
+    return F.pmod(F.xxhash64(key.cast("long"), F.lit(i)), F.lit(BLOOM_BITS))
 
 
 def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
