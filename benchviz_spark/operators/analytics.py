@@ -562,6 +562,33 @@ def sketch_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sketch_events_daily_exact",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+           CAST(count(DISTINCT user_id) AS BIGINT)             AS exact_users,
+           round(quantile_cont(value, 0.5), 4)                 AS exact_p50_value,
+           CAST(count(*) AS BIGINT)                            AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_events_daily_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin of ``sketch_events_daily``, split out so the
+    cross-engine correctness gate can hash it: the sketch estimates
+    themselves are engine-specific (HLL registers / percentile sketch
+    internals), but the exact columns they are benchmarked against are
+    plain deterministic SQL. The estimator's error envelope against
+    THESE values stays pinned in tests/test_sketches.py; this query
+    gives the driver a hashable fixture for the same scan."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s")
+    return events.groupBy(day).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min Sketch heavy hitters: frequency estimation when the key
 # space itself is too large to shuffle.
@@ -640,6 +667,56 @@ def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.join(exact, "term")
         .orderBy(F.col("est_count").desc(), "term")
+        .limit(200)
+    )
+
+
+@query(
+    "sketch_heavy_hitter_exact",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT term FROM terms
+      WHERE (('0x' || substr(md5('cms:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % 100) < {CMS_CANDIDATE_PCT}
+    ),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+      FROM terms GROUP BY 1
+    )
+    SELECT c.term, e.exact_count
+    FROM cand c JOIN exact e ON c.term = e.term
+    ORDER BY e.exact_count DESC, c.term LIMIT 200
+    """,
+)
+def sketch_heavy_hitter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin of ``sketch_heavy_hitter_terms``: the same
+    deterministic md5-bucket candidate nomination and the same exact
+    full-vocabulary counts, WITHOUT the engine-specific CMS estimate —
+    so the cross-engine gate can hash it. The ordering tie-break is on
+    (exact_count, term), a deterministic total order, which makes the
+    LIMIT a stable top-k (TakeOrdered in the plan, no global sort).
+    The CMS overshoot envelope against these counts stays in
+    tests/test_sketches.py."""
+    from benchviz_spark.operators.sampling import hash_bucket
+    from benchviz_spark.operators.text_analysis import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    candidates = (
+        terms.filter(hash_bucket(F.col("doc_id"), "cms:") < CMS_CANDIDATE_PCT)
+        .select("term")
+        .distinct()
+    )
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        candidates.join(exact, "term")
+        .orderBy(F.col("exact_count").desc(), "term")
         .limit(200)
     )
 

@@ -426,15 +426,34 @@ def kmeans_train(
 # ---------------------------------------------------------------------------
 # Grouped-map (applyInPandas) surface: per-group numpy computation.
 # ---------------------------------------------------------------------------
-@query("similarity_label_centroid_dist")  # rows-only; pytest checks vs native math
+@query(
+    "similarity_label_centroid_dist",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE         AS v
+      FROM embeddings
+    ),
+    c AS (SELECT label, i, avg(v) AS cv FROM u GROUP BY 1, 2)
+    SELECT u.vec_id, u.label,
+           round(sqrt(sum((u.v - c.cv) * (u.v - c.cv))), 6) AS dist_to_centroid
+    FROM u JOIN c ON u.label = c.label AND u.i = c.i
+    GROUP BY u.vec_id, u.label
+    """,
+)
 def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid distances via ``applyInPandas``: each label
     group arrives as one Arrow-backed pandas frame, numpy computes the
     group centroid and every member's euclidean distance to it. The
     grouped-map surface is for per-group model-ish math that Catalyst
     can't express (here it could — tests pin it against the native
-    formulation — but the point is the contract: one shuffle on the
-    group key, Python sees whole groups, output schema is declared)."""
+    formulation, and a DuckDB oracle replays the identical arithmetic
+    relationally — but the point is the contract: one shuffle on the
+    group key, Python sees whole groups, output schema is declared).
+    Cross-engine determinism: inputs are float32 widened to float64 on
+    both sides, summation error ~1e-13 against a 5e-7 round-6 boundary
+    — far below the gate's tolerance in expectation."""
     import pandas as pd  # noqa: F401 (Arrow path)
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "benchviz_spark.operators.graph",
     "benchviz_spark.operators.curation",
     "benchviz_spark.operators.layout",
+    "benchviz_spark.streaming.queries",
     "benchviz_spark.pipeline",
 )
 
@@ -48,69 +49,71 @@ _QUERY_MODULES = (
 # round so every operator accumulates at least one driver-green row:
 # names already driver-green in a prior round's CORRECTNESS_r{N}.json
 # yield their slot to oracle-paired queries the driver has never
-# checked. Round-4 window = the 17 rows that erred (or hash-failed) in
-# r03 and must re-verify after the events-loader fix, plus the 15
-# round-3 additions and the remaining never-driver-checked LLM-tier +
-# relational queries. Every name here must carry a DuckDB oracle so no
-# slot is wasted on a weaker rows-only check. Queries outside the
-# window remain registered and guarded by the committed local replica
+# checked. Round-5 window = every oracle-paired query the driver has
+# never recorded (incl. the newly oracle-paired sketch exact twins,
+# centroid dist, and the four drained streaming queries), the two
+# queries whose code changed this round (zipf bucket pin, jaccard
+# prefix epsilon), and the 27 queries last green in r02 (re-green).
+# Every name here must carry a DuckDB oracle so no slot is wasted on a
+# weaker rows-only check; the 8 rows-only estimator/stub queries stay
+# pytest-bounded by design. Queries outside the window remain
+# registered and guarded by the committed local replica
 # (PARITY_LOCAL.json + tests/test_oracle_parity.py).
 _WINDOW = (
-    # Erred in r03 (events loader) — re-verify first ------------------------
-    "events_tumbling_hourly",
-    "events_sliding_hourly_halfhour",
-    "events_session_stats",
-    "events_purchase_view_pairs",
-    "events_multires_rollup",
-    "events_daily_delta",
-    "events_funnel_view_click_purchase",
-    "events_retention_cohorts",
-    "events_value_anomalies",
-    "skew_salted_type_totals",
-    "skew_salted_distinct_users",
-    "compare_event_type_series",
-    "explode_user_type_matrix",
-    "json_props_extraction",
-    "asof_purchase_last_view",
-    "full_outer_join_daily_type_counts",
-    "text_pack_sequences",
-    # Round-3/4 additions, never driver-checked -----------------------------
-    "graph_pagerank_trade_nations",
-    "curation_pipeline",
-    "dedup_levenshtein_pairs",
-    "stats_moments_by_returnflag",
+    # Never driver-checked, oracle-paired -----------------------------------
+    "stream_tumbling_hourly",
+    "stream_session_stats",
+    "stream_purchase_view_pairs",
+    "stream_enriched_user_segment",
+    "sketch_events_daily_exact",
+    "sketch_heavy_hitter_exact",
+    "similarity_label_centroid_dist",
+    "join_bloom_prefilter_building",
+    "dedup_containment_pairs",
+    "text_rolling_hash",
+    "text_bigram_logprob",
+    "events_interarrival_stats",
+    "sample_temperature_mix",
+    "sample_reservoir_per_source",
+    "sample_weighted_reservoir_es",
+    "quality_gopher_rules",
+    "quality_char_entropy",
+    "stats_value_gini_by_type",
+    "stats_chi2_segment_type",
+    "graph_triangle_suppliers",
+    "layout_zorder_events",
+    # Code changed this round — must re-verify ------------------------------
     "stats_zipf_fit",
-    "stats_source_term_divergence",
-    "stats_winsorized_prices",
-    "stats_ks_purchase_vs_click",
-    "events_type_transitions",
-    "events_latest_user_state",
-    "events_rolling_median_daily",
-    "events_gap_filled_hourly",
-    "events_enriched_user_segment",
-    "skew_salted_join_segments",
-    "quality_table_fingerprints",
-    "quality_length_histogram",
-    "window_price_quartiles",
-    # Oracle-paired LLM tier, never driver-checked --------------------------
-    "multimodal_quantization_error",
-    "decontam_clean_corpus",
-    "text_unigram_logprob",
-    "text_chunk_documents",
+    "dedup_ngram_jaccard_pairs",
     # Family representatives (contract: every family in every window) -------
-    "similarity_exact_topk",
-    "sample_weighted_mix",
+    "multimodal_quantization_error",
+    "skew_salted_join_segments",
+    "asof_purchase_last_view",
+    "compare_event_type_series",
     "bench_log_pipeline",
-    # Relational, never driver-checked (+ q1 as the flagship constant) ------
-    "q1_pricing_summary",
-    "q2_cheapest_part_per_brand",
-    "q4_priority_order_counts",
-    "q6_forecast_revenue",
-    "q7_bilateral_nation_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_revenue",
-    "subquery_above_avg_orders",
+    # Last green in r02 — re-green (remainder rotates in r06) ---------------
+    "anti_join_idle_customers",
+    "count_distinct_exact",
+    "cube_part_brand_type",
+    "date_functions_projection",
+    "groupingsets_order_stats",
+    "having_rich_segments",
+    "left_join_nation_customer_counts",
+    "pivot_status_by_returnflag",
+    "q8_nation_market_share",
+    "q10_return_losses_top20",
+    "q11_nation_balance_concentration",
+    "q12_priority_by_linestatus",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_bulk_order_customers",
+    "q20_bulk_small_part_suppliers",
+    "q22_idle_rich_customers",
+    "quantiles_exact_by_flag",
+    "semi_join_urgent_customers",
+    "setop_active_nations",
+    "window_customer_running_spend",
 )
 
 

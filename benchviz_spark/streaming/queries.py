@@ -1,0 +1,74 @@
+"""Driver-checkable streaming queries (SURVEY §2.9).
+
+Each registered ``stream_*`` query runs its Structured Streaming twin
+to completion (availableNow trigger into a memory sink) and returns
+the drained result as an ordinary DataFrame, hashed by the correctness
+gate against the SAME DuckDB oracle as the already-green batch twin.
+That upgrades streaming evidence from pytest-only parity to driver
+CORRECTNESS rows: batch twin == oracle (proved since r02-r04) and
+stream == oracle are now both machine-checked.
+
+Modes: windowed aggregations drain in ``complete`` mode — with append
++ watermark, windows overlapping the final hour of a finite input
+would be withheld forever (the watermark never passes them). The
+stream-stream interval join drains in ``append`` mode: inner-join
+rows emit on match; the watermark only bounds state, so a finite
+drain is complete.
+
+Scale: identical to the production topologies in
+streaming/windows.py — watermark-bounded state, session-window state
+merge, time-range-bounded join buffers. The memory sink is only the
+test/gate harness; production writes go through
+streaming/ingest.py's sinks.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Import the batch twins FIRST so their oracles are registered before we
+# look them up (registry._QUERY_MODULES also orders events before this
+# module, but a direct import must not depend on that).
+import benchviz_spark.operators.events  # noqa: F401
+from benchviz_spark.registry import _ORACLES, query
+from benchviz_spark.streaming import windows as sw
+
+_MEMSINK_SEQ = itertools.count()
+
+
+def _drain(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run an availableNow streaming query into a uniquely-named memory
+    table; return the drained table as a batch DataFrame."""
+    name = f"stream_gate_{next(_MEMSINK_SEQ)}"
+    sw.run_to_memory(stream_df, name, mode=mode)
+    return spark.table(name)
+
+
+@query("stream_tumbling_hourly", oracle=_ORACLES["events_tumbling_hourly"])
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-hourly rollup drained to a hashable batch
+    result; same oracle as events_tumbling_hourly."""
+    return _drain(sw.stream_tumbling_hourly(spark, sf_dir), spark, "complete")
+
+
+@query("stream_session_stats", oracle=_ORACLES["events_session_stats"])
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window stats (native streaming session state
+    merge) drained; same oracle as events_session_stats."""
+    return _drain(sw.stream_session_stats(spark, sf_dir), spark, "complete")
+
+
+@query("stream_purchase_view_pairs", oracle=_ORACLES["events_purchase_view_pairs"])
+def stream_purchase_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded inner join drained in append mode;
+    same oracle as events_purchase_view_pairs."""
+    return _drain(sw.stream_stream_purchase_views(spark, sf_dir), spark, "append")
+
+
+@query("stream_enriched_user_segment", oracle=_ORACLES["events_enriched_user_segment"])
+def stream_enriched_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment rollup drained in complete
+    mode; same oracle as events_enriched_user_segment."""
+    return _drain(sw.stream_enriched_user_events(spark, sf_dir), spark, "complete")

@@ -1,14 +1,25 @@
-"""Multimodal plumbing contracts: mapInPandas schema/batch behavior and
-decode determinism (the SQL oracle covers the vector/binary queries)."""
+"""Multimodal codec + plumbing contracts: the real PNG/WAV codec
+(round-trip exactness, every spec filter path, CRC rejection) and the
+mapInPandas schema/batch behavior around it (the SQL oracle covers the
+vector/binary queries)."""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from benchviz_spark.operators.multimodal import (
     DECODE_SCHEMA,
-    _fake_decode,
+    PNG_SIG,
     decode_features,
+    decode_payload,
+    decode_png,
+    document_png_payloads,
+    encode_png,
     multimodal_decode_features,
 )
 
@@ -31,20 +42,124 @@ def test_decode_deterministic(spark):
     assert a == b
 
 
-def test_decode_features_match_stub(spark):
-    """The distributed decode must agree with the local stub row-by-row
-    (i.e. mapInPandas introduces no batch-boundary effects)."""
+def test_png_round_trip_exact():
+    """encode_png -> decode_png must reproduce every pixel exactly for
+    gray / RGB / RGBA across shapes (the writer emits real filter-0
+    scanlines; the parser walks real chunks + CRCs + inflate)."""
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (5, 3), (17, 31)]:
+        for c in (1, 3, 4):
+            arr = rng.integers(0, 256, size=(*shape, c), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose row y uses filter filters[y] — exercises
+    the parser's Sub/Up/Average/Paeth reconstruction paths, which the
+    filter-0-only writer never emits."""
+    h, w, c = arr.shape
+    a32 = arr.astype(np.int32)
+    rows = []
+    for y in range(h):
+        f = filters[y]
+        line, prev = a32[y].reshape(-1), (a32[y - 1] if y else np.zeros_like(a32[0])).reshape(-1)
+        enc = line.copy()
+        for i in range(len(line)):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            if f == 1:
+                enc[i] = line[i] - left
+            elif f == 2:
+                enc[i] = line[i] - up
+            elif f == 3:
+                enc[i] = line[i] - ((left + up) >> 1)
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                enc[i] = line[i] - pred
+        rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    raw = b"".join(rows)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_decode():
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    png = _png_with_filters(arr, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(png), arr)
+
+
+def test_png_bad_crc_rejected():
+    data = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    data[40] ^= 0xFF  # corrupt inside IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_decode_payload_wav_and_unknown():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            np.array([0, 16384, -16384, 0] * 100, dtype=np.int16).tobytes()
+        )
+    width, height, channels, luma = decode_payload(buf.getvalue())
+    assert (width, height, channels) == (200, 1, 2)
+    assert 0.0 < luma < 255.0
+    with pytest.raises(ValueError, match="unsupported payload"):
+        decode_payload(b"\x00\x01\x02 definitely not a container")
+
+
+def test_decode_features_match_local_reference(spark):
+    """The distributed generate+decode must agree with a local
+    single-process replay row-by-row (no batch-boundary effects), and
+    the luma must be the true pixel mean of the generated image."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    got = {r.doc_id: (r.width, r.height, r.channels, r.mean_luma)
-           for r in decode_features(payloads).collect()}
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.mean_luma)
+        for r in decode_features(document_png_payloads(docs)).collect()
+    }
     for row in docs.collect():
-        assert got[row.doc_id] == _fake_decode(row.text.encode())
+        data = row.text.encode("utf-8")
+        n = len(data)
+        w, h = 16 + n % 64, 16 + (n // 64) % 64
+        need = w * h * 3
+        reps = -(-need // max(n, 1))
+        px = np.frombuffer(data * reps, np.uint8, need).reshape(h, w, 3)
+        expect_luma = round(
+            float(
+                (
+                    px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+                ).mean()
+            ),
+            4,
+        )
+        assert got[row.doc_id] == (w, h, 3, expect_luma)
 
 
 def test_decode_partition_count_preserved(spark):
     """mapInPandas must not repartition: decode parallelism == scan
     parallelism."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(4)
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    assert decode_features(payloads).rdd.getNumPartitions() == 4
+    assert (
+        decode_features(document_png_payloads(docs)).rdd.getNumPartitions() == 4
+    )
