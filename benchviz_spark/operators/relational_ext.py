@@ -182,16 +182,19 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN compiles to an anti-join against the (filtered, tiny)
-    exclusion set — broadcast; the distinct-count shuffles (brand, type,
-    suppkey) once."""
+    """NOT IN compiles to an anti-join against the filtered exclusion
+    set. NO broadcast hint on it: the excluded-supplier set is a fixed
+    FRACTION of supplier, which scales with SF — the same class of
+    100-TB OOM as hinting customer (the round-1 lesson). AQE broadcasts
+    it while small and falls back to a shuffled anti-join at scale.
+    The distinct-count shuffles (brand, type, suppkey) once."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))

@@ -1,0 +1,129 @@
+"""Registry-wide plan sweep (VERDICT r4 #6): every registered query's
+plan is checked for the three 100-TB killers the per-query assertions
+in test_plans.py catch only for the operators they name —
+
+1. an UNPARTITIONED WindowExec (one task sorts an SF-scaled stream;
+   the r3 stats_zipf_fit mistake),
+2. a CartesianProduct (all-pairs blowup),
+3. a broadcast HINT whose subtree reads an SF-scaled table (forced
+   broadcast of something that grows with the corpus; the r1 customer
+   mistake, re-caught on q16's excluded-supplier set by this sweep).
+
+Each rule carries an explicit allow-list for the documented bounded
+exceptions, with the boundedness argument inline — a future operator
+that reintroduces one of these shapes fails here with a pointer
+instead of shipping a scale regression.
+
+Runs at sf0.001: plan shape is SF-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from benchviz_spark.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Marker column -> source table: logical plans don't print file paths,
+# but attribute names identify which base relation a subtree reads.
+_TABLE_MARKERS = {
+    "customer": "c_custkey#",
+    "supplier": "s_suppkey#",
+    "part": "p_partkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_orderkey#",
+    "events": "event_id#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+}
+
+# Broadcast hints whose subtree reads an SF-scaled table but whose
+# OUTPUT is provably bounded (the thing actually broadcast is a scalar,
+# a fixed-k sample, or a fixed-size aggregate — not the table).
+_ALLOWED_HINTS: dict[str, set[str]] = {
+    # 1-row aggregate scalars
+    "q11_nation_balance_concentration": {"supplier"},  # sum(s_acctbal)*0.04
+    "q15_top_revenue_supplier": {"lineitem"},  # max(total_revenue)
+    "q22_idle_rich_customers": {"customer"},  # avg(c_acctbal)
+    "stats_winsorized_prices": {"orders"},  # 1-row p05/p95 cuts
+    "stats_source_term_divergence": {"documents"},  # 1-row corpus total
+    "text_tfidf_top_terms": {"documents"},  # 1-row n_docs scalar
+    "text_unigram_logprob": {"documents"},  # 1-row token total
+    "layout_zorder_events": {"events"},  # 1-row min/max bounds
+    "join_bloom_prefilter_building": {"customer"},  # 1-row fixed-size bitset map
+    # fixed-size aggregates / caps
+    "sample_temperature_mix": {"documents"},  # per-source rates (sources bounded)
+    "stats_chi2_segment_type": {"customer", "events"},  # segment x type marginals
+    "graph_triangle_suppliers": {"lineitem"},  # TakeOrdered M-edge cap
+    "sketch_heavy_hitter_terms": {"documents"},  # depth x width CMS counters
+    # fixed query-vector samples (bounded by query count, not corpus)
+    "similarity_exact_topk": {"embeddings"},
+    "similarity_ann_lsh_topk": {"embeddings"},
+    "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids
+    # eval-suite-bounded flagged-id sets
+    "decontam_eval_overlap": {"documents"},
+    "decontam_clean_corpus": {"documents"},
+    "curation_pipeline": {"documents"},
+}
+
+# Unpartitioned windows over entity-bounded domains (not SF-scaled).
+_ALLOWED_GLOBAL_WINDOWS = {
+    "graph_pagerank_trade_nations",  # 25 nations: rank over a fixed entity set
+}
+
+# Streaming queries execute an availableNow drain inside the callable;
+# their returned DataFrame is just the memory sink. Their stateful plan
+# shapes (watermark-bounded state) are covered in tests/test_streaming.py
+# and their values by the shared batch-twin oracles.
+_SKIP_PREFIX = "stream_"
+
+
+def _iter_nodes(jnode):
+    stack = [jnode]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children().iterator()
+        while children.hasNext():
+            stack.append(children.next())
+
+
+def test_registry_wide_plan_sweep(spark):
+    queries = all_queries()
+    swept, failures = 0, []
+    for name, fn in queries.items():
+        if name.startswith(_SKIP_PREFIX):
+            continue
+        swept += 1
+        qe = fn(spark, SF_DIR)._jdf.queryExecution()
+        for node in _iter_nodes(qe.optimizedPlan()):
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+                and name not in _ALLOWED_GLOBAL_WINDOWS
+            ):
+                failures.append(f"{name}: unpartitioned Window")
+        for node in _iter_nodes(qe.analyzed()):
+            if node.getClass().getSimpleName() == "ResolvedHint":
+                subtree = node.treeString()
+                tables = {
+                    t for t, marker in _TABLE_MARKERS.items() if marker in subtree
+                }
+                illegal = tables - _ALLOWED_HINTS.get(name, set())
+                if illegal:
+                    failures.append(
+                        f"{name}: broadcast hint over SF-scaled {sorted(illegal)}"
+                    )
+        if "CartesianProduct" in qe.executedPlan().toString():
+            failures.append(f"{name}: CartesianProduct")
+    assert not failures, "\n".join(sorted(set(failures)))
+    assert swept >= 125, f"sweep shrank to {swept} queries"
+
+
+def test_allow_lists_stay_minimal():
+    """Every allow-list entry must name a registered query — a renamed
+    or deleted operator must not leave a stale exemption behind."""
+    names = set(all_queries())
+    stale = (set(_ALLOWED_HINTS) | _ALLOWED_GLOBAL_WINDOWS) - names
+    assert not stale, f"allow-list entries for unregistered queries: {stale}"
