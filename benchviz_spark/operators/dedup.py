@@ -591,6 +591,30 @@ LEV_MAX_DIST = 25  # pair threshold on that prefix
 LEV_LEN_BUCKET = 50  # block width in characters
 
 
+def _lev_blocked(
+    spark: SparkSession, sf_dir: str, simhash_prefix_bits: int = 0
+) -> tuple[DataFrame, list[str]]:
+    """(per-doc blocked frame, block key columns) for the Levenshtein
+    join — shared by the query and by the block-shrinkage test so the
+    test measures the real candidate structure, not a replica."""
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / LEV_LEN_BUCKET).alias("len_bucket"),
+        F.substring(_norm_text(F.col("text")), 1, LEV_PREFIX).alias("p"),
+    )
+    block_cols = ["lang", "len_bucket"]
+    if simhash_prefix_bits:
+        simhash = _simhash_udf()
+        d = d.withColumn(
+            "sim_block",
+            F.shiftrightunsigned(simhash(F.col("p")), 64 - simhash_prefix_bits),
+        )
+        block_cols.append("sim_block")
+    return d, block_cols
+
+
 @query(
     "dedup_levenshtein_pairs",
     oracle=f"""
@@ -609,7 +633,9 @@ LEV_LEN_BUCKET = 50  # block width in characters
     WHERE levenshtein(a.p, b.p) <= {LEV_MAX_DIST}
     """,
 )
-def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_levenshtein_pairs(
+    spark: SparkSession, sf_dir: str, simhash_prefix_bits: int = 0
+) -> DataFrame:
     """Near-identical document pairs by edit distance on an 80-char
     canonical prefix, candidate-limited to (language, length-bucket)
     blocks. Complements the token-level detectors: Jaccard/MinHash see
@@ -628,28 +654,34 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= LEV_MAX_DIST and -1 otherwise, so results are identical to the
     unbanded form while skipping ~2/3 of the DP cells (measured 40 s ->
     ~4 s at sf0.1). The distance is projected once and filtered on the
-    projected column, not recomputed in filter + select. At 100 TB the
-    block key widens (lang, length-bucket, simhash prefix) to keep
-    block^2 bounded; the plan shape is unchanged."""
-    docs = spread(spark, load_table(spark, sf_dir, "documents"))
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / LEV_LEN_BUCKET).alias("len_bucket"),
-        F.substring(_norm_text(F.col("text")), 1, LEV_PREFIX).alias("p"),
-    )
-    # The probe side carries the block^2 DP work; spread() above keeps
-    # it spread across cores even on a single-split local file (with
-    # the build side broadcast, any probe partitioning yields the same
-    # pairs).
+    projected column, not recomputed in filter + select.
+
+    ``simhash_prefix_bits`` is the 100-TB knob: at corpus scale the
+    (lang, length-bucket) blocks themselves grow with the corpus and
+    block^2 with them, so the block key WIDENS with the top N bits of a
+    SimHash of the compared prefix (computed by the same vectorized
+    pandas_udf as dedup_simhash_fingerprints — dedup.py:406). Each added
+    bit roughly halves expected block size, i.e. quarters block^2 work.
+    The widening is the standard recall trade: prefixes within
+    LEV_MAX_DIST edits agree on high simhash bits with high probability
+    but not certainty, so the default (0) keeps the exact, oracle-green
+    semantics and the widened form is a candidate-pruned SUBSET —
+    tests/test_dedup.py proves both the subset property and the block
+    shrinkage. The plan shape is unchanged either way."""
+    d, block_cols = _lev_blocked(spark, sf_dir, simhash_prefix_bits)
+    # The probe side carries the block^2 DP work; spread() inside
+    # _lev_blocked keeps it spread across cores even on a single-split
+    # local file (with the build side broadcast, any probe partitioning
+    # yields the same pairs).
     a, b = d.alias("a"), d.alias("b")
+    block_eq = F.lit(True)
+    for c in block_cols:
+        block_eq = block_eq & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     banded = F.levenshtein(F.col("a.p"), F.col("b.p"), LEV_MAX_DIST)
     return (
         a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket")),
+            (F.col("a.doc_id") < F.col("b.doc_id")) & block_eq,
         )
         .select(
             F.col("a.doc_id").alias("left_id"),

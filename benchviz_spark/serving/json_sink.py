@@ -29,35 +29,93 @@ from pyspark.sql import functions as F
 
 
 def _go_number(col: F.Column) -> F.Column:
-    """Render a double the way Go json.Marshal does: integral values
-    without a trailing '.0', positional (non-scientific) notation, and
-    otherwise the shortest digit string that round-trips.
+    """Render a double the way Go json.Marshal does: the SHORTEST digit
+    string that round-trips, in positional (non-scientific) notation,
+    integral values without a trailing '.0'. Go uses strconv's
+    shortest-round-trip digits in 'f' form for 1e-6 <= |v| < 1e21 and
+    'e' form outside that window (encoding/json/encode.go); benchmark
+    metrics never leave the positional window, and this rendering
+    intentionally stays positional everywhere.
 
-    - Integral values: long cast ('4.0' -> '4'; also covers 1e7, where
-      a raw string cast would yield '1.0E7').
-    - Non-integral values whose plain cast has no exponent (i.e.
+    - Small integral values (|v| < 2^53, where every integral double's
+      exact integer IS its shortest representation): long cast
+      ('4.0' -> '4'; also covers 1e7, where a raw string cast would
+      yield '1.0E7'). try_cast, because under ANSI mode (Spark 4
+      default) a plain long cast THROWS on doubles >= 2^63 instead of
+      falling through (found by the hypothesis property test,
+      tests/test_contract.py).
+    - Values whose plain JVM cast has no exponent (non-integral
       1e-3 <= |v| < 1e7 — every realistic MB/s figure): the JVM cast
-      IS the unique-round-trip digit string, same digits Go emits; no
-      decimal() truncation (the round-2 sink rounded to 6 fractional
-      digits here, diverging from Go on >6-decimal values).
-    - Non-integral values the JVM renders scientifically: re-expanded
-      positionally via a wide decimal — (38,35) below 1 (covers Go's
-      positional range down to 1e-6 losslessly: <= 6 leading zeros +
-      <= 17 significant digits), (38,10) above (a double >= 1e7 has
-      < 10 fractional digits of resolution). Outside Go's own
-      positional window (|v| < 1e-6 or >= 1e21) Go switches to e-form
-      and this rendering intentionally stays positional — unreachable
-      for parsed benchmark metrics."""
-    as_long = col.cast("long")
+      IS the unique-round-trip digit string, same digits Go emits.
+    - Everything else (JVM renders scientifically: |v| >= 1e7 incl.
+      integral >= 2^53, and |v| < 1e-3): expand a shortest-digit
+      mantissa positionally with string ops — 'd.dddEk' -> shift the
+      point by k. The JVM mantissa is shortest-ROUND-TRIP but not
+      always shortest: Java 17's pre-Ryu Double.toString emits a 17th
+      digit where 16 suffice (e.g. 4.495070928150767e16 prints as
+      4.4950709281507672E16), so the mantissa is re-rounded to 15, 16
+      and 17 significant digits and the shortest candidate whose double
+      cast EQUALS the input is used, falling back to Java's digits.
+      Re-deriving digits from the value instead (the round-4 sink used
+      wide decimal casts here) rendered the exact 17-digit expansion
+      where Go renders the shortest — e.g. 3.945243088014081e16 is
+      exactly 39452430880140808 but Go says 39452430880140810.
+
+    Parity bound (hypothesis-measured): byte-identical to Go for every
+    |v| < 2^53 in the positional window; above 2^53 a half-ulp TIE can
+    admit two same-length candidates that both round-trip (ulp exceeds
+    the digit-grid spacing) and Go picks the one nearer the exact
+    value, which Catalyst cannot see without exact big-decimal
+    arithmetic — there the output is still shortest-length and
+    round-trips exactly (~0.4% of random giants differ in the last
+    digit). Benchmark metrics live far below 2^53."""
+    as_long = col.try_cast("long")
     plain = col.cast("string")
     strip = lambda c: F.regexp_replace(  # noqa: E731 - drop trailing zeros
         F.regexp_replace(c.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
     )
+    parts = F.split(plain, "E")
+    jmant, exp = parts[0], parts[1].cast("int")
+    jdec = jmant.cast("decimal(28,20)")
+    roundtrips = lambda m: F.concat(  # noqa: E731 - candidate == input?
+        m, F.lit("E"), exp.cast("string")
+    ).try_cast("double").eqNullSafe(col)
+    mant = jmant
+    # shortest first: 15, 16, 17 significant digits, else Java's own
+    for frac in (16, 15, 14):
+        cand = F.round(jdec, frac).cast("string")
+        mant = F.when(roundtrips(cand), cand).otherwise(mant)
+    sign = F.when(mant.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    mparts = F.split(F.regexp_replace(mant, "-", ""), r"\.")
+    digits = F.concat(mparts[0], mparts[1])
+    # digits left of the decimal point (rounding can carry: '9.99...'
+    # -> '10.0...', so the integer part is not always one digit)
+    npoint = exp + F.length(mparts[0])
+    expanded = (
+        F.when(
+            npoint <= 0,
+            F.concat(sign, F.lit("0."), F.repeat(F.lit("0"), -npoint), digits),
+        )
+        .when(
+            F.length(digits) <= npoint,
+            F.concat(sign, F.rpad(digits, npoint, "0")),
+        )
+        .otherwise(
+            F.concat(
+                sign,
+                F.substring(digits, F.lit(1), npoint),
+                F.lit("."),
+                F.substring(digits, npoint + 1, F.length(digits)),
+            )
+        )
+    )
     return (
-        F.when(col == as_long.cast("double"), as_long.cast("string"))
+        F.when(
+            (col == as_long.cast("double")) & (F.abs(col) < F.lit(2.0**53)),
+            as_long.cast("string"),
+        )
         .when(~plain.contains("E"), plain)
-        .when(F.abs(col) < 1, strip(col.cast("decimal(38,35)")))
-        .otherwise(strip(col.cast("decimal(38,10)")))
+        .otherwise(strip(expanded))
     )
 
 

@@ -142,3 +142,88 @@ def test_all_query_outputs_are_scalar_typed(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Serving byte-parity: property test of the Go float rendering
+# (reference file_generator_test.go:75-93 golden round-trip, generalized
+# across generated doubles — SURVEY §2.1 S4).
+# ---------------------------------------------------------------------------
+def _go_marshal_float(v: float) -> str:
+    """Reference oracle: Go json.Marshal's float rendering inside its
+    positional window (1e-6 <= |v| < 1e21) — strconv's shortest
+    round-trip digits in 'f' form. Python's repr produces the same
+    shortest digits, so expanding it positionally IS the Go string."""
+    from decimal import Decimal
+
+    out = format(Decimal(repr(v)), "f")
+    if "." in out:
+        out = out.rstrip("0").rstrip(".")
+    return out
+
+
+GO_NUMBER_EDGES = [
+    0.0,
+    4.0,  # integral: no trailing '.0'
+    1e7,  # integral but JVM-scientific: '1.0E7' -> '10000000'
+    1e-6,  # bottom of Go's positional window
+    1.5e-5,  # JVM-scientific small: '1.5E-5' -> '0.000015'
+    0.1 + 0.2,  # 17-digit round-trip classic (0.30000000000000004)
+    7.000000000000001,
+    12345678.9,
+    9999999.5,  # just above the JVM positional threshold
+    3.945243088014081e16,  # exact int has 17 digits, shortest has 16
+    4.495070928150767e16,  # Java 17 toString emits an excess digit
+    2.0**53 - 1,
+    2.0**53,
+    2.0**63,  # ANSI long-cast overflow territory
+    1e20,
+    -123.456,
+    -1.5e-5,
+]
+
+
+def test_go_number_rendering_property(spark):
+    """Property check of _go_number against the Go oracle: exact byte
+    parity for |v| < 2^53 (the documented parity bound — benchmark
+    metrics never approach it), and everywhere in the positional window
+    a positional, exactly-round-tripping rendering."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from benchviz_spark.serving.json_sink import _go_number
+    from pyspark.sql import functions as F
+
+    def check(vals: list[float]) -> None:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = df.select("v", _go_number(F.col("v")).alias("s")).collect()
+        for r in rows:
+            assert "e" not in r.s.lower(), (r.v, r.s)
+            assert float(r.s) == r.v, (r.v, r.s)  # exact round-trip
+            if abs(r.v) < 2.0**53:
+                assert r.s == _go_marshal_float(r.v), (r.v, r.s)
+
+    check(GO_NUMBER_EDGES)
+
+    window = st.one_of(
+        st.floats(
+            min_value=1e-6,
+            max_value=1e21,
+            exclude_max=True,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        st.integers(min_value=0, max_value=2**53 - 1).map(float),
+        st.integers(min_value=2**53, max_value=2**63 + 2**13).map(float),
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(window, min_size=1, max_size=100))
+    def run(vals):
+        check(vals)
+
+    run()

@@ -96,3 +96,42 @@ def test_jaccard_df_cap_trades_recall_not_precision(spark, exact_pairs):
         for r in dedup_ngram_jaccard_pairs(spark, SF_DIR, df_cap=10_000).collect()
     }
     assert loose == exact
+
+
+def test_levenshtein_simhash_widening_shrinks_blocks(spark):
+    """The 100-TB knob on dedup_levenshtein_pairs: widening the block
+    key with a simhash prefix must (1) strictly shrink the candidate
+    workload sum(block^2) — each bit splits blocks, never merges them —
+    while (2) every emitted pair remains an exact-path pair with the
+    identical distance (candidate pruning trades recall only, never
+    precision), and (3) recall over the planted near-dups stays high
+    (near-identical prefixes agree on high simhash bits w.h.p.)."""
+    from benchviz_spark.operators.dedup import (
+        _lev_blocked,
+        dedup_levenshtein_pairs,
+    )
+
+    def block_work(bits: int) -> int:
+        d, cols = _lev_blocked(spark, SF_DIR, bits)
+        sizes = d.groupBy(*cols).count().collect()
+        return sum(r["count"] ** 2 for r in sizes)
+
+    work_exact, work_widened = block_work(0), block_work(8)
+    assert work_widened < work_exact
+
+    exact = {
+        (r.left_id, r.right_id): r.edit_distance
+        for r in dedup_levenshtein_pairs(spark, SF_DIR).collect()
+    }
+    widened = {
+        (r.left_id, r.right_id): r.edit_distance
+        for r in dedup_levenshtein_pairs(
+            spark, SF_DIR, simhash_prefix_bits=8
+        ).collect()
+    }
+    assert set(widened) <= set(exact)
+    for pair, dist in widened.items():
+        assert dist == exact[pair]
+    if exact:
+        recall = len(widened) / len(exact)
+        assert recall >= 0.5, f"recall {recall}: {set(exact) - set(widened)}"
