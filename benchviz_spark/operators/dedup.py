@@ -788,3 +788,138 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_id", "container_id", containment.alias("containment"))
         .filter(F.col("containment") >= t)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives: the keep/drop decision that completes dedup.
+# ---------------------------------------------------------------------------
+_REPS_ORACLE = f"""
+WITH clusters AS ({_CLUSTER_ORACLE})
+SELECT cluster_id, doc_id AS rep_doc_id, rep_n_chars, n_members FROM (
+  SELECT c.cluster_id, d.doc_id, d.n_chars AS rep_n_chars,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+) WHERE rn = 1
+"""
+
+
+@query("dedup_cluster_representatives", oracle=_REPS_ORACLE)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per duplicate cluster: the representative to KEEP
+    (longest document, ties to the smallest doc_id) plus the member
+    count — the final artifact of the dedup stack. Pair detection finds
+    edges, connected components groups them, and this query makes the
+    keep/drop decision a pipeline actually applies; ``n_members > 1``
+    rows are exactly the clusters where documents get dropped.
+
+    Scale design: one hash aggregation over (cluster_id) AFTER the
+    clusters query — the representative is picked with a max over a
+    (n_chars, -doc_id) struct, which partial-aggregates map-side, so
+    no per-cluster sort and no window over the corpus. The oracle
+    recomputes the same choice independently with a row_number window
+    over the recursive-CTE clusters."""
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("negid")
+        )
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.negid")).alias("rep_doc_id"),
+            F.col("best.c").alias("rep_n_chars"),
+            "n_members",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs already-seen corpus, bloom-gated.
+# ---------------------------------------------------------------------------
+INCR_PREFIX = 80  # canonical-prefix key length (same family as Levenshtein)
+_INCR_SEEN_RE = "^src[0-9]$"  # seen corpus: src0..src9; incoming: the rest
+
+
+def _incremental_probed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(seen-prefix frame, bloom-probed incoming frame) — shared by the
+    query and by the bloom-gating test so the test measures the real
+    maybe-set, not a replica."""
+    from benchviz_spark.operators.relational_ext import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.substring(_norm_text(F.col("text")), 1, INCR_PREFIX).alias("p"),
+    )
+    seen_mask = F.col("source").rlike(_INCR_SEEN_RE)
+    seen = canon.filter(seen_mask).select("p")
+    incoming = canon.filter(~seen_mask)
+    bitmap = bloom_bitmap(seen.select(F.xxhash64("p").alias("pk")), "pk")
+    probed = incoming.crossJoin(F.broadcast(bitmap)).withColumn(
+        "maybe_seen", bloom_might_contain(F.xxhash64("p"))
+    )
+    return seen, probed
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, source, lang,
+             substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                    1, {INCR_PREFIX}) AS p
+      FROM documents
+    )
+    SELECT n.doc_id, n.source, n.lang FROM canon n
+    WHERE NOT regexp_matches(n.source, '{_INCR_SEEN_RE}')
+      AND NOT EXISTS (SELECT 1 FROM canon s
+                      WHERE regexp_matches(s.source, '{_INCR_SEEN_RE}')
+                        AND s.p = n.p)
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: documents of the INCOMING batch
+    (sources src10+) whose canonical 80-char prefix was never seen in
+    the ALREADY-INGESTED corpus (src0..src9). This is the growth mode
+    of a production pipeline — the corpus is deduped once, and every
+    new crawl batch is checked against it rather than re-deduping the
+    world.
+
+    Scale design: the seen corpus is 1000x the batch, so the wrong
+    plan (anti-join batch against all seen keys) shuffles the giant
+    side every ingest. Instead the seen keys compress into the FIXED
+    ~8 KiB Bloom bitset (relational_ext.bloom_bitmap — built by
+    DataFrame aggregation, broadcast as a constant), and the batch
+    splits scan-side: bloom-negative rows are DEFINITELY new and skip
+    the join entirely (no false negatives), only bloom-positive rows
+    (true dups + ~0.1% false positives) enter the exact anti join that
+    removes collisions. The shuffle carries the maybe-set, which
+    scales with the batch dup rate, not with the seen corpus. The
+    anti join compares the prefix itself, not its hash, so a hash
+    collision can only cost a pruned row a join trip, never a wrong
+    drop. Exact by construction — the oracle is the plain NOT EXISTS."""
+    seen, probed = _incremental_probed(spark, sf_dir)
+    definitely_new = probed.filter(~F.col("maybe_seen"))
+    verified_new = probed.filter(F.col("maybe_seen")).join(
+        seen, "p", "left_anti"
+    )
+    return definitely_new.unionByName(verified_new).select(
+        "doc_id", "source", "lang"
+    )

@@ -631,3 +631,68 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(nll) / F.count(F.lit(1)), 6).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics: the counting step tokenizer training runs.
+# ---------------------------------------------------------------------------
+BPE_PAIR_TOP_K = 50
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS symbol_pair,
+             wc
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT symbol_pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY symbol_pair
+    ORDER BY n_occurrences DESC, symbol_pair
+    LIMIT {BPE_PAIR_TOP_K}
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent symbol-pair frequencies across the corpus — the
+    exact statistic one BPE training iteration maximizes (the highest
+    count is the next merge). ``text_bpe_token_counts`` budgets tokens
+    with a fixed pre-tokenizer; this is the counting kernel you'd run
+    to LEARN the vocabulary on the corpus itself.
+
+    Scale design: the naive shape explodes one row per character pair
+    per corpus position (100 TB of text -> ~100 T rows). Instead the
+    corpus first collapses to its WORD FREQUENCY table (vocab-sized —
+    this is precisely how production BPE trainers count, over word
+    counts, never raw text), and only vocabulary words explode into
+    (pair, word_count) rows: the big explode is bounded by
+    vocab x avg_word_len, independent of corpus row count. Both
+    aggregations are partial-agg (map-side combined) hash aggregates,
+    and the final top-K lowers to TakeOrdered — no global sort. At a
+    real 100-TB run the word-count table is also what every later merge
+    iteration re-reads, so it is the thing to persist."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    words = (
+        docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("symbol_pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("symbol_pair")
+        .agg(F.sum("wc").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "symbol_pair")
+        .limit(BPE_PAIR_TOP_K)
+    )

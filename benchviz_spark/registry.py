@@ -51,9 +51,12 @@ _QUERY_MODULES = (
 # yield their slot to oracle-paired queries the driver has never
 # checked. Round-5 window = every oracle-paired query the driver has
 # never recorded (incl. the newly oracle-paired sketch exact twins,
-# centroid dist, and the four drained streaming queries), the two
-# queries whose code changed this round (zipf bucket pin, jaccard
-# prefix epsilon), and the 27 queries last green in r02 (re-green).
+# centroid dist, the four drained streaming queries, and the three
+# operators added this round: BPE merge pairs, cluster
+# representatives, incremental bloom dedup), the two queries whose
+# code changed this round (zipf bucket pin, jaccard prefix epsilon),
+# and 19 of the queries last green in r02 (re-green; cube/having/setop
+# yielded their slots to the new operators and rotate in r06).
 # Every name here must carry a DuckDB oracle so no slot is wasted on a
 # weaker rows-only check; the 8 rows-only estimator/stub queries stay
 # pytest-bounded by design. Queries outside the window remain
@@ -61,6 +64,9 @@ _QUERY_MODULES = (
 # (PARITY_LOCAL.json + tests/test_oracle_parity.py).
 _WINDOW = (
     # Never driver-checked, oracle-paired -----------------------------------
+    "text_bpe_merge_pairs",
+    "dedup_cluster_representatives",
+    "dedup_incremental_new_docs",
     "stream_tumbling_hourly",
     "stream_session_stats",
     "stream_purchase_view_pairs",
@@ -94,10 +100,8 @@ _WINDOW = (
     # Last green in r02 — re-green (remainder rotates in r06) ---------------
     "anti_join_idle_customers",
     "count_distinct_exact",
-    "cube_part_brand_type",
     "date_functions_projection",
     "groupingsets_order_stats",
-    "having_rich_segments",
     "left_join_nation_customer_counts",
     "pivot_status_by_returnflag",
     "q8_nation_market_share",
@@ -112,7 +116,6 @@ _WINDOW = (
     "q22_idle_rich_customers",
     "quantiles_exact_by_flag",
     "semi_join_urgent_customers",
-    "setop_active_nations",
     "window_customer_running_spend",
 )
 

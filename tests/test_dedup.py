@@ -98,6 +98,34 @@ def test_jaccard_df_cap_trades_recall_not_precision(spark, exact_pairs):
     assert loose == exact
 
 
+def test_incremental_bloom_gates_the_exact_join(spark):
+    """dedup_incremental_new_docs' scale claim: the Bloom bitset must
+    route most incoming rows around the exact anti join (the maybe-set
+    is dup-rate-sized, far smaller than the batch), and the final
+    result must be EXACTLY the plain anti join — the bloom prunes,
+    never decides."""
+    from benchviz_spark.operators.dedup import (
+        _incremental_probed,
+        dedup_incremental_new_docs,
+    )
+
+    seen, probed = _incremental_probed(spark, SF_DIR)
+    n_incoming = probed.count()
+    n_maybe = probed.filter("maybe_seen").count()
+    assert n_incoming > 0
+    # sf0.001 has at most a handful of true cross-source prefix dups;
+    # with k=3 probes into 64Ki bits the FP rate is ~1e-4, so the
+    # maybe-set must stay a small fraction of the batch.
+    assert n_maybe <= max(10, n_incoming // 4), (n_maybe, n_incoming)
+
+    got = {r.doc_id for r in dedup_incremental_new_docs(spark, SF_DIR).collect()}
+    plain = {
+        r.doc_id
+        for r in probed.select("doc_id", "p").join(seen, "p", "left_anti").collect()
+    }
+    assert got == plain
+
+
 def test_levenshtein_simhash_widening_shrinks_blocks(spark):
     """The 100-TB knob on dedup_levenshtein_pairs: widening the block
     key with a simhash prefix must (1) strictly shrink the candidate
