@@ -55,8 +55,9 @@ _QUERY_MODULES = (
 # operators added this round: BPE merge pairs, cluster
 # representatives, incremental bloom dedup), the two queries whose
 # code changed this round (zipf bucket pin, jaccard prefix epsilon),
-# and 19 of the queries last green in r02 (re-green; cube/having/setop
-# yielded their slots to the new operators and rotate in r06).
+# and 18 of the queries last green in r02 (re-green; cube/having/
+# setop/groupingsets yielded their slots to the four new operators —
+# incl. embedding dim correlation — and rotate in r06).
 # Every name here must carry a DuckDB oracle so no slot is wasted on a
 # weaker rows-only check; the 8 rows-only estimator/stub queries stay
 # pytest-bounded by design. Queries outside the window remain
@@ -67,6 +68,7 @@ _WINDOW = (
     "text_bpe_merge_pairs",
     "dedup_cluster_representatives",
     "dedup_incremental_new_docs",
+    "embedding_dim_correlation",
     "stream_tumbling_hourly",
     "stream_session_stats",
     "stream_purchase_view_pairs",
@@ -101,7 +103,6 @@ _WINDOW = (
     "anti_join_idle_customers",
     "count_distinct_exact",
     "date_functions_projection",
-    "groupingsets_order_stats",
     "left_join_nation_customer_counts",
     "pivot_status_by_returnflag",
     "q8_nation_market_share",

@@ -72,11 +72,13 @@ def test_bench_emits_single_json_line():
 def test_bench_regression_guard():
     from bench import find_regressions
 
-    old = {"a": 1.0, "b": 0.1, "c": 2.0, "d": None, "gone": 1.0}
-    new = {"a": 1.9, "b": 0.3, "c": 2.2, "d": 1.0, "fresh": 5.0}
-    # a: 1.9x and +0.9s -> flagged; b: 3x but only +0.2s (under floor);
-    # c: within factor; d/gone/fresh: no baseline pair
-    assert find_regressions(new, old) == ["a x1.9"]
+    old = {"a": 1.0, "b": 0.1, "c": 2.0, "d": None, "gone": 1.0, "j": 1.2}
+    new = {"a": 2.5, "b": 0.3, "c": 2.2, "d": 1.0, "fresh": 5.0, "j": 2.0}
+    # a: 2.5x and +1.5s -> flagged; b: 3x but only +0.2s (under floor);
+    # j: 1.7x but +0.8s sits in the measured local[32] jitter band
+    # (under the 1.0s floor); c: within factor; d/gone/fresh: no
+    # baseline pair
+    assert find_regressions(new, old) == ["a x2.5"]
 
 
 def test_driver_window_is_fully_oracle_backed():

@@ -163,3 +163,36 @@ def test_decode_partition_count_preserved(spark):
     assert (
         decode_features(document_png_payloads(docs)).rdd.getNumPartitions() == 4
     )
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """embedding_pca_top_component's distributed moment matrix must
+    reproduce numpy's population covariance eigensolve on the collected
+    vectors: same sign-fixed PC1 loadings, same explained-variance
+    ratio."""
+    from benchviz_spark.operators.multimodal import embedding_pca_top_component
+
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    pc1 = vecs[:, -1]
+    if pc1[int(np.argmax(np.abs(pc1)))] < 0:
+        pc1 = -pc1
+    ratio = vals[-1] / vals.sum()
+
+    got = {
+        r.dim: (r.pc1_loading, r.explained_var_ratio)
+        for r in embedding_pca_top_component(spark, SF_DIR).collect()
+    }
+    assert len(got) == X.shape[1]
+    for i in range(X.shape[1]):
+        assert abs(got[i][0] - pc1[i]) < 1e-5, (i, got[i][0], pc1[i])
+        assert abs(got[i][1] - ratio) < 1e-6
