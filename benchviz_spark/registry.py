@@ -55,9 +55,10 @@ _QUERY_MODULES = (
 # operators added this round: BPE merge pairs, cluster
 # representatives, incremental bloom dedup), the two queries whose
 # code changed this round (zipf bucket pin, jaccard prefix epsilon),
-# and 18 of the queries last green in r02 (re-green; cube/having/
-# setop/groupingsets yielded their slots to the four new operators —
-# incl. embedding dim correlation — and rotate in r06).
+# and 16 of the queries last green in r02 (re-green; cube/having/
+# setop/groupingsets/count_distinct/left_join yielded their slots to
+# the six operators and two stream drains added this round and rotate
+# in r06).
 # Every name here must carry a DuckDB oracle so no slot is wasted on a
 # weaker rows-only check; the 8 rows-only estimator/stub queries stay
 # pytest-bounded by design. Queries outside the window remain
@@ -73,6 +74,8 @@ _WINDOW = (
     "stream_session_stats",
     "stream_purchase_view_pairs",
     "stream_enriched_user_segment",
+    "stream_sliding_hourly_halfhour",
+    "stream_dedup_events",
     "sketch_events_daily_exact",
     "sketch_heavy_hitter_exact",
     "similarity_label_centroid_dist",
@@ -101,9 +104,7 @@ _WINDOW = (
     "bench_log_pipeline",
     # Last green in r02 — re-green (remainder rotates in r06) ---------------
     "anti_join_idle_customers",
-    "count_distinct_exact",
     "date_functions_projection",
-    "left_join_nation_customer_counts",
     "pivot_status_by_returnflag",
     "q8_nation_market_share",
     "q10_return_losses_top20",

@@ -72,3 +72,33 @@ def stream_enriched_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment rollup drained in complete
     mode; same oracle as events_enriched_user_segment."""
     return _drain(sw.stream_enriched_user_events(spark, sf_dir), spark, "complete")
+
+
+@query(
+    "stream_sliding_hourly_halfhour",
+    oracle=_ORACLES["events_sliding_hourly_halfhour"],
+)
+def stream_sliding_hourly_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window rollup (2x scan-side fan-out) drained;
+    same oracle as events_sliding_hourly_halfhour."""
+    return _drain(
+        sw.stream_sliding_hourly_halfhour(spark, sf_dir), spark, "complete"
+    )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events GROUP BY event_id, user_id, event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark drained in append mode. State is
+    bounded to the watermark horizon (ids older than 1 h are evicted) —
+    the streaming form of exact dedup. The synthetic events carry
+    unique event_ids, so the finite drain must be the identity
+    projection and the oracle is a plain distinct; duplicate-bearing
+    input is exercised in tests/test_streaming.py where first-seen-wins
+    is asserted against batch dropDuplicates."""
+    return _drain(sw.stream_dedup_events(spark, sf_dir), spark, "append")

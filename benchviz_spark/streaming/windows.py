@@ -80,6 +80,26 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_hourly_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding_hourly_halfhour: 1-hour windows
+    sliding every 30 minutes (each event lands in 2 windows, fanned out
+    scan-side), watermark-bounded state."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id with bounded state:
     dropDuplicatesWithinWatermark keeps only ids seen inside the
