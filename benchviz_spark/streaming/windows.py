@@ -155,18 +155,51 @@ def stream_stream_purchase_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRAIN_STATE_PARTITIONS = 8
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "append"):
     """Drain an availableNow streaming query into an in-memory table;
-    returns after termination (test harness helper)."""
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return query
+    returns after termination (test/gate harness helper).
+
+    Two harness-only choices, both invisible to results (the drained
+    rows hash-match the same oracles either way):
+
+    - State partitions: the state-store instance count is fixed by
+      spark.sql.shuffle.partitions at first checkpoint, and each
+      instance pays per-batch open/commit/maintenance cost. That is a
+      THROUGHPUT knob — production streams size it to sustained input
+      rate — but a finite gate drain of one file pays 32 stores' fixed
+      cost for 10k rows: measured 5-10 s/drain at 32 vs ~2.4 s at 8,
+      identical output. The drain pins 8 and restores the session conf.
+    - Checkpoint on tmpfs when the host has /dev/shm: the WAL/state
+      commits are fsync-heavy, and a throwaway drain checkpoint has no
+      durability requirement; tmpfs removes the disk-sync jitter that
+      made drain timings swing 2-12 s between bench runs.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DRAIN_STATE_PARTITIONS))
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="drain_ckpt_", dir=ckpt_root)
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+        return query
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def streaming_batch_parity(

@@ -362,3 +362,43 @@ def test_cms_probe_broadcasts_fixed_size_sketch(spark):
     plan = formatted_plan(sketch_heavy_hitter_terms(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_bpe_merge_pairs_vocab_bounded_no_join(spark):
+    """text_bpe_merge_pairs must count pairs over the word-frequency
+    table: two hash-aggregate levels (words, then pairs), NO join, no
+    Python, and a TakeOrdered top-K instead of a global sort."""
+    import re
+
+    from benchviz_spark.operators.text_analysis import text_bpe_merge_pairs
+
+    plan = formatted_plan(text_bpe_merge_pairs(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # two logical aggregations = 4 HashAggregate nodes (partial+final each)
+    assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
+
+
+def test_dim_correlation_no_self_join(spark):
+    """embedding_dim_correlation's outer product must be scan-side:
+    no join anywhere (the naive shape self-joins the exploded dims on
+    vec_id), partial-aggregated, top-K via TakeOrdered."""
+    from benchviz_spark.operators.multimodal import embedding_dim_correlation
+
+    plan = formatted_plan(embedding_dim_correlation(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_incremental_dedup_shuffles_only_the_maybe_set(spark):
+    """dedup_incremental_new_docs: the seen corpus reaches the probe as
+    a broadcast (the 1-row bitset plus the broadcast-exact verify at
+    test SF); the plan must contain no shuffled (SortMerge) join and no
+    cartesian — the anti join input is the bloom-filtered maybe-set."""
+    from benchviz_spark.operators.dedup import dedup_incremental_new_docs
+
+    plan = formatted_plan(dedup_incremental_new_docs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
