@@ -478,14 +478,71 @@ def similarity_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("similarity_ann_lsh_topk")  # no SQL oracle: LSH bucketing isn't SQL; recall
+def _lsh_oracle() -> str:
+    """DuckDB replay of the ENTIRE sign-LSH pipeline. The hyperplanes
+    are deterministic constants (RandomState(7)), so the oracle embeds
+    the very same 12x5x64 tensor as VALUES rows and recomputes
+    bucketing (sign-bit packing), the (table, bucket) candidate join,
+    and the exact cosine re-rank — making the approximate path
+    hash-checkable cross-engine, not just recall-bounded. The only
+    cross-engine freedom is summation order inside the sign dots;
+    random-data dot magnitudes are O(1), so a sign flip at ~1e-15 is
+    measure-zero (and would surface as a hash mismatch, not silence)."""
+    rows = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(float(x)) for x in _HYPERPLANES[t][b])}])"
+        for t in range(N_TABLES)
+        for b in range(N_BITS)
+    )
+    return f"""
+    WITH planes(tbl, bit, p) AS (
+      VALUES {rows}
+    ),
+    bx AS (
+      SELECT e.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, {_DIM} + 1),
+                        i -> e.embedding[i]::DOUBLE * pl.p[i])) > 0
+                       THEN (1 << pl.bit) ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bx q JOIN bx c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(
+               list_sum(list_transform(range(1, len(qv.embedding)+1),
+                 i -> qv.embedding[i]::DOUBLE * cv.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qv.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(cv.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM cand
+      JOIN embeddings qv ON qv.vec_id = cand.query_id
+      JOIN embeddings cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_ann_lsh_topk", oracle=_lsh_oracle())
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-LSH: queries and corpus are bucketed by the
     same hyperplanes; candidate pairs share at least one (table, bucket);
     candidates are re-ranked by exact cosine. The full query x corpus
     product is never formed — the candidate join is an equi-join on
     (table, bucket) that Catalyst executes as a hash join. Recall vs
-    ``similarity_exact_topk`` is pinned in tests/test_similarity.py."""
+    ``similarity_exact_topk`` is pinned in tests/test_similarity.py, and
+    the DuckDB oracle (``_lsh_oracle``) replays the whole pipeline from
+    the same hyperplane constants, so the approximate result itself is
+    hash-checked cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, sf_dir)
     qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(

@@ -51,14 +51,15 @@ _QUERY_MODULES = (
 # yield their slot to oracle-paired queries the driver has never
 # checked. Round-5 window = every oracle-paired query the driver has
 # never recorded (incl. the newly oracle-paired sketch exact twins,
-# centroid dist, the four drained streaming queries, and the three
-# operators added this round: BPE merge pairs, cluster
-# representatives, incremental bloom dedup), the two queries whose
+# centroid dist, the six drained streaming queries, the LSH ANN via
+# hyperplane-literal replay, and the operators added this round: BPE
+# merge pairs, cluster representatives, incremental bloom dedup,
+# embedding dim correlation), the two queries whose
 # code changed this round (zipf bucket pin, jaccard prefix epsilon),
-# and 16 of the queries last green in r02 (re-green; cube/having/
-# setop/groupingsets/count_distinct/left_join yielded their slots to
-# the six operators and two stream drains added this round and rotate
-# in r06).
+# and 15 of the queries last green in r02 (re-green; cube/having/
+# setop/groupingsets/count_distinct/left_join/anti_join yielded their
+# slots to the six operators, two stream drains, and the newly
+# oracle-paired LSH ANN added this round, and rotate in r06).
 # Every name here must carry a DuckDB oracle so no slot is wasted on a
 # weaker rows-only check; the 8 rows-only estimator/stub queries stay
 # pytest-bounded by design. Queries outside the window remain
@@ -70,6 +71,7 @@ _WINDOW = (
     "dedup_cluster_representatives",
     "dedup_incremental_new_docs",
     "embedding_dim_correlation",
+    "similarity_ann_lsh_topk",
     "stream_tumbling_hourly",
     "stream_session_stats",
     "stream_purchase_view_pairs",
@@ -103,7 +105,6 @@ _WINDOW = (
     "compare_event_type_series",
     "bench_log_pipeline",
     # Last green in r02 — re-green (remainder rotates in r06) ---------------
-    "anti_join_idle_customers",
     "date_functions_projection",
     "pivot_status_by_returnflag",
     "q8_nation_market_share",
