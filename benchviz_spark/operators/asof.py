@@ -104,3 +104,88 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("last_view.value"), 4).alias("view_value"),
         )
     )
+
+
+@query(
+    "asof_purchase_next_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id, user_id, purchase_ts_s, click_ts_s, click_value FROM (
+      SELECT p.event_id AS purchase_id,
+             p.user_id,
+             CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+             CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+             round(c.value, 4) AS click_value,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts, c.event_id
+             ) AS rn
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts > p.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's first
+    click STRICTLY AFTER it (post-purchase engagement). Same union +
+    single-window mechanics as the backward ``asof_purchase_last_view``,
+    mirrored: the frame looks from the current row to
+    unboundedFollowing and ``first(ignoreNulls)`` picks the earliest
+    later click. Tie semantics (explicit, matching the oracle):
+    strictly-later clicks only — at equal ts the click sorts BEFORE the
+    purchase (side 0 < 1), putting it outside the forward frame — and
+    among equal-ts later clicks the smallest event_id wins.
+
+    Scale: one shuffle (the per-user window partitioning), no
+    |purchases| x |clicks-per-user| pair blow-up; the DuckDB oracle IS
+    the quadratic pair formulation, proving the window plan equal to
+    the definition."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("click_value_raw"),
+    )
+    p_tagged = purchases.select(
+        "user_id", "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("tb"),
+        "purchase_id",
+        F.lit(None).cast("struct<ts_s:bigint,value:double>").alias("click_info"),
+    )
+    c_tagged = clicks.select(
+        "user_id", "ts",
+        F.lit(0).alias("side"),
+        F.col("click_event_id").alias("tb"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.struct(
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("click_value_raw").alias("value"),
+        ).alias("click_info"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "tb")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = p_tagged.unionByName(c_tagged).withColumn(
+        "next_click", F.first("click_info", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("side") == 1) & F.col("next_click").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_ts_s"),
+            F.col("next_click.ts_s").alias("click_ts_s"),
+            F.round(F.col("next_click.value"), 4).alias("click_value"),
+        )
+    )

@@ -56,10 +56,10 @@ _QUERY_MODULES = (
 # merge pairs, cluster representatives, incremental bloom dedup,
 # embedding dim correlation), the two queries whose
 # code changed this round (zipf bucket pin, jaccard prefix epsilon),
-# and 15 of the queries last green in r02 (re-green; cube/having/
-# setop/groupingsets/count_distinct/left_join/anti_join yielded their
-# slots to the six operators, two stream drains, and the newly
-# oracle-paired LSH ANN added this round, and rotate in r06).
+# and 14 of the queries last green in r02 (re-green; cube/having/
+# setop/groupingsets/count_distinct/left_join/anti_join/date_functions
+# yielded their slots to the operators, stream drains, forward as-of,
+# and newly oracle-paired LSH ANN added this round, and rotate in r06).
 # Every name here must carry a DuckDB oracle so no slot is wasted on a
 # weaker rows-only check; the 8 rows-only estimator/stub queries stay
 # pytest-bounded by design. Queries outside the window remain
@@ -72,6 +72,7 @@ _WINDOW = (
     "dedup_incremental_new_docs",
     "embedding_dim_correlation",
     "similarity_ann_lsh_topk",
+    "asof_purchase_next_click",
     "stream_tumbling_hourly",
     "stream_session_stats",
     "stream_purchase_view_pairs",
@@ -105,7 +106,6 @@ _WINDOW = (
     "compare_event_type_series",
     "bench_log_pipeline",
     # Last green in r02 — re-green (remainder rotates in r06) ---------------
-    "date_functions_projection",
     "pivot_status_by_returnflag",
     "q8_nation_market_share",
     "q10_return_losses_top20",
