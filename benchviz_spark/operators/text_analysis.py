@@ -677,9 +677,8 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     real 100-TB run the word-count table is also what every later merge
     iteration re-reads, so it is the thing to persist."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     words = (
-        docs.select(F.explode(F.split(norm, " ")).alias("w"))
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
         .filter(F.length("w") >= 2)

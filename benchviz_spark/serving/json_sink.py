@@ -110,7 +110,12 @@ def _go_number(col: F.Column) -> F.Column:
         )
     )
     return (
-        F.when(
+        # negative zero first: SQL equality says -0.0 == 0, so the
+        # integral branch would print '0' where Go's strconv keeps the
+        # sign bit and emits '-0'. The probe is the JVM string ('-0.0')
+        # — arithmetic probes like 1/x trip ANSI DIVIDE_BY_ZERO
+        F.when((col == 0.0) & plain.startswith("-"), F.lit("-0"))
+        .when(
             (col == as_long.cast("double")) & (F.abs(col) < F.lit(2.0**53)),
             as_long.cast("string"),
         )

@@ -24,8 +24,6 @@ streaming/ingest.py's sinks.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession
 
 # Import the batch twins FIRST so their oracles are registered before we
@@ -35,13 +33,19 @@ import benchviz_spark.operators.events  # noqa: F401
 from benchviz_spark.registry import _ORACLES, query
 from benchviz_spark.streaming import windows as sw
 
-_MEMSINK_SEQ = itertools.count()
 
+def _drain(stream_df: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
+    """Run an availableNow streaming query into a per-query-named
+    memory table; return the drained table as a batch DataFrame.
 
-def _drain(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    """Run an availableNow streaming query into a uniquely-named memory
-    table; return the drained table as a batch DataFrame."""
-    name = f"stream_gate_{next(_MEMSINK_SEQ)}"
+    The sink name is STABLE per query (not a fresh counter value): the
+    memory sink pins its whole result in driver memory for the session
+    lifetime, so unique-per-drain names would accumulate dead result
+    copies every time a session re-runs the gate (bench loops, pytest +
+    gate in one JVM). Dropping any previous drain's view first caps the
+    footprint at one table per registered stream query."""
+    name = f"stream_gate_{name}"
+    spark.catalog.dropTempView(name)
     sw.run_to_memory(stream_df, name, mode=mode)
     return spark.table(name)
 
@@ -50,28 +54,28 @@ def _drain(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-hourly rollup drained to a hashable batch
     result; same oracle as events_tumbling_hourly."""
-    return _drain(sw.stream_tumbling_hourly(spark, sf_dir), spark, "complete")
+    return _drain(sw.stream_tumbling_hourly(spark, sf_dir), spark, "tumbling", "complete")
 
 
 @query("stream_session_stats", oracle=_ORACLES["events_session_stats"])
 def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session_window stats (native streaming session state
     merge) drained; same oracle as events_session_stats."""
-    return _drain(sw.stream_session_stats(spark, sf_dir), spark, "complete")
+    return _drain(sw.stream_session_stats(spark, sf_dir), spark, "session", "complete")
 
 
 @query("stream_purchase_view_pairs", oracle=_ORACLES["events_purchase_view_pairs"])
 def stream_purchase_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-bounded inner join drained in append mode;
     same oracle as events_purchase_view_pairs."""
-    return _drain(sw.stream_stream_purchase_views(spark, sf_dir), spark, "append")
+    return _drain(sw.stream_stream_purchase_views(spark, sf_dir), spark, "pv_pairs", "append")
 
 
 @query("stream_enriched_user_segment", oracle=_ORACLES["events_enriched_user_segment"])
 def stream_enriched_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment rollup drained in complete
     mode; same oracle as events_enriched_user_segment."""
-    return _drain(sw.stream_enriched_user_events(spark, sf_dir), spark, "complete")
+    return _drain(sw.stream_enriched_user_events(spark, sf_dir), spark, "enriched", "complete")
 
 
 @query(
@@ -82,7 +86,7 @@ def stream_sliding_hourly_halfhour(spark: SparkSession, sf_dir: str) -> DataFram
     """Streaming sliding-window rollup (2x scan-side fan-out) drained;
     same oracle as events_sliding_hourly_halfhour."""
     return _drain(
-        sw.stream_sliding_hourly_halfhour(spark, sf_dir), spark, "complete"
+        sw.stream_sliding_hourly_halfhour(spark, sf_dir), spark, "sliding", "complete"
     )
 
 
@@ -101,4 +105,4 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection and the oracle is a plain distinct; duplicate-bearing
     input is exercised in tests/test_streaming.py where first-seen-wins
     is asserted against batch dropDuplicates."""
-    return _drain(sw.stream_dedup_events(spark, sf_dir), spark, "append")
+    return _drain(sw.stream_dedup_events(spark, sf_dir), spark, "dedup", "append")

@@ -166,6 +166,7 @@ def _go_marshal_float(v: float) -> str:
 
 GO_NUMBER_EDGES = [
     0.0,
+    -0.0,  # Go keeps the sign bit: '-0', not '0'
     4.0,  # integral: no trailing '.0'
     1e7,  # integral but JVM-scientific: '1.0E7' -> '10000000'
     1e-6,  # bottom of Go's positional window
@@ -207,7 +208,7 @@ def test_go_number_rendering_property(spark):
 
     check(GO_NUMBER_EDGES)
 
-    window = st.one_of(
+    magnitude = st.one_of(
         st.floats(
             min_value=1e-6,
             max_value=1e21,
@@ -217,6 +218,9 @@ def test_go_number_rendering_property(spark):
         ),
         st.integers(min_value=0, max_value=2**53 - 1).map(float),
         st.integers(min_value=2**53, max_value=2**63 + 2**13).map(float),
+    )
+    window = st.tuples(magnitude, st.booleans()).map(
+        lambda t: -t[0] if t[1] else t[0]
     )
 
     @settings(

@@ -196,3 +196,41 @@ def test_pca_top_component_matches_numpy(spark):
     for i in range(X.shape[1]):
         assert abs(got[i][0] - pc1[i]) < 1e-5, (i, got[i][0], pc1[i])
         assert abs(got[i][1] - ratio) < 1e-6
+
+
+def test_payloads_survive_empty_text(spark):
+    """An empty document must still encode to a valid decodable PNG
+    (code-review finding: b'' * reps is b'' whatever the reps, so the
+    old path crashed np.frombuffer on the first empty text)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.channels)
+        for r in decode_features(document_png_payloads(docs)).collect()
+    }
+    assert got[1] == (17, 16, 3)  # b'\x00' fallback: n=1 drives the dims
+    assert got[2] == (17, 16, 3)
+
+
+def test_decode_png_truncated_stream_raises_valueerror():
+    """Malformed payloads must stay on the documented ValueError
+    surface — a truncated chunk previously leaked struct.error."""
+    import pytest as _pytest
+
+    from benchviz_spark.operators.multimodal import (
+        document_png_payloads,
+        decode_png,
+    )
+
+    full = None
+    import numpy as np
+    from benchviz_spark.operators.multimodal import encode_png
+
+    full = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # cut after a chunk's 8-byte header but before its CRC: the parser
+    # can read (length, tag) but not the promised body+CRC bytes
+    with _pytest.raises(ValueError):
+        decode_png(full[:-1])  # IEND's CRC is short one byte
+    with _pytest.raises(ValueError):
+        decode_png(full[:21])  # IHDR header readable, body cut

@@ -118,3 +118,30 @@ def test_ann_is_subset_of_true_cosine_order(spark, exact, ann):
     for q, ids in ann.items():
         assert len(ids) == len(set(ids))
         assert all(n >= 10 for n in ids)
+
+
+def test_lsh_sign_margins_are_cross_engine_safe(spark):
+    """The LSH DuckDB oracle's only cross-engine freedom is summation
+    order inside the sign dots: a |dot| within float-sum noise of zero
+    could bucket differently in Spark vs DuckDB and silently flip a
+    candidate set. Assert every (vector, hyperplane) dot at the
+    correctness SF carries a margin orders of magnitude above double
+    summation error (~1e-13 for 64 terms), so the hash-checked oracle
+    pairing cannot be a coin flip."""
+    import numpy as np
+
+    from benchviz_spark.operators.similarity import _HYPERPLANES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        X = np.array(
+            [
+                r.embedding
+                for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+                .select("embedding")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        planes = np.asarray(_HYPERPLANES).reshape(-1, X.shape[1])
+        min_margin = np.abs(X @ planes.T).min()
+        assert min_margin > 1e-9, (sf, min_margin)
