@@ -814,3 +814,119 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 temporal dimension: versioned user tier + per-interval facts.
+# ---------------------------------------------------------------------------
+SCD_OPEN_END_S = 253402300800  # 9999-12-31T00:00Z: open-interval sentinel
+
+
+@query(
+    "events_scd2_tier_intervals",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS INT) AS tier
+      FROM events WHERE event_type = 'signup'
+    ),
+    v AS (
+      SELECT user_id, tier,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+           v.tier,
+           CAST(floor(epoch(v.valid_from)) AS BIGINT) AS valid_from_s,
+           CAST(coalesce(floor(epoch(v.valid_to)), {SCD_OPEN_END_S}) AS BIGINT)
+             AS valid_to_s,
+           CAST(count(p.ts) AS BIGINT) AS n_purchases,
+           round(coalesce(sum(p.value), 0), 4) AS purchase_value
+    FROM v LEFT JOIN p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def events_scd2_tier_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) built from the event stream:
+    each signup event VERSIONS the user's tier (props.k), opening a
+    validity interval that the next signup closes; purchases then roll
+    up into the interval that was in force when they happened. This is
+    the warehouse temporal-join pattern — fact rows matched to the
+    dimension version valid at fact time, never to the current one.
+
+    Interval semantics (explicit, matching the oracle): intervals are
+    [valid_from, valid_to) — a purchase at exactly the next version's
+    timestamp belongs to the NEW version; the latest version is open
+    (valid_to = the year-9999 sentinel); zero-width intervals from
+    same-timestamp re-signups survive with zero facts.
+
+    Scale: fact->version assignment is NOT the range join the oracle
+    spells (|purchases| x versions-per-user pair blowup); it is the
+    as-of union + window carry-forward (asof.py mechanics): one shuffle
+    on user_id, each purchase picks up the latest preceding version's
+    valid_from in a single ordered pass — signups sort before purchases
+    at equal ts (side 0 < 1), encoding the [closed, open) boundary.
+    The per-interval rollup then partial-aggregates map-side, and the
+    dimension (versions) re-enters only as the left side of a
+    versions-sized join to keep purchase-free intervals."""
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("tier"),
+    )
+    vw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = signups.select(
+        "user_id",
+        "tier",
+        "ts",
+        "event_id",
+        F.unix_timestamp("ts").alias("valid_from_s"),
+        F.coalesce(
+            F.unix_timestamp(F.lead("ts").over(vw)), F.lit(SCD_OPEN_END_S)
+        ).alias("valid_to_s"),
+    )
+    v_tagged = versions.select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id",
+        "valid_from_s",
+        F.lit(None).cast("double").alias("value"),
+    )
+    p_tagged = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("long").alias("valid_from_s"),
+        "value",
+    )
+    cw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    assigned = (
+        v_tagged.unionByName(p_tagged)
+        .withColumn("vf", F.last("valid_from_s", ignorenulls=True).over(cw))
+        .filter((F.col("side") == 1) & F.col("vf").isNotNull())
+    )
+    facts = assigned.groupBy("user_id", F.col("vf").alias("valid_from_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("value").alias("value_sum"),
+    )
+    return (
+        versions.join(facts, ["user_id", "valid_from_s"], "left")
+        .select(
+            "user_id",
+            "tier",
+            "valid_from_s",
+            "valid_to_s",
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+            F.round(F.coalesce("value_sum", F.lit(0.0)), 4).alias("purchase_value"),
+        )
+    )
