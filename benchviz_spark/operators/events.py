@@ -930,3 +930,79 @@ def events_scd2_tier_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("value_sum", F.lit(0.0)), 4).alias("purchase_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch (linear) attribution over the purchase<-views 1h window.
+# ---------------------------------------------------------------------------
+@query(
+    "events_linear_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    touched AS (
+      SELECT p.event_id, p.user_id, p.value,
+             count(v.event_id) AS n_touches
+      FROM purchases p JOIN views v
+        ON v.user_id = p.user_id
+       AND v.ts <= p.ts
+       AND v.ts >= p.ts - INTERVAL 1 HOUR
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                    AS n_attributed,
+           CAST(sum(n_touches) AS BIGINT)              AS n_touches,
+           round(sum(value), 4)                        AS attributed_value,
+           round(sum(value / n_touches), 4)            AS per_touch_credit
+    FROM touched GROUP BY 1
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's views in the preceding hour, rolled up
+    per user — the credit-assignment shape marketing pipelines run
+    (vs. the single-touch as-of join, which is last-touch attribution).
+    ``per_touch_credit`` sums value/n_touches, i.e. the credit one
+    touch of that user would receive under equal splitting.
+
+    Scale: the touch join is the same time-bounded interval join as
+    events_purchase_view_pairs — per-user, one-hour-bounded fan-out,
+    never |purchases| x |all views| — followed by two map-side-combined
+    hash aggregations (per-purchase touch counts, then the per-user
+    rollup). Purchases with no view in the window drop out (they carry
+    no attributable credit), matching the oracle's inner join."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    touched = (
+        purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("purchase_id", "user_id", "value")
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+    )
+    return touched.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        F.sum("n_touches").cast("long").alias("n_touches"),
+        F.round(F.sum("value"), 4).alias("attributed_value"),
+        F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+            "per_touch_credit"
+        ),
+    )

@@ -982,3 +982,99 @@ def join_bloom_prefilter_building(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: support + lift over within-order part pairs.
+# ---------------------------------------------------------------------------
+BASKET_TOP_K = 20
+
+
+@query(
+    "basket_part_pair_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    part_supp AS (
+      SELECT l_partkey, count(*) AS supp FROM items GROUP BY 1
+    ),
+    pair_supp AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS pair_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(pair_orders AS BIGINT) AS pair_orders,
+           round(pair_orders * n.n_orders
+                 / (sa.supp::DOUBLE * sb.supp), 6) AS lift
+    FROM pair_supp
+    JOIN part_supp sa ON sa.l_partkey = part_a
+    JOIN part_supp sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY pair_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K co-purchased part pairs with association lift
+    (N * supp(a,b) / (supp(a) * supp(b))) — the market-basket statistic
+    behind recommendation candidate mining, over TPC-H order baskets.
+
+    Scale design: the pair generation self-joins the distinct
+    (order, part) item table ON THE ORDER KEY, so the blowup per order
+    is basket_size^2 with TPC-H baskets capped at 7 lineitems — the
+    intermediate is ~20x the item table, never |parts|^2. Part and
+    pair supports are both map-side-combined hash aggregates; the
+    single-row order count broadcasts; the final top-K lowers to
+    TakeOrdered with (part_a, part_b) tie-breaks so both engines cut
+    the same prefix. At real retail scale the standard refinement is
+    capping basket size (a 10k-item basket contributes 5e7 pairs) —
+    the plan shape is unchanged."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select(F.countDistinct("l_orderkey").alias("n")).collect()[0][
+        "n"
+    ]
+    part_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    sa = part_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = part_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pair_supp.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_orders").cast("long").alias("pair_orders"),
+            F.round(
+                F.col("pair_orders")
+                * F.lit(n_orders)
+                / (F.col("supp_a").cast("double") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )

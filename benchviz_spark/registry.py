@@ -56,9 +56,9 @@ _QUERY_MODULES = (
 # merge pairs, cluster representatives, incremental bloom dedup,
 # embedding dim correlation), the two queries whose
 # code changed this round (zipf bucket pin, jaccard prefix epsilon),
-# and 13 of the queries last green in r02 (re-green; cube/having/
+# and 11 of the queries last green in r02 (re-green; cube/having/
 # setop/groupingsets/count_distinct/left_join/anti_join/
-# date_functions/pivot
+# date_functions/pivot/q8/q11
 # yielded their slots to the operators, stream drains, forward as-of,
 # and newly oracle-paired LSH ANN added this round, and rotate in r06).
 # Every name here must carry a DuckDB oracle so no slot is wasted on a
@@ -75,6 +75,8 @@ _WINDOW = (
     "similarity_ann_lsh_topk",
     "asof_purchase_next_click",
     "events_scd2_tier_intervals",
+    "basket_part_pair_lift",
+    "events_linear_attribution",
     "stream_tumbling_hourly",
     "stream_session_stats",
     "stream_purchase_view_pairs",
@@ -108,9 +110,7 @@ _WINDOW = (
     "compare_event_type_series",
     "bench_log_pipeline",
     # Last green in r02 — re-green (remainder rotates in r06) ---------------
-    "q8_nation_market_share",
     "q10_return_losses_top20",
-    "q11_nation_balance_concentration",
     "q12_priority_by_linestatus",
     "q15_top_revenue_supplier",
     "q16_supplier_variety",
