@@ -402,3 +402,35 @@ def test_incremental_dedup_shuffles_only_the_maybe_set(spark):
     plan = formatted_plan(dedup_incremental_new_docs(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_basket_pairs_take_ordered_no_python(spark):
+    """basket_part_pair_lift: top-K must lower to TakeOrdered (no
+    global sort of the pair table) and the whole plan stays JVM-side."""
+    from benchviz_spark.operators.relational_ext import basket_part_pair_lift
+
+    plan = formatted_plan(basket_part_pair_lift(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_windows_are_user_partitioned(spark):
+    """events_scd2_tier_intervals: both the lead() interval window and
+    the carry-forward assignment window must partition on user_id —
+    never a global window over the corpus — and the fact assignment
+    must not be a range join."""
+    import re
+
+    from benchviz_spark.operators.events import events_scd2_tier_intervals
+
+    plan = (
+        events_scd2_tier_intervals(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "expected windows in the SCD-2 plan"
+    for spec in specs:
+        assert spec.strip().startswith("user_id"), spec
