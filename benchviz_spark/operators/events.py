@@ -866,17 +866,24 @@ def events_scd2_tier_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     [valid_from, valid_to) — a purchase at exactly the next version's
     timestamp belongs to the NEW version; the latest version is open
     (valid_to = the year-9999 sentinel); zero-width intervals from
-    same-timestamp re-signups survive with zero facts.
+    same-timestamp re-signups survive with zero facts. Versions that
+    project to the same (user_id, tier, valid_from_s, valid_to_s) row
+    (possible when re-signups land in the same second) merge, summing
+    their facts — both sides group by the projected columns.
 
     Scale: fact->version assignment is NOT the range join the oracle
     spells (|purchases| x versions-per-user pair blowup); it is the
     as-of union + window carry-forward (asof.py mechanics): one shuffle
     on user_id, each purchase picks up the latest preceding version's
-    valid_from in a single ordered pass — signups sort before purchases
+    identity in a single ordered pass — signups sort before purchases
     at equal ts (side 0 < 1), encoding the [closed, open) boundary.
-    The per-interval rollup then partial-aggregates map-side, and the
-    dimension (versions) re-enters only as the left side of a
-    versions-sized join to keep purchase-free intervals."""
+    The carried key is the signup's event_id (exact version identity),
+    NOT the second-truncated valid_from_s: two same-second signups share
+    valid_from_s, and joining facts back on it would double-count every
+    purchase into both versions. valid_from_s is derived only for the
+    output projection. The per-interval rollup partial-aggregates
+    map-side, and the dimension (versions) re-enters only as the left
+    side of a versions-sized join to keep purchase-free intervals."""
     events = load_table(spark, sf_dir, "events")
     signups = events.filter(F.col("event_type") == "signup").select(
         "user_id",
@@ -897,12 +904,12 @@ def events_scd2_tier_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v_tagged = versions.select(
         "user_id", "ts", F.lit(0).alias("side"), "event_id",
-        "valid_from_s",
+        F.col("event_id").alias("ver_id"),
         F.lit(None).cast("double").alias("value"),
     )
     p_tagged = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("side"), "event_id",
-        F.lit(None).cast("long").alias("valid_from_s"),
+        F.lit(None).cast("long").alias("ver_id"),
         "value",
     )
     cw = (
@@ -912,22 +919,23 @@ def events_scd2_tier_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = (
         v_tagged.unionByName(p_tagged)
-        .withColumn("vf", F.last("valid_from_s", ignorenulls=True).over(cw))
-        .filter((F.col("side") == 1) & F.col("vf").isNotNull())
+        .withColumn("ver", F.last("ver_id", ignorenulls=True).over(cw))
+        .filter((F.col("side") == 1) & F.col("ver").isNotNull())
     )
-    facts = assigned.groupBy("user_id", F.col("vf").alias("valid_from_s")).agg(
+    facts = assigned.groupBy("user_id", F.col("ver").alias("event_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("value").alias("value_sum"),
     )
     return (
-        versions.join(facts, ["user_id", "valid_from_s"], "left")
-        .select(
-            "user_id",
-            "tier",
-            "valid_from_s",
-            "valid_to_s",
-            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
-            F.round(F.coalesce("value_sum", F.lit(0.0)), 4).alias("purchase_value"),
+        versions.join(facts, ["user_id", "event_id"], "left")
+        .groupBy("user_id", "tier", "valid_from_s", "valid_to_s")
+        .agg(
+            F.sum(F.coalesce("n_purchases", F.lit(0)))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(
+                F.sum(F.coalesce("value_sum", F.lit(0.0))), 4
+            ).alias("purchase_value"),
         )
     )
 
