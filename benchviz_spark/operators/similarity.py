@@ -257,7 +257,106 @@ def _unit_rows(vecs: list[list[float]]) -> list[list[float]]:
     return (arr / norms).tolist()
 
 
-@query("similarity_ann_ivf_topk")  # no SQL oracle: IVF probing isn't SQL; recall
+def _ivf_oracle() -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline — training included.
+    Every stochastic-looking ingredient is actually deterministic and
+    cross-engine computable: seeds are the k smallest md5(vec_id)
+    (both engines produce identical lowercase hex), the single Lloyd
+    iteration is an argmin-by-(d2, cell_id) + per-element mean rounded
+    to 6 places (rounding collapses row-order summation noise), and
+    assignment/probing/re-ranking all round their scores to 6 places
+    before comparison — exactly what the Spark path does. The only
+    residual freedom is pairwise-vs-sequential summation inside dots
+    and norms (~1e-15 against 5e-7 round boundaries): measure-zero,
+    same argument the LSH replay (``_lsh_oracle``) shipped with."""
+    assert KMEANS_ITERS == 1, "oracle replays exactly one Lloyd iteration"
+    k, dim, nq, npb, topk = N_CENTROIDS, _DIM, N_QUERIES, N_PROBE, TOP_K
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS BIGINT) AS cell_id,
+             v AS cvec
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.v, s.cell_id
+      FROM e CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                   i -> (e.v[i] - s.cvec[i]) * (e.v[i] - s.cvec[i]))),
+                 s.cell_id
+      ) = 1
+    ),
+    cm AS (
+      SELECT cell_id, i, round(avg(x), 6) AS m
+      FROM (
+        SELECT cell_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM assigned
+      )
+      GROUP BY cell_id, i
+    ),
+    cent AS (
+      SELECT cell_id, list(m ORDER BY i) AS cvec
+      FROM cm GROUP BY cell_id
+    ),
+    unitc AS (
+      SELECT cell_id,
+             list_transform(
+               cvec,
+               y -> y / (CASE WHEN sqrt(list_sum(list_transform(cvec, z -> z * z))) = 0
+                         THEN 1.0
+                         ELSE sqrt(list_sum(list_transform(cvec, z -> z * z))) END)
+             ) AS u
+      FROM cent
+    ),
+    cellscore AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, {dim} + 1),
+                     i -> e.v[i] * u.u[i])), 6) AS dot,
+             u.cell_id
+      FROM e CROSS JOIN unitc u
+    ),
+    acell AS (
+      SELECT vec_id, cell_id FROM cellscore
+      WHERE vec_id >= {nq}
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM cellscore
+      WHERE vec_id < {nq}
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cell_id) <= {npb}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, {dim} + 1), i -> q.v[i] * n.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(n.v, x -> x * x)))),
+               6) AS cosine
+      FROM acell a
+      JOIN probes p ON a.cell_id = p.cell_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+
+
+@query("similarity_ann_ivf_topk", oracle=_ivf_oracle())
 def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF: k-means-trained fixed-k coarse quantizer;
     queries probe their N_PROBE nearest cells and re-rank only vectors
@@ -267,7 +366,9 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out until the (small) cell equi-join; the plan
     (train -> assign -> probe -> candidate equi-join on cell -> exact
     re-rank) is scale-invariant. Recall pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py; the full pipeline (training included) is
+    hash-checked cross-engine against the DuckDB replay in
+    ``_ivf_oracle``."""
     emb = load_table(spark, sf_dir, "embeddings")
     ids, vecs = ivf_centroids(spark, sf_dir)
 
@@ -330,11 +431,15 @@ def _kmeans_rows(
 ) -> tuple[list[tuple[int, list[float]]], list[float]]:
     """Lloyd iterations, ONE Spark action per iteration.
 
-    Seeds are the k vectors with the smallest xxhash64(vec_id) — a
+    Seeds are the k vectors with the smallest md5(vec_id-as-string) — a
     deterministic pseudo-random sample that plans as a TakeOrdered
     per-partition heap (O(k) driver memory at any corpus size) and
     lives INSIDE the first iteration's plan, so seeding costs no extra
-    action. Each iteration is: broadcast the k centroids, fan out
+    action. md5 (not xxhash64) so the DuckDB oracle can replay the
+    identical seed choice (``_ivf_oracle``); per-cell element means are
+    rounded to 6 places for the same reason — row-visit order inside
+    avg() is nondeterministic on BOTH engines, and rounding collapses
+    that 1e-15 noise below the replay boundary. Each iteration is: broadcast the k centroids, fan out
     corpus x k with a map-side-combined min_by per vec_id (E-step),
     then per-cell element means via posexplode (M-step), collected as k
     local rows — which also truncates the lineage so the plan does not
@@ -350,9 +455,10 @@ def _kmeans_rows(
     inertia_hist: list[float] = []
     for _ in range(n_iter):
         if rows is None:
-            seed_w = W.orderBy(F.xxhash64(F.col("vec_id")))
+            seed_key = F.md5(F.col("vec_id").cast("string"))
+            seed_w = W.orderBy(seed_key)
             cents = (
-                emb.orderBy(F.xxhash64(F.col("vec_id")))
+                emb.orderBy(seed_key)
                 .limit(k)
                 .select(
                     (F.row_number().over(seed_w) - 1).cast("long").alias("cell_id"),
@@ -389,7 +495,7 @@ def _kmeans_rows(
         means = (
             assigned.select("cell_id", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
         )
         # k x dim scalar rows — assemble the vectors driver-side instead
         # of paying a second shuffle for collect_list reassembly
@@ -556,7 +662,16 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qe = emb.select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"))
+    # qe is explicitly query-bounded BEFORE the broadcast hint. Catalyst
+    # would infer the same bound from cand's query_id constraint
+    # (InferFiltersFromConstraints), but relying on that makes "the
+    # broadcast side is 10 rows, not the corpus" an optimizer property
+    # instead of a structural one — a refactor (or disabling constraint
+    # propagation) would silently broadcast the full embedding table.
+    # Asserted in tests/test_plans.py.
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
     ce = emb.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
     )

@@ -58,7 +58,10 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "stats_chi2_segment_type": {"customer", "events"},  # segment x type marginals
     "graph_triangle_suppliers": {"lineitem"},  # TakeOrdered M-edge cap
     "sketch_heavy_hitter_terms": {"documents"},  # depth x width CMS counters
-    # fixed query-vector samples (bounded by query count, not corpus)
+    # fixed query-vector samples (bounded by query count, not corpus).
+    # For the LSH path the bound is STRUCTURAL: both broadcast sides
+    # carry an explicit vec_id < N_QUERIES filter (asserted with
+    # constraint propagation disabled in tests/test_plans.py).
     "similarity_exact_topk": {"embeddings"},
     "similarity_ann_lsh_topk": {"embeddings"},
     "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids

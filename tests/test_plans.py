@@ -87,6 +87,29 @@ def test_similarity_corpus_not_shuffled_before_scoring(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_lsh_broadcast_sides_structurally_query_bounded(spark):
+    """similarity_ann_lsh_topk: every broadcast embedding side (qb
+    buckets, qe re-rank vectors) must carry an EXPLICIT vec_id <
+    N_QUERIES filter, not one inferred via constraint propagation —
+    with the inference disabled, the query-bound must still reach the
+    scans as a pushed filter on at least two embeddings reads."""
+    from benchviz_spark.operators.similarity import similarity_ann_lsh_topk
+
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        plan = formatted_plan(similarity_ann_lsh_topk(spark, SF_DIR))
+    finally:
+        spark.conf.set(key, prev)
+    bounded_scans = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "LessThan(vec_id,10)" in l
+    ]
+    assert len(bounded_scans) >= 2, plan
+
+
 def test_whole_stage_codegen_covers_parse(spark):
     """The benchviz ingest parse (regex projections) stays inside
     whole-stage codegen — no Python evaluation nodes."""
