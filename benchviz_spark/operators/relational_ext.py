@@ -1023,36 +1023,42 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N * supp(a,b) / (supp(a) * supp(b))) — the market-basket statistic
     behind recommendation candidate mining, over TPC-H order baskets.
 
-    Scale design: the pair generation self-joins the distinct
-    (order, part) item table ON THE ORDER KEY, so the blowup per order
-    is basket_size^2 with TPC-H baskets capped at 7 lineitems — the
-    intermediate is ~20x the item table, never |parts|^2. Part and
-    pair supports are both map-side-combined hash aggregates; the
-    single-row order count broadcasts; the final top-K lowers to
-    TakeOrdered with (part_a, part_b) tie-breaks so both engines cut
-    the same prefix. At real retail scale the standard refinement is
-    capping basket size (a 10k-item basket contributes 5e7 pairs) —
-    the plan shape is unchanged."""
-    items = (
+    Scale design: ONE basket pass — lineitem groups straight into
+    per-order sorted distinct part arrays (collect_set fuses the
+    dedup into the same shuffle), and pairs, part supports, and the
+    order count all derive from that basket table, so there is no
+    items self-join (which would shuffle the item table twice on
+    l_orderkey). Pair blowup per order is basket_size^2 with TPC-H
+    baskets capped at 7 lineitems — the intermediate is ~20x the item
+    table, never |parts|^2. Part and pair supports are map-side-
+    combined hash aggregates; the single-row order count stays INSIDE
+    the plan as a broadcast crossJoin (the sampling.py spread pattern)
+    rather than a separate collect() job; the shared basket exchange
+    is reused across the consuming chains at runtime (ReuseExchange).
+    The final top-K lowers to TakeOrdered with (part_a, part_b)
+    tie-breaks so both engines cut the same prefix. At real retail
+    scale the standard refinement is capping basket size (a 10k-item
+    basket contributes 5e7 pairs) — the plan shape is unchanged."""
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_orders = items.select(F.countDistinct("l_orderkey").alias("n")).collect()[0][
-        "n"
-    ]
-    part_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    a, b = items.alias("a"), items.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    part_supp = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
     pair_supp = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(F.explode("parts").alias("part_a"), F.col("parts"))
+        .select(
+            "part_a",
+            F.explode(
+                F.filter(F.col("parts"), lambda p: p > F.col("part_a"))
+            ).alias("part_b"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
     )
     sa = part_supp.select(
@@ -1064,13 +1070,14 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_supp.join(sa, "part_a")
         .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
             F.col("pair_orders").cast("long").alias("pair_orders"),
             F.round(
                 F.col("pair_orders")
-                * F.lit(n_orders)
+                * F.col("n")
                 / (F.col("supp_a").cast("double") * F.col("supp_b")),
                 6,
             ).alias("lift"),

@@ -52,6 +52,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "text_unigram_logprob": {"documents"},  # 1-row token total
     "layout_zorder_events": {"events"},  # 1-row min/max bounds
     "join_bloom_prefilter_building": {"customer"},  # 1-row fixed-size bitset map
+    "basket_part_pair_lift": {"lineitem"},  # 1-row order-count scalar
     "dedup_incremental_new_docs": {"documents"},  # 1-row fixed-size bitset map
     # fixed-size aggregates / caps
     "sample_temperature_mix": {"documents"},  # per-source rates (sources bounded)
