@@ -25,12 +25,14 @@ streaming/ingest.py's sinks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Import the batch twins FIRST so their oracles are registered before we
 # look them up (registry._QUERY_MODULES also orders events before this
 # module, but a direct import must not depend on that).
 import benchviz_spark.operators.events  # noqa: F401
 from benchviz_spark.registry import _ORACLES, query
+from benchviz_spark.streaming import stateful as st
 from benchviz_spark.streaming import windows as sw
 
 
@@ -106,3 +108,47 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is exercised in tests/test_streaming.py where first-seen-wins
     is asserted against batch dropDuplicates."""
     return _drain(sw.stream_dedup_events(spark, sf_dir), spark, "dedup", "append")
+
+
+def _final_state(drained: DataFrame, counter: str = "n_events") -> DataFrame:
+    """Compact an update-mode drain to the FINAL state row per user.
+    Update mode emits one refreshed row per touched user per
+    micro-batch; the cumulative event counter strictly increases with
+    every update (a group is only invoked when it received rows), so
+    max_by on it picks the last emission deterministically — and is the
+    identity when availableNow processed the input as one batch."""
+    others = [c for c in drained.columns if c != "user_id"]
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max_by(F.struct(*others), F.col(counter)).alias("s"))
+        .select("user_id", *[F.col(f"s.{c}").alias(c) for c in others])
+    )
+
+
+@query(
+    "stream_user_profiles",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS total_value,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_s
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user profile accumulator
+    (streaming/stateful.py) drained in update mode and compacted to
+    final state; the oracle is the batch rollup of the full input."""
+    drained = _drain(st.stream_user_profiles(spark, sf_dir), spark, "profiles", "update")
+    return _final_state(drained)
+
+
+@query("stream_latest_user_state", oracle=_ORACLES["events_latest_user_state"])
+def stream_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState LWW/CDC compaction (streaming/stateful.py)
+    drained in update mode and compacted to final state; same oracle as
+    the driver-green batch twin events_latest_user_state."""
+    drained = _drain(
+        st.stream_latest_user_state(spark, sf_dir), spark, "lww", "update"
+    )
+    return _final_state(drained)
