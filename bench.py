@@ -43,17 +43,41 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_DIR = os.path.join(REPO, ".benchmarks")
 
 # A query is a regression when it is this factor slower than its
-# previously committed time AND the slowdown exceeds the absolute floor
+# previously committed time AND the slowdown exceeds an absolute floor
 # (sub-second queries jitter too much for a pure ratio test).
 # Floor history: 0.4 s flagged two phantom x1.7s in round 4
 # (text_unigram_logprob, window_price_quartiles — both reversed to
 # faster-than-ever in round 5's clean back-to-back double run, while
 # neither file had changed); scheduler/GC jitter on local[32] swings
-# sub-2 s queries by ~0.8 s, so the floor sits above that band. Real
-# regressions this must still catch have multi-second deltas (the
-# r3 levenshtein 33 s, the codec swap's honest +1.7 s).
+# sub-2 s queries by ~0.8 s. A single global floor above that band
+# (1.0 s) left every sub-second query unguarded (a real 0.5->1.4 s
+# x2.8 would hide), so the floor is now PER QUERY: the committed
+# timings file keeps each query's last HISTORY_KEEP runs, and once
+# enough points exist the floor is 6x the median absolute deviation
+# (~4 sigma under normal noise, so steady queries get a tight floor
+# and jittery ones keep a wide one), clamped to
+# [REGRESSION_FLOOR_MIN_SEC, REGRESSION_FLOOR_MAX_SEC]. Until a query
+# has history, the old global max applies.
 REGRESSION_FACTOR = 1.5
-REGRESSION_FLOOR_SEC = 1.0
+REGRESSION_FLOOR_MIN_SEC = 0.25
+REGRESSION_FLOOR_MAX_SEC = 1.0
+HISTORY_KEEP = 5
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _floor_sec(hist: list[float]) -> float:
+    """Per-query absolute regression floor from observed run-to-run
+    variance (median absolute deviation over the committed history)."""
+    if len(hist) < 3:
+        return REGRESSION_FLOOR_MAX_SEC
+    med = _median(hist)
+    mad = _median([abs(x - med) for x in hist])
+    return min(max(6 * mad, REGRESSION_FLOOR_MIN_SEC), REGRESSION_FLOOR_MAX_SEC)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -66,16 +90,21 @@ def _timings_path(sf: float) -> str:
 
 
 def find_regressions(
-    new: dict[str, float | None], old: dict[str, float | None]
+    new: dict[str, float | None],
+    old: dict[str, float | None],
+    history: dict[str, list[float]] | None = None,
 ) -> list[str]:
     """Names of queries ≥REGRESSION_FACTOR slower than their previous
-    committed time (with an absolute floor to ignore sub-second jitter)."""
+    committed time, where the slowdown also exceeds that query's
+    variance-derived absolute floor (see ``_floor_sec``)."""
+    history = history or {}
     out = []
     for name, sec in new.items():
         prev = old.get(name)
         if sec is None or prev is None or prev <= 0:
             continue
-        if sec > prev * REGRESSION_FACTOR and sec - prev > REGRESSION_FLOOR_SEC:
+        floor = _floor_sec([h for h in history.get(name, []) if h is not None])
+        if sec > prev * REGRESSION_FACTOR and sec - prev > floor:
             out.append(f"{name} x{sec / prev:.1f}")
     return sorted(out)
 
@@ -117,18 +146,33 @@ def main() -> None:
 
     path = _timings_path(sf)
     previous: dict[str, float | None] = {}
+    history: dict[str, list[float]] = {}
     if os.path.exists(path):
         try:
             with open(path) as fh:
-                previous = json.load(fh).get("queries", {})
+                committed = json.load(fh)
+            previous = committed.get("queries", {})
+            history = committed.get("history", {})
         except (OSError, json.JSONDecodeError):
-            previous = {}
-    regressions = find_regressions(timings, previous)
+            pass
+    regressions = find_regressions(timings, previous, history)
 
+    new_history = {
+        name: ([h for h in history.get(name, []) if h is not None] + [sec])[
+            -HISTORY_KEEP:
+        ]
+        for name, sec in timings.items()
+        if sec is not None
+    }
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(path, "w") as fh:
         json.dump(
-            {"sf": sf, "total_sec": round(total, 3), "queries": timings},
+            {
+                "sf": sf,
+                "total_sec": round(total, 3),
+                "queries": timings,
+                "history": new_history,
+            },
             fh,
             indent=1,
             sort_keys=True,

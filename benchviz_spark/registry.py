@@ -49,78 +49,86 @@ _QUERY_MODULES = (
 # round so every operator accumulates at least one driver-green row:
 # names already driver-green in a prior round's CORRECTNESS_r{N}.json
 # yield their slot to oracle-paired queries the driver has never
-# checked. Round-5 window = every oracle-paired query the driver has
-# never recorded (incl. the newly oracle-paired sketch exact twins,
-# centroid dist, the six drained streaming queries, the LSH ANN via
-# hyperplane-literal replay, and the operators added this round: BPE
-# merge pairs, cluster representatives, incremental bloom dedup,
-# embedding dim correlation), the two queries whose
-# code changed this round (zipf bucket pin, jaccard prefix epsilon),
-# and 11 of the queries last green in r02 (re-green; cube/having/
-# setop/groupingsets/count_distinct/left_join/anti_join/
-# date_functions/pivot/q8/q11
-# yielded their slots to the operators, stream drains, forward as-of,
-# and newly oracle-paired LSH ANN added this round, and rotate in r06).
-# Every name here must carry a DuckDB oracle so no slot is wasted on a
-# weaker rows-only check; the 8 rows-only estimator/stub queries stay
-# pytest-bounded by design. Queries outside the window remain
-# registered and guarded by the committed local replica
-# (PARITY_LOCAL.json + tests/test_oracle_parity.py).
+# checked, then to the queries with the OLDEST driver evidence.
+# Round-6 window (delivering the rotation the r05 registry promised):
+# 41 of the 45 queries whose latest driver row was r02/r03 — their
+# shared helpers (spread, load_table, oracle harness) have been
+# refactored since, so the aging evidence is re-proven current — plus
+# the newly oracle-paired similarity_ann_ivf_topk (full DuckDB
+# training replay) and the two drained applyInPandasWithState stream
+# queries, the two r05-green queries whose code materially changed
+# this round (the SCD-2 same-second version-key fix; the basket
+# single-pass restructure), and the four family representatives the
+# window contract requires (skew/asof/compare/bench_log_pipeline have
+# no stale members). The four deferred-to-r07 stale rows are the
+# simplest scan-side text projections (term_frequency, token_stats,
+# fingerprints, quality_scores), each re-proven by this round's
+# regenerated PARITY_LOCAL.json; similarity_ann_lsh_topk's change
+# (explicit broadcast filter) is result-identical and plan-asserted,
+# so it keeps its r05 row. Every name here must carry a DuckDB oracle
+# so no slot is wasted on a weaker rows-only check; the remaining
+# rows-only estimator/stub queries stay pytest-bounded by design.
+# Queries outside the window remain registered and guarded by the
+# committed local replica (PARITY_LOCAL.json +
+# tests/test_oracle_parity.py). The r07 window should lead with the
+# four deferred text queries, then whatever is oldest (r04 rows).
 _WINDOW = (
-    # Never driver-checked, oracle-paired -----------------------------------
-    "text_bpe_merge_pairs",
-    "dedup_cluster_representatives",
-    "dedup_incremental_new_docs",
-    "embedding_dim_correlation",
-    "similarity_ann_lsh_topk",
-    "asof_purchase_next_click",
+    # Newly oracle-paired this round ----------------------------------------
+    "similarity_ann_ivf_topk",
+    "stream_user_profiles",
+    "stream_latest_user_state",
+    # Code changed this round — must re-verify ------------------------------
     "events_scd2_tier_intervals",
     "basket_part_pair_lift",
-    "events_linear_attribution",
-    "stream_tumbling_hourly",
-    "stream_session_stats",
-    "stream_purchase_view_pairs",
-    "stream_enriched_user_segment",
-    "stream_sliding_hourly_halfhour",
-    "stream_dedup_events",
-    "sketch_events_daily_exact",
-    "sketch_heavy_hitter_exact",
-    "similarity_label_centroid_dist",
-    "join_bloom_prefilter_building",
-    "dedup_containment_pairs",
-    "text_rolling_hash",
-    "text_bigram_logprob",
-    "events_interarrival_stats",
-    "sample_temperature_mix",
-    "sample_reservoir_per_source",
-    "sample_weighted_reservoir_es",
-    "quality_gopher_rules",
-    "quality_char_entropy",
-    "stats_value_gini_by_type",
-    "stats_chi2_segment_type",
-    "graph_triangle_suppliers",
-    "layout_zorder_events",
-    # Code changed this round — must re-verify ------------------------------
-    "stats_zipf_fit",
-    "dedup_ngram_jaccard_pairs",
     # Family representatives (contract: every family in every window) -------
-    "multimodal_quantization_error",
     "skew_salted_join_segments",
     "asof_purchase_last_view",
     "compare_event_type_series",
     "bench_log_pipeline",
-    # Last green in r02 — re-green (remainder rotates in r06) ---------------
-    "q10_return_losses_top20",
-    "q12_priority_by_linestatus",
-    "q15_top_revenue_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_bulk_order_customers",
-    "q20_bulk_small_part_suppliers",
-    "q22_idle_rich_customers",
-    "quantiles_exact_by_flag",
-    "semi_join_urgent_customers",
-    "window_customer_running_spend",
+    # Last green in r02 — oldest evidence first (approx_stats_orders from
+    # the r02 board is deliberately unregistered now: sketches can't
+    # hash-match cross-engine; stats_orders_exact is its checkable twin) ----
+    "anti_join_idle_customers",
+    "count_distinct_exact",
+    "cube_part_brand_type",
+    "date_functions_projection",
+    "distinct_order_channels",
+    "groupingsets_order_stats",
+    "having_rich_segments",
+    "left_join_nation_customer_counts",
+    "pivot_status_by_returnflag",
+    "q11_nation_balance_concentration",
+    "q8_nation_market_share",
+    "scalar_functions_projection",
+    "setop_active_nations",
+    "setop_idle_building_customers",
+    "setop_union_all_parties",
+    "unpivot_order_metrics",
+    # Last green in r03 -----------------------------------------------------
+    "decontam_eval_overlap",
+    "dedup_duplicate_clusters",
+    "dedup_embedding_blocked_pairs",
+    "dedup_exact_documents",
+    "multimodal_binary_metadata",
+    "multimodal_embedding_normalized_checksum",
+    "multimodal_embedding_stats",
+    "q21_waiting_suppliers",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "q9_product_profit_by_nation_year",
+    "quality_profile_documents",
+    "quality_redact_pii",
+    "quality_repetition_metrics",
+    "range_join_price_bands",
+    "rollup_lineitem_status",
+    "sample_split_documents",
+    "sample_stratified_documents",
+    "stats_orders_exact",
+    "text_bpe_token_counts",
+    "text_language_id",
+    "text_tfidf_top_terms",
+    "topk_expensive_orders",
+    "window_top3_orders_per_customer",
 )
 
 

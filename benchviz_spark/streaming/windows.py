@@ -176,6 +176,15 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "append"):
       commits are fsync-heavy, and a throwaway drain checkpoint has no
       durability requirement; tmpfs removes the disk-sync jitter that
       made drain timings swing 2-12 s between bench runs.
+
+    NOT THREAD-SAFE: the partition pin mutates the session-global
+    spark.sql.shuffle.partitions for the drain's duration (Spark has
+    no per-writer override for the state-store instance count). Every
+    caller today — the correctness gate, bench.py, pytest — plans
+    queries single-threaded, so nothing else can pick up the
+    temporary value; a future parallel harness (pytest-xdist, a
+    concurrent gate) must either serialize drains or accept planning
+    concurrent queries with DRAIN_STATE_PARTITIONS partitions.
     """
     import os
     import shutil

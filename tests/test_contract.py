@@ -74,11 +74,20 @@ def test_bench_regression_guard():
 
     old = {"a": 1.0, "b": 0.1, "c": 2.0, "d": None, "gone": 1.0, "j": 1.2}
     new = {"a": 2.5, "b": 0.3, "c": 2.2, "d": 1.0, "fresh": 5.0, "j": 2.0}
-    # a: 2.5x and +1.5s -> flagged; b: 3x but only +0.2s (under floor);
-    # j: 1.7x but +0.8s sits in the measured local[32] jitter band
-    # (under the 1.0s floor); c: within factor; d/gone/fresh: no
-    # baseline pair
+    # a: 2.5x and +1.5s -> flagged; b: 3x but only +0.2s (under the
+    # no-history 1.0s floor); j: 1.7x but +0.8s sits in the measured
+    # local[32] jitter band (under the no-history floor); c: within
+    # factor; d/gone/fresh: no baseline pair
     assert find_regressions(new, old) == ["a x2.5"]
+
+    # With committed history the floor tightens to the query's own
+    # variance: a steady 0.5s query regressing to 1.4s (x2.8, +0.9s)
+    # is now caught even though it sits under the 1.0s global max...
+    hist = {"b": [0.1, 0.11, 0.1, 0.09], "s": [0.5, 0.52, 0.48, 0.5]}
+    assert find_regressions({"s": 1.4}, {"s": 0.5}, hist) == ["s x2.8"]
+    # ...while small absolute wobble stays ignored via the floor's
+    # 0.25s lower clamp (b: x3 but only +0.2s).
+    assert find_regressions(new, old, hist) == ["a x2.5"]
 
 
 def test_driver_window_is_fully_oracle_backed():
