@@ -695,3 +695,79 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "symbol_pair")
         .limit(BPE_PAIR_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate phrase mining: global word-n-gram document frequency.
+# ---------------------------------------------------------------------------
+BOILERPLATE_N = 8
+BOILERPLATE_TOP_K = 20
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(w) - {BOILERPLATE_N - 1}, 0) + 1),
+               i -> array_to_string(w[i:i + {BOILERPLATE_N - 1}], ' ')
+             )) AS ngram
+      FROM t
+    )
+    SELECT ngram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_occurrences
+    FROM g
+    GROUP BY ngram
+    ORDER BY n_docs DESC, n_occurrences DESC, ngram
+    LIMIT {BOILERPLATE_TOP_K}
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K word-{BOILERPLATE_N}-grams by DOCUMENT frequency — the
+    C4/RefinedWeb-style boilerplate detector: phrases that recur across
+    many documents are templates/navigation/license banners, and the
+    cleaning pass strips them before training. (This corpus has no
+    newlines, so the unit is the word n-gram rather than the line —
+    the operator shape is identical.)
+
+    Scale: one scan emits each document's sliding n-grams (linear in
+    corpus tokens); the aggregate partial-combines map-side so the
+    shuffle carries one (ngram, doc-partial) row per distinct gram per
+    task, and the final top-K lowers to TakeOrdered. Ties break on
+    (n_docs, n_occurrences, ngram) so both engines cut the same
+    prefix. At 100 TB the gram key would be hashed to int64 for
+    shuffle width with the phrase re-derived from a winners-only
+    second pass; the string key keeps this single-pass and the plan
+    shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = BOILERPLATE_N
+    grams = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""
+                    CASE WHEN size(w) >= {n}
+                         THEN transform(sequence(1, size(w) - {n - 1}),
+                                        i -> array_join(slice(w, i, {n}), ' '))
+                         ELSE cast(array() as array<string>) END
+                    """
+                )
+            ).alias("ngram"),
+        )
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "ngram")
+        .limit(BOILERPLATE_TOP_K)
+    )
