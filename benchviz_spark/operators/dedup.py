@@ -252,9 +252,19 @@ def dedup_ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m0..m31): 32 minhash values per doc, computed as 32
-    ``min()`` aggregates over the exploded hashed-shingle postings.
+    ``min()`` aggregates over the exploded shingle postings.
     h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1; operands
     stay < 2^62 so int64 arithmetic is exact under ANSI mode.
+
+    The base integer x is the top 60 bits of md5(shingle) — not
+    xxhash64 like the ``hs`` column every other dedup consumer uses —
+    because md5 is the one hash BOTH engines compute identically, which
+    is what lets ``_minhash_oracle`` replay the entire pipeline
+    (signatures, banding, candidate join, verification) in DuckDB and
+    hash-check the approximate result itself, the LSH-ANN pattern. The
+    affine family over a fixed base is the standard MinHash
+    construction either way; one md5 per distinct shingle replaces one
+    xxhash64, everything downstream is integer-only.
 
     Aggregation (not per-row array_min over 32 transform() copies) on
     purpose: Catalyst's project-collapse would inline the shingling
@@ -263,9 +273,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and running 32 map-side-combined min() aggregates evaluates
     shingling once and shuffles only 5k x 32 longs.
     """
-    sh = hashed_shingled_documents(spark, sf_dir).filter(F.size("hs") > 0)
-    postings = sh.select("doc_id", F.explode("hs").alias("h"))
-    base = F.pmod(F.col("h"), F.lit(_MERSENNE31))
+    sh = shingled_documents(spark, sf_dir).filter(F.size("shingles") > 0)
+    postings = sh.select("doc_id", F.explode("shingles").alias("s"))
+    x = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    base = F.pmod(x, F.lit(_MERSENNE31))
     mins = [
         F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
         for i, (a, b) in enumerate(_HASH_PARAMS)
@@ -276,16 +287,22 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: (left_id, right_id), deduped across bands.
 
-    Each doc lands in N_BANDS buckets keyed by the hash of that band's
-    signature rows; only same-bucket docs pair up. Bucket membership is
-    one explode + one groupBy — the full pair space is never formed.
+    Each doc lands in N_BANDS buckets keyed by that band's signature
+    rows VERBATIM (the 4 values joined into one string) rather than a
+    hash of them: collision-free (a hash-compressed bucket id could
+    merge unrelated buckets), cross-engine replayable, and the same
+    one-explode + one-groupBy plan — the full pair space is never
+    formed. At 1e12 docs the key is 4x ~10 digits instead of 8 bytes;
+    if that shuffle width ever mattered, hashing the key back down is
+    a one-line change that only ADDS (measure-zero) candidates.
     """
     sig = minhash_signatures(spark, sf_dir)
     bands = [
         F.struct(
             F.lit(i).alias("band"),
-            F.xxhash64(
-                *[F.col(f"m{j}") for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)]
+            F.concat_ws(
+                "_",
+                *[F.col(f"m{j}") for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)],
             ).alias("bucket"),
         )
         for i in range(N_BANDS)
@@ -313,13 +330,81 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
-@query("dedup_minhash_lsh_pairs")  # no SQL oracle: LSH banding isn't SQL; recall
+def _minhash_oracle() -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline: shingling, the
+    md5-based base hash, all 32 affine minhash aggregates (the exact
+    (a_i, b_i) literals), verbatim band keys, the same-bucket candidate
+    join, and the exact-Jaccard verification — so the approximate
+    result itself is hash-checked cross-engine, not just recall-bounded
+    (the ``_lsh_oracle``/``_ivf_oracle`` pattern). Integer arithmetic
+    is exact on both sides (everything stays below 2^62), so unlike the
+    float replays there is no boundary-noise caveat at all."""
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(_HASH_PARAMS)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+            i=i,
+            cols=", ".join(
+                f"m{j}" for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)
+            ),
+        )
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    post AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT) % {_MERSENNE31} AS b
+      FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM post GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT left_id, right_id, jaccard FROM (
+      SELECT c.left_id, c.right_id,
+             round(len(list_intersect(x.s, y.s))::DOUBLE
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.left_id
+      JOIN sh y ON y.doc_id = c.right_id
+    ) WHERE jaccard >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle())
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup, scale path: MinHash-LSH candidates verified with the
     exact shingle Jaccard (>= 0.5). Verification joins candidates back to
     the (small relative to corpus) shingle sets — the exact filter runs
     only on LSH survivors, never all pairs. Recall vs the exact operator
-    is pinned by tests/test_dedup.py."""
+    is pinned by tests/test_dedup.py, and the full pipeline is
+    hash-checked cross-engine against ``_minhash_oracle``."""
     cand = minhash_candidates(spark, sf_dir)
     sh = hashed_shingled_documents(spark, sf_dir)
     left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
@@ -420,10 +505,13 @@ def _simhash_udf():
     def token_bits(tok):
         bits = bit_cache.get(tok)
         if bits is None:
-            # FNV-1a 64-bit: stable across processes (unlike hash())
-            h = 0xCBF29CE484222325
-            for ch in tok.encode():
-                h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+            import hashlib
+
+            # top 64 bits of md5: stable across processes AND engines —
+            # the one hash DuckDB computes identically, which is what
+            # lets the oracle replay the whole fingerprint (FNV-1a
+            # would need mod-2^64 arithmetic SQL doesn't have)
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
             ones = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
             bits = bit_cache[tok] = ones * 2 - 1  # ±1 per bit position
         return bits
@@ -447,13 +535,52 @@ def _simhash_udf():
     return simhash
 
 
-@query("dedup_simhash_fingerprints")  # no SQL oracle: bit-level fingerprinting
+def _simhash_oracle() -> str:
+    """DuckDB replay of the SimHash fingerprint: same normalization,
+    same token multiset, same md5-top-64-bit token hash (split into two
+    32-bit halves so everything stays in signed BIGINT), the same
+    +-1-per-bit accumulation over 64 bit positions, and the same signed
+    packing (bit 63 contributes -2^63, matching the int64 reinterpret
+    on the Spark side). Integer-exact — no float caveat."""
+    return """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)  AS hi,
+             CAST('0x' || substr(md5(w), 9, 8) AS BIGINT)  AS lo
+      FROM tok
+    ),
+    acc AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (CASE WHEN j < 32 THEN (lo >> j) & 1
+                            ELSE (hi >> (j - 32)) & 1 END) = 1
+                 THEN 1 ELSE -1 END) AS a
+      FROM th, (SELECT unnest(range(0, 64)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN a > 0 THEN
+                      CASE WHEN j = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << j) END
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM acc
+    GROUP BY doc_id
+    """
+
+
+@query("dedup_simhash_fingerprints", oracle=_simhash_oracle())
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — deterministic 64-bit near-dup fingerprints.
     Downstream near-dup detection buckets on 16-bit prefixes of 4
     rotations (docs within hamming distance 3 share at least one
     bucket); the fingerprint column itself is what a 100-TB pipeline
-    persists."""
+    persists. Hash-checked cross-engine against ``_simhash_oracle``'s
+    relational replay of the same md5 bit accumulation."""
     docs = load_table(spark, sf_dir, "documents")
     simhash = _simhash_udf()
     return docs.select(

@@ -66,12 +66,17 @@ _QUERY_MODULES = (
 # regenerated PARITY_LOCAL.json; similarity_ann_lsh_topk's change
 # (explicit broadcast filter) is result-identical and plan-asserted,
 # so it keeps its r05 row. Every name here must carry a DuckDB oracle
-# so no slot is wasted on a weaker rows-only check; the remaining
-# rows-only estimator/stub queries stay pytest-bounded by design.
-# Queries outside the window remain registered and guarded by the
-# committed local replica (PARITY_LOCAL.json +
-# tests/test_oracle_parity.py). The r07 window should lead with the
-# four deferred text queries, then whatever is oldest (r04 rows).
+# so no slot is wasted on a weaker rows-only check; after this round's
+# md5 rebasings only 4 rows-only queries remain (decode mean-luma, the
+# PCA eigensolve, the two sketch estimates), each honestly
+# non-SQL-expressible and pytest-bounded. Queries outside the window
+# remain registered and guarded by the committed local replica
+# (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r07 window
+# should lead with the queries that gained oracles after the cutoff
+# (dedup_minhash_lsh_pairs, dedup_simhash_fingerprints,
+# multimodal_frame_sample, multimodal_decode_dims,
+# text_boilerplate_ngrams), then the four deferred text queries, then
+# whatever is oldest (r04 rows).
 _WINDOW = (
     # Newly oracle-paired this round ----------------------------------------
     "similarity_ann_ivf_topk",
