@@ -5,6 +5,7 @@ vector/binary queries)."""
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -145,14 +146,14 @@ def test_decode_features_match_local_reference(spark):
         need = w * h * 3
         reps = -(-need // max(n, 1))
         px = np.frombuffer(data * reps, np.uint8, need).reshape(h, w, 3)
-        expect_luma = round(
-            float(
-                (
-                    px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
-                ).mean()
-            ),
-            4,
-        )
+        # same exact-integer-channel-sums + fixed-order combine +
+        # half-up cut as decode_payload/_round4 (bit-identical contract)
+        v = (
+            0.299 * int(px[:, :, 0].sum(dtype=np.uint64))
+            + 0.587 * int(px[:, :, 1].sum(dtype=np.uint64))
+            + 0.114 * int(px[:, :, 2].sum(dtype=np.uint64))
+        ) / (h * w)
+        expect_luma = math.floor(v * 10000.0 + 0.5) / 10000.0
         assert got[row.doc_id] == (w, h, 3, expect_luma)
 
 
