@@ -47,3 +47,93 @@ def test_stateful_lww_state_matches_batch(spark):
     assert batch.count() > 0
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_stateful_profiles_resume_from_checkpoint(spark, tmp_path):
+    """The GroupState store must survive a stream restart: drain half
+    the input, start a NEW query over the same checkpoint after more
+    files land, and the final per-user counts must equal the batch
+    totals. Equality catches BOTH failure modes — lost state would
+    undercount (drain 2 starting from zero), and re-ingesting already-
+    processed files would overcount."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from benchviz_spark.sources.tables import load_table
+    from benchviz_spark.streaming.stateful import (
+        PROFILE_SCHEMA,
+        STATE_SCHEMA,
+        _update_profile,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    h1 = events.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    h2 = events.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    h1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(out_dir: str) -> None:
+        # foreachBatch parquet collector: the memory sink refuses
+        # checkpoint RECOVERY (not fault-tolerant), and file sinks
+        # refuse update mode — foreachBatch supports both.
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_profile,
+                outputStructType=PROFILE_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    drain(out1)
+    got1 = {r.user_id: r.n_events for r in spark.read.parquet(out1).collect()}
+    exp1 = {
+        r.user_id: r.n
+        for r in h1.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got1 == exp1
+
+    h2.write.mode("append").parquet(src)
+    drain(out2)
+    # final state per user = the highest-count emission across drains
+    final: dict = {}
+    for r in (
+        spark.read.parquet(out1).collect() + spark.read.parquet(out2).collect()
+    ):
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value, r.last_seen_s)
+    expect = {
+        r.user_id: (r.n, r.tv, r.ls)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("tv"),
+            F.unix_timestamp(F.max("ts")).alias("ls"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, (n, tv, ls) in expect.items():
+        gn, gtv, gls = final[uid]
+        assert gn == n, (uid, gn, n)
+        assert abs(gtv - tv) < 1e-6, (uid, gtv, tv)
+        assert gls == ls, (uid, gls, ls)
