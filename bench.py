@@ -117,9 +117,20 @@ def main() -> None:
     # session startup.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
+    names = sorted(queries)
+    # SPARK_GRAFT_BENCH_SLICE="i/k" times only every k-th query starting
+    # at i — lets long runs (e.g. the 10x scale corpus) split across
+    # invocations that each fit a wall-clock budget. Slices write to a
+    # suffixed timings file and skip the regression guard (a partial
+    # map must never overwrite the committed full baseline).
+    slice_spec = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+    if slice_spec:
+        idx, k = (int(x) for x in slice_spec.split("/"))
+        names = names[idx::k]
+
     timings: dict[str, float | None] = {}
     total = 0.0
-    for i, name in enumerate(sorted(queries)):
+    for i, name in enumerate(names):
         if i and i % 15 == 0:
             # ~115 queries share one JVM: broadcast/shuffle refs from
             # earlier queries pile up until a driver GC lets the
@@ -145,9 +156,11 @@ def main() -> None:
             timings[name] = None
 
     path = _timings_path(sf)
+    if slice_spec:
+        path += f".slice{slice_spec.replace('/', 'of')}"
     previous: dict[str, float | None] = {}
     history: dict[str, list[float]] = {}
-    if os.path.exists(path):
+    if not slice_spec and os.path.exists(path):
         try:
             with open(path) as fh:
                 committed = json.load(fh)

@@ -428,51 +428,100 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: blocked exact pairs over the vector column.
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_embedding_blocked_pairs",
-    oracle="""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> x::DOUBLE) AS v,
-             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      FROM embeddings
+def _embedding_pairs_oracle() -> str:
+    """DuckDB replay of the (label, quantizer-cell)-blocked cosine
+    pairs: the shared IVF training/assignment CTE chain
+    (similarity.ivf_assignment_ctes) recomputes every vector's cell,
+    then the pair join and the exact 6-place-rounded cosine run over
+    the identical blocks — the widened detector stays hash-checked."""
+    from benchviz_spark.operators.similarity import ivf_assignment_ctes
+
+    return f"""
+    WITH {ivf_assignment_ctes()},
+    acell AS (
+      SELECT vec_id, cell_id FROM cellscore
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ),
+    ev AS (
+      SELECT emb.vec_id, emb.label, a.cell_id,
+             list_transform(emb.embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(emb.embedding,
+                                          x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings emb JOIN acell a ON a.vec_id = emb.vec_id
     )
     SELECT left_id, right_id, label, cosine FROM (
       SELECT a.vec_id AS left_id, b.vec_id AS right_id, a.label AS label,
              round(
                list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
                / (a.nrm * b.nrm), 6) AS cosine
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM ev a JOIN ev b
+        ON a.label = b.label AND a.cell_id = b.cell_id
+       AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.35
-    """,
+    """
+
+
+@query(
+    "dedup_embedding_blocked_pairs",
+    oracle=_embedding_pairs_oracle(),
 )
 def dedup_embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with LABEL BLOCKING: pairs
-    are only compared inside a blocking key (here the label column; in
-    production a coarse quantizer cell or LSH bucket — see
-    similarity.ivf_cells). Blocking turns O(n^2) into O(sum block^2),
-    the standard scale move for embedding dedup; within blocks the
-    cosine is exact and oracle-checked."""
-    from benchviz_spark.operators.similarity import _as_double, _dot, _norm
+    """Embedding-cosine near-duplicate pairs with (label, quantizer
+    cell) blocking: pairs are only compared when they share BOTH the
+    label and their IVF cell assignment from the k-means-trained
+    coarse quantizer (similarity.ivf_cells machinery — literal
+    centroids, narrow zero-shuffle argmax assignment). Blocking turns
+    O(n^2) into O(sum block^2); within blocks the cosine is exact.
 
+    Why the cell key: the 10x scale probe measured label-only blocking
+    at x13.7 on 10x data — the label alphabet is FIXED, so label
+    blocks grow linearly with the corpus and block^2 quadratically.
+    Quantizer cells are the production fix the original docstring
+    already named: cell count is a knob (k ~ n / target_block_size at
+    scale; fixed k here keeps the centroid literals bounded), so block
+    size — and per-vector candidate work — is controlled independently
+    of corpus growth. Near-identical vectors quantize to the same cell
+    with high probability, the standard recall trade; and because the
+    training replay is SQL-expressible (``_ivf_oracle`` pattern), the
+    widened result is still hash-checked EXACTLY cross-engine."""
+    from benchviz_spark.operators.similarity import (
+        _as_double,
+        _cell_id_col,
+        _dot,
+        _norm,
+        ivf_centroids,
+    )
+
+    ids, vecs = ivf_centroids(spark, sf_dir)
     emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     # norms hoisted BEFORE the join: computed once per vector (n rows),
     # not once per pair (sum of block^2 rows)
-    sides = emb.select(
-        "vec_id",
-        "label",
-        _as_double(F.col("embedding")).alias("v"),
-    ).withColumn("nrm", _norm(F.col("v")))
+    sides = (
+        emb.select(
+            "vec_id",
+            "label",
+            _as_double(F.col("embedding")).alias("v"),
+            _cell_id_col(ids, vecs).alias("cell_id"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+    )
     a = sides.select(
-        F.col("vec_id").alias("left_id"), "label",
+        F.col("vec_id").alias("left_id"), "label", "cell_id",
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = sides.select(
         F.col("vec_id").alias("right_id"), F.col("label").alias("label_b"),
+        F.col("cell_id").alias("cell_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("left_id") < F.col("right_id")))
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("cell_id") == F.col("cell_b"))
+            & (F.col("left_id") < F.col("right_id")),
+        )
         .select(
             "left_id",
             "right_id",
@@ -716,6 +765,11 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEV_PREFIX = 80  # chars of canonical text compared
 LEV_MAX_DIST = 25  # pair threshold on that prefix
 LEV_LEN_BUCKET = 50  # block width in characters
+# Registered default for the simhash block widening (the 10x scale
+# probe measured the 0-bit form at x38 on 10x data — block^2 growth
+# exactly as the docstring predicts). 4 bits ~ /16 candidate pairs;
+# replayable in the oracle since the simhash is md5-based.
+LEV_SIMHASH_BITS = 4
 
 
 def _lev_blocked(
@@ -742,26 +796,69 @@ def _lev_blocked(
     return d, block_cols
 
 
-@query(
-    "dedup_levenshtein_pairs",
-    oracle=f"""
+def _levenshtein_oracle(bits: int = LEV_SIMHASH_BITS) -> str:
+    """DuckDB replay of the blocked Levenshtein detector INCLUDING the
+    simhash block widening: the md5-based simhash of the compared
+    80-char prefix is recomputed relationally (the ``_simhash_oracle``
+    machinery over the prefix tokens), its top ``bits`` bits become
+    part of the block key, and the edit-distance join runs over the
+    identical blocks — so the widened result is still hash-checked
+    exactly, not recall-bounded. Top-bit extraction spells logical
+    shift as arithmetic shift + mask, which DuckDB and Spark's
+    shiftrightunsigned agree on for any bits >= 1."""
+    mask = (1 << bits) - 1
+    sim_join = "AND a.sim_block = b.sim_block" if bits else ""
+    return f"""
     WITH d AS (
       SELECT doc_id, lang, n_chars,
              substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
                     1, {LEV_PREFIX}) AS p
       FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(p, ' ')) AS w FROM d
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS lo
+      FROM tok
+    ),
+    acc AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (CASE WHEN j < 32 THEN (lo >> j) & 1
+                            ELSE (hi >> (j - 32)) & 1 END) = 1
+                 THEN 1 ELSE -1 END) AS a
+      FROM th, (SELECT unnest(range(0, 64)) AS j)
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN a > 0 THEN
+                        CASE WHEN j = 63 THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << j) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM acc GROUP BY doc_id
+    ),
+    db AS (
+      SELECT d.doc_id, d.lang, d.n_chars, d.p,
+             (sig.simhash >> {64 - bits}) & {mask} AS sim_block
+      FROM d JOIN sig USING (doc_id)
     )
     SELECT a.doc_id AS left_id, b.doc_id AS right_id,
            CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_distance
-    FROM d a JOIN d b
+    FROM db a JOIN db b
       ON a.doc_id < b.doc_id
      AND a.lang = b.lang
      AND a.n_chars // {LEV_LEN_BUCKET} = b.n_chars // {LEV_LEN_BUCKET}
+     {sim_join}
     WHERE levenshtein(a.p, b.p) <= {LEV_MAX_DIST}
-    """,
-)
+    """
+
+
+@query("dedup_levenshtein_pairs", oracle=_levenshtein_oracle())
 def dedup_levenshtein_pairs(
-    spark: SparkSession, sf_dir: str, simhash_prefix_bits: int = 0
+    spark: SparkSession, sf_dir: str, simhash_prefix_bits: int = LEV_SIMHASH_BITS
 ) -> DataFrame:
     """Near-identical document pairs by edit distance on an 80-char
     canonical prefix, candidate-limited to (language, length-bucket)
@@ -787,14 +884,18 @@ def dedup_levenshtein_pairs(
     (lang, length-bucket) blocks themselves grow with the corpus and
     block^2 with them, so the block key WIDENS with the top N bits of a
     SimHash of the compared prefix (computed by the same vectorized
-    pandas_udf as dedup_simhash_fingerprints — dedup.py:406). Each added
-    bit roughly halves expected block size, i.e. quarters block^2 work.
-    The widening is the standard recall trade: prefixes within
-    LEV_MAX_DIST edits agree on high simhash bits with high probability
-    but not certainty, so the default (0) keeps the exact, oracle-green
-    semantics and the widened form is a candidate-pruned SUBSET —
-    tests/test_dedup.py proves both the subset property and the block
-    shrinkage. The plan shape is unchanged either way."""
+    pandas_udf as dedup_simhash_fingerprints). Each added bit roughly
+    halves expected block size, i.e. quarters block^2 work. The 10x
+    scale probe measured the 0-bit form at x38 on 10x data — the
+    predicted block^2 blow-up — so the REGISTERED default is now
+    LEV_SIMHASH_BITS=4, and because the simhash is md5-based the
+    oracle (``_levenshtein_oracle``) replays the widened blocking
+    relationally: the widened result is hash-checked EXACTLY
+    cross-engine, while remaining the standard recall trade vs the
+    0-bit form (prefixes within LEV_MAX_DIST edits agree on high
+    simhash bits with high probability, not certainty — the subset
+    property and block shrinkage are pinned in tests/test_dedup.py).
+    The plan shape is unchanged at any bit width."""
     d, block_cols = _lev_blocked(spark, sf_dir, simhash_prefix_bits)
     # The probe side carries the block^2 DP work; spread() inside
     # _lev_blocked keeps it spread across cores even on a single-split

@@ -257,22 +257,18 @@ def _unit_rows(vecs: list[list[float]]) -> list[list[float]]:
     return (arr / norms).tolist()
 
 
-def _ivf_oracle() -> str:
-    """DuckDB replay of the ENTIRE IVF pipeline — training included.
-    Every stochastic-looking ingredient is actually deterministic and
-    cross-engine computable: seeds are the k smallest md5(vec_id)
-    (both engines produce identical lowercase hex), the single Lloyd
-    iteration is an argmin-by-(d2, cell_id) + per-element mean rounded
-    to 6 places (rounding collapses row-order summation noise), and
-    assignment/probing/re-ranking all round their scores to 6 places
-    before comparison — exactly what the Spark path does. The only
-    residual freedom is pairwise-vs-sequential summation inside dots
-    and norms (~1e-15 against 5e-7 round boundaries): measure-zero,
-    same argument the LSH replay (``_lsh_oracle``) shipped with."""
+def ivf_assignment_ctes() -> str:
+    """The WITH-clause CTE chain (without the ``WITH`` keyword) that
+    replays IVF training and scores every vector against the unit
+    centroids: ``e`` (double vectors), ``seeds``/``assigned``/``cm``/
+    ``cent``/``unitc`` (one Lloyd iteration from md5-ordered seeds),
+    and ``cellscore`` (vec_id, dot, cell_id). Shared by the IVF ANN
+    oracle and by any oracle that blocks on quantizer cells (the
+    embedding near-dup detector)."""
     assert KMEANS_ITERS == 1, "oracle replays exactly one Lloyd iteration"
-    k, dim, nq, npb, topk = N_CENTROIDS, _DIM, N_QUERIES, N_PROBE, TOP_K
+    k, dim = N_CENTROIDS, _DIM
     return f"""
-    WITH e AS (
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
     ),
@@ -321,7 +317,24 @@ def _ivf_oracle() -> str:
                      i -> e.v[i] * u.u[i])), 6) AS dot,
              u.cell_id
       FROM e CROSS JOIN unitc u
-    ),
+    )"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline — training included.
+    Every stochastic-looking ingredient is actually deterministic and
+    cross-engine computable: seeds are the k smallest md5(vec_id)
+    (both engines produce identical lowercase hex), the single Lloyd
+    iteration is an argmin-by-(d2, cell_id) + per-element mean rounded
+    to 6 places (rounding collapses row-order summation noise), and
+    assignment/probing/re-ranking all round their scores to 6 places
+    before comparison — exactly what the Spark path does. The only
+    residual freedom is pairwise-vs-sequential summation inside dots
+    and norms (~1e-15 against 5e-7 round boundaries): measure-zero,
+    same argument the LSH replay (``_lsh_oracle``) shipped with."""
+    dim, nq, npb, topk = _DIM, N_QUERIES, N_PROBE, TOP_K
+    return f"""
+    WITH {ivf_assignment_ctes()},
     acell AS (
       SELECT vec_id, cell_id FROM cellscore
       WHERE vec_id >= {nq}

@@ -72,11 +72,12 @@ _QUERY_MODULES = (
 # non-SQL-expressible and pytest-bounded. Queries outside the window
 # remain registered and guarded by the committed local replica
 # (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r07 window
-# should lead with the queries that gained oracles after the cutoff
-# (dedup_minhash_lsh_pairs, dedup_simhash_fingerprints,
+# should lead with the queries that gained oracles or changed results
+# after the cutoff (dedup_minhash_lsh_pairs, dedup_simhash_fingerprints,
 # multimodal_frame_sample, multimodal_decode_dims,
-# text_boilerplate_ngrams), then the four deferred text queries, then
-# whatever is oldest (r04 rows).
+# text_boilerplate_ngrams, and the two scale-probe block-widening
+# fixes dedup_levenshtein_pairs + dedup_embedding_blocked_pairs),
+# then the four deferred text queries, then whatever is oldest (r04).
 _WINDOW = (
     # Newly oracle-paired this round ----------------------------------------
     "similarity_ann_ivf_topk",

@@ -79,12 +79,19 @@ PROBE_QUERIES = [
 
 
 def build_corpus(spark) -> None:
+    import glob
+    import shutil
+
     from pyspark.sql import functions as F
 
     os.makedirs(PROBE_DIR, exist_ok=True)
     for table, strides in KEYED.items():
+        # single FILE named <table>.parquet, like the real testdata —
+        # the streaming source's pathGlobFilter matches leaf file
+        # names, so a directory-shaped events.parquet would stream
+        # zero rows
         out = os.path.join(PROBE_DIR, f"{table}.parquet")
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
+        if os.path.isfile(out):
             continue
         base = spark.read.parquet(os.path.join(BASE_SF, f"{table}.parquet"))
         if not strides and table in ("region", "nation"):
@@ -109,7 +116,11 @@ def build_corpus(spark) -> None:
             reps = parts[0]
             for p in parts[1:]:
                 reps = reps.unionByName(p)
-        reps.write.mode("overwrite").parquet(out)
+        tmp = out + ".tmpdir"
+        reps.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, out)
+        shutil.rmtree(tmp)
         print(f"built {table}", file=sys.stderr)
 
 
