@@ -531,31 +531,31 @@ HLL_RSD = 0.02  # target relative standard deviation for approx distinct
 
 @query("sketch_events_daily")  # rows-only: sketches are estimators, not
 # reproducible scalars a cross-engine oracle can hash; the error
-# envelope vs the exact twin is pinned in tests/test_sketches.py
+# envelope vs sketch_events_daily_exact is pinned in tests/test_sketches.py
 def sketch_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day approximate profile of the event stream: HLL++ distinct
-    users (rsd=2%) and t-digest-style approximate value percentiles,
-    alongside their exact twins so the estimation error is part of the
-    output (and pinned by tests).
+    users (rsd=2%) and t-digest-style approximate value percentiles —
+    the PRODUCTION shape, sketches only (rounds 2-5 carried the exact
+    twins inline for the envelope, doubling the query's cost with an
+    exact count_distinct shuffle + an exact percentile sort; the twins
+    live in ``sketch_events_daily_exact`` and the envelope test joins
+    the two queries on day_s).
 
-    Scale: this pair of sketches is why 100-TB daily reporting is
-    feasible — both carry FIXED-size per-group state (an HLL register
-    array / a percentile sketch) that merges associatively map-side,
-    so the shuffle moves KB-sized sketches per (day, partition)
-    instead of the user-id / value sets the exact forms need. The
-    exact twins in this query are for the envelope; a production run
-    drops them and the plan touches each row exactly once."""
+    Scale: these sketches are why 100-TB daily reporting is feasible —
+    both carry FIXED-size per-group state (an HLL register array / a
+    percentile sketch) that merges associatively map-side, so the
+    shuffle moves KB-sized sketches per (day, partition) instead of
+    the user-id / value sets the exact forms need, and the plan
+    touches each row exactly once."""
     events = load_table(spark, sf_dir, "events")
     day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s")
     return (
         events.groupBy(day)
         .agg(
             F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
-            F.count_distinct("user_id").alias("exact_users"),
             F.round(F.percentile_approx("value", 0.5, 10_000), 4).alias(
                 "approx_p50_value"
             ),
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50_value"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
         .orderBy("day_s")

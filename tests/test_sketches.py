@@ -3,15 +3,30 @@ exact twins within the accuracy the sketch parameters promise."""
 
 from __future__ import annotations
 
-from benchviz_spark.operators.analytics import sketch_events_daily
+from benchviz_spark.operators.analytics import (
+    sketch_events_daily,
+    sketch_events_daily_exact,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def test_hll_distinct_within_rsd_envelope(spark):
-    rows = sketch_events_daily(spark, SF_DIR).collect()
+def _sketch_vs_exact_rows(spark):
+    """Join the production sketch query with its exact twin on day_s —
+    the envelope is a cross-QUERY contract now that the sketch query
+    carries no inline exact columns."""
+    approx = sketch_events_daily(spark, SF_DIR)
+    exact = sketch_events_daily_exact(spark, SF_DIR).withColumnRenamed(
+        "n_events", "n_events_exact"
+    )
+    rows = approx.join(exact, "day_s").collect()
     assert rows
-    for r in rows:
+    assert all(r.n_events == r.n_events_exact for r in rows)
+    return rows
+
+
+def test_hll_distinct_within_rsd_envelope(spark):
+    for r in _sketch_vs_exact_rows(spark):
         # 5 sigma on a 2% rsd sketch: generous but still catches a
         # broken register merge or a silently changed rsd
         assert abs(r.approx_users - r.exact_users) <= max(
@@ -20,8 +35,7 @@ def test_hll_distinct_within_rsd_envelope(spark):
 
 
 def test_percentile_sketch_tracks_exact_median(spark):
-    rows = sketch_events_daily(spark, SF_DIR).collect()
-    for r in rows:
+    for r in _sketch_vs_exact_rows(spark):
         spread_band = 0.15 * abs(r.exact_p50_value) + 1e-6
         assert abs(r.approx_p50_value - r.exact_p50_value) <= spread_band, (
             r.day_s,
