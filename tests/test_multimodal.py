@@ -88,7 +88,7 @@ def _png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
             ">I", zlib.crc32(tag + body)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -235,3 +235,33 @@ def test_decode_png_truncated_stream_raises_valueerror():
         decode_png(full[:-1])  # IEND's CRC is short one byte
     with _pytest.raises(ValueError):
         decode_png(full[:21])  # IHDR header readable, body cut
+
+
+def test_png_roundtrip_property():
+    """Property sweep: random pixel arrays across shapes, channel
+    counts, and random per-row filter choices must decode back
+    bit-exactly. Complements the deterministic per-filter test with
+    adversarial value patterns (the filter recurrences wrap mod 256,
+    so random bytes probe every carry path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def roundtrip(h, w, c, seed, data):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        got = decode_png(_png_with_filters(arr, filters))
+        assert got.shape == (h, w, c)
+        assert (got == arr).all(), (filters, arr.tolist(), got.tolist())
+
+    roundtrip()
