@@ -137,3 +137,76 @@ def test_stateful_profiles_resume_from_checkpoint(spark, tmp_path):
         assert gn == n, (uid, gn, n)
         assert abs(gtv - tv) < 1e-6, (uid, gtv, tv)
         assert gls == ls, (uid, gls, ls)
+
+
+def test_stateful_lww_resume_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery for the LWW/CDC compactor: after a restart
+    over the same checkpoint with new files, each user's winner must be
+    the (ts, event_id)-max over the FULL input and counts must total —
+    catching lost winner state and re-ingestion alike."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from benchviz_spark.sources.tables import load_table
+    from benchviz_spark.streaming.stateful import (
+        LWW_SCHEMA,
+        LWW_STATE_SCHEMA,
+        _update_lww,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "props"
+    )
+    h1 = events.filter(F.col("event_id") % 2 == 0)
+    h2 = events.filter(F.col("event_id") % 2 == 1)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    h1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(out_dir: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_lww,
+                outputStructType=LWW_SCHEMA,
+                stateStructType=LWW_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        def sink(df, _epoch):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    drain(out1)
+    h2.write.mode("append").parquet(src)
+    drain(out2)
+
+    final: dict = {}
+    for r in (
+        spark.read.parquet(out1).collect() + spark.read.parquet(out2).collect()
+    ):
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.last_ts_s, r.last_props)
+    expect = {
+        r.user_id: (r.n, r.ls, r.lp)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_timestamp(F.max("ts")).alias("ls"),
+            F.max_by("props", F.struct("ts", "event_id")).alias("lp"),
+        )
+        .collect()
+    }
+    assert final == expect
