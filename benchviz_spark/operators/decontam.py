@@ -173,3 +173,101 @@ def decontam_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(flagged, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: near-duplicate contamination pairs vs the eval
+# split (catches lightly-edited / reformatted eval leaks whose exact
+# n-gram overlap RATIO the threshold flagger scores low because the
+# document is long).
+# ---------------------------------------------------------------------------
+FUZZY_T = 0.5
+
+
+@query(
+    "decontam_fuzzy_eval_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS s
+      FROM tok WHERE len(t) >= 3
+    )
+    SELECT doc_id, eval_id, jaccard FROM (
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             round(len(list_intersect(c.s, e.s))::DOUBLE
+                   / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))),
+                   6) AS jaccard
+      FROM sh c JOIN sh e
+        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+    ) WHERE jaccard >= {FUZZY_T}
+    """,
+)
+def decontam_fuzzy_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(corpus doc, eval doc, jaccard) for every corpus document whose
+    3-gram shingle set is a near-duplicate (Jaccard >= 0.5) of an eval
+    document — the fuzzy tier of decontamination, beside the exact
+    overlap-ratio flagger (``decontam_eval_overlap``). A lightly-edited
+    eval question pasted into a long training page scores LOW on
+    overlap ratio (few contaminated shingles / many total) but HIGH
+    here against the eval doc itself.
+
+    Scale: the candidate generation needs no prefix filter because the
+    eval side bounds it — eval shingle postings are benchmark-suite-
+    sized (fixed MBs at any corpus scale), broadcast, and each corpus
+    shingle probes that map-side hash. Common-shingle counts combine
+    map-side per (corpus, eval) pair, the corpus side never shuffles
+    text, and the exact Jaccard comes from the counted intersection
+    plus the two (hoisted, per-doc) set sizes — no join back to
+    shingle arrays. The oracle is the direct corpus x eval pair join,
+    proving the posting formulation exact."""
+    from benchviz_spark.operators.dedup import hashed_shingled_documents
+
+    # materialize=True: the shingle table feeds BOTH the eval and the
+    # corpus posting sides — without the checkpoint each side re-runs
+    # the whole normalize+shingle+hash chain (the dedup pair queries'
+    # documented dominant cost)
+    sh = hashed_shingled_documents(spark, sf_dir, 3, materialize=True).filter(
+        F.size("hs") > 0
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.size("hs").alias("n_sh"),
+        F.explode("hs").alias("h"),
+    )
+    ev = hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("n_sh").alias("n_eval"),
+        "h",
+    )
+    corpus = hashed.filter(F.col("doc_id") % EVAL_MOD != 0)
+    inter = (
+        corpus.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_sh").alias("n_sh"),
+            F.first("n_eval").alias("n_eval"),
+        )
+    )
+    return (
+        inter.select(
+            "doc_id",
+            "eval_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_sh") + F.col("n_eval") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_T)
+    )

@@ -66,9 +66,10 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "similarity_exact_topk": {"embeddings"},
     "similarity_ann_lsh_topk": {"embeddings"},
     "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids
-    # eval-suite-bounded flagged-id sets
+    # eval-suite-bounded flagged-id sets / shingle postings
     "decontam_eval_overlap": {"documents"},
     "decontam_clean_corpus": {"documents"},
+    "decontam_fuzzy_eval_pairs": {"documents"},
     "curation_pipeline": {"documents"},
 }
 
