@@ -271,3 +271,80 @@ def decontam_fuzzy_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= FUZZY_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring decontamination: the third standard tier — verbatim
+# character spans copied from an eval document, regardless of token
+# boundaries or how much unrelated text surrounds them.
+# ---------------------------------------------------------------------------
+SUB_LEN = 40  # matched span length in normalized characters
+
+
+@query(
+    "decontam_substring_hits",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - {SUB_LEN - 2}, 1)),
+               i -> substr(s, i, {SUB_LEN})
+             )) AS ws
+      FROM n
+    )
+    SELECT doc_id, eval_id, n_shared_windows FROM (
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             CAST(len(list_intersect(c.ws, e.ws)) AS BIGINT)
+               AS n_shared_windows
+      FROM w c JOIN w e
+        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+    ) WHERE n_shared_windows >= 1
+    """,
+)
+def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(corpus doc, eval doc, shared-window count) for every corpus
+    document sharing at least one VERBATIM {SUB_LEN}-char normalized
+    substring with an eval document — the exact-copy tier beside the
+    n-gram overlap ratio and the fuzzy near-dup detector. A single
+    eval sentence pasted verbatim into an otherwise-original page is
+    invisible to whole-document Jaccard and scores low on overlap
+    ratio, but lights up here.
+
+    Scale: each side's sliding windows hash to int64 scan-side (the
+    window STRINGS never shuffle — 8-byte keys do), the eval posting
+    table is benchmark-suite-bounded and broadcast, and shared-window
+    counts combine map-side per (corpus, eval) pair. The count is over
+    DISTINCT windows on both sides, so the oracle's string-set
+    intersection is the exact relational spec (hash collisions are
+    the usual measure-zero caveat shared with the Jaccard tier)."""
+    from benchviz_spark.operators.dedup import _norm_text
+    from benchviz_spark.sources.tables import load_table
+
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
+    windows = F.expr(
+        f"""
+        CASE WHEN length(norm) >= {SUB_LEN}
+             THEN array_distinct(transform(
+                    sequence(1, length(norm) - {SUB_LEN - 1}),
+                    i -> xxhash64(substring(norm, i, {SUB_LEN}))))
+             ELSE cast(array() AS array<bigint>) END
+        """
+    )
+    hashed = (
+        docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
+        .select("doc_id", F.explode(windows).alias("h"))
+    )
+    ev = hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    corpus = hashed.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        corpus.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+    )

@@ -70,6 +70,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_eval_overlap": {"documents"},
     "decontam_clean_corpus": {"documents"},
     "decontam_fuzzy_eval_pairs": {"documents"},
+    "decontam_substring_hits": {"documents"},
     "curation_pipeline": {"documents"},
 }
 
