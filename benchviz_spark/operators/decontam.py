@@ -348,3 +348,97 @@ def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
     )
+
+
+@query(
+    "decontam_clean_corpus_strict",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh4 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {NGRAM - 2}, 1)),
+               i -> {_NGRAM_CONCAT}
+             )) AS s
+      FROM tok WHERE len(t) >= {NGRAM}
+    ),
+    ev4 AS (SELECT DISTINCT unnest(s) AS g FROM sh4 WHERE doc_id % {EVAL_MOD} = 0),
+    flag_overlap AS (
+      SELECT doc_id FROM (
+        SELECT p.doc_id, p.n_shingles, count(*) AS n_contaminated
+        FROM (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+              FROM sh4 WHERE doc_id % {EVAL_MOD} <> 0) p
+        JOIN ev4 USING (g) GROUP BY 1, 2
+      ) WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= {THRESHOLD}
+    ),
+    sh3 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    flag_fuzzy AS (
+      SELECT DISTINCT c.doc_id
+      FROM sh3 c JOIN sh3 e
+        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+      WHERE round(len(list_intersect(c.s, e.s))::DOUBLE
+                  / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))),
+                  6) >= {FUZZY_T}
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - {SUB_LEN - 2}, 1)),
+               i -> substr(s, i, {SUB_LEN})
+             )) AS ws
+      FROM (SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+            FROM documents)
+    ),
+    flag_sub AS (
+      SELECT DISTINCT c.doc_id
+      FROM w c JOIN w e
+        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+      WHERE len(list_intersect(c.ws, e.ws)) >= 1
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % {EVAL_MOD} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM flag_overlap)
+      AND doc_id NOT IN (SELECT doc_id FROM flag_fuzzy)
+      AND doc_id NOT IN (SELECT doc_id FROM flag_sub)
+    """,
+)
+def decontam_clean_corpus_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict action side: the training corpus minus the eval split
+    and minus every document flagged by ANY of the three
+    decontamination tiers — n-gram overlap ratio >= {THRESHOLD}, fuzzy
+    near-dup Jaccard >= {FUZZY_T} against an eval doc, or a verbatim
+    {SUB_LEN}-char substring hit. The three flag sets are each tiny
+    (contamination-rate-sized); their union anti-joins the corpus in
+    one pass, so the composition costs the three detectors plus one
+    AQE-broadcast anti join — no extra corpus scan per tier."""
+    from benchviz_spark.sources.tables import load_table
+
+    flagged = (
+        decontam_eval_overlap(spark, sf_dir)
+        .filter(F.col("contamination") >= THRESHOLD)
+        .select("doc_id")
+        .unionByName(
+            decontam_fuzzy_eval_pairs(spark, sf_dir).select("doc_id")
+        )
+        .unionByName(decontam_substring_hits(spark, sf_dir).select("doc_id"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % EVAL_MOD != 0
+    )
+    return docs.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

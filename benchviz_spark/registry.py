@@ -75,9 +75,11 @@ _QUERY_MODULES = (
 # should lead with the queries that gained oracles or changed results
 # after the cutoff (dedup_minhash_lsh_pairs, dedup_simhash_fingerprints,
 # multimodal_frame_sample, multimodal_decode_dims,
-# text_boilerplate_ngrams, decontam_fuzzy_eval_pairs,
-# decontam_substring_hits, and the two scale-probe block-widening
-# fixes dedup_levenshtein_pairs + dedup_embedding_blocked_pairs),
+# text_boilerplate_ngrams, the decontam additions
+# (decontam_fuzzy_eval_pairs, decontam_substring_hits,
+# decontam_clean_corpus_strict), and the two scale-probe
+# block-widening fixes dedup_levenshtein_pairs +
+# dedup_embedding_blocked_pairs),
 # then the four deferred text queries, then whatever is oldest (r04).
 _WINDOW = (
     # Newly oracle-paired this round ----------------------------------------

@@ -71,6 +71,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_clean_corpus": {"documents"},
     "decontam_fuzzy_eval_pairs": {"documents"},
     "decontam_substring_hits": {"documents"},
+    "decontam_clean_corpus_strict": {"documents"},
     "curation_pipeline": {"documents"},
 }
 
