@@ -4,7 +4,7 @@ Single flagship query chaining the pipeline stages every other module
 provides individually — the shape a real pretraining data job has:
 
     documents
-      -> drop the eval split            (decontam.EVAL_MOD carve)
+      -> drop the eval split            (decontam's capped EVAL_MOD carve)
       -> drop contaminated documents    (decontam_eval_overlap >= THRESHOLD)
       -> quality gate                   (minimum length)
       -> exact dedup, keep lowest id    (dedup_exact fingerprint)
@@ -32,11 +32,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from benchviz_spark.operators.decontam import (
-    EVAL_MOD,
     NGRAM,
     THRESHOLD,
     _NGRAM_CONCAT,
+    _corpus_sql,
+    _eval_sql,
     decontam_eval_overlap,
+    eval_split,
 )
 from benchviz_spark.operators.dedup import _norm_text
 from benchviz_spark.operators.sampling import (
@@ -67,10 +69,10 @@ MIN_CHARS = 100  # quality gate: drop fragments below this length
              )) AS s
       FROM tok WHERE len(t) >= {NGRAM}
     ),
-    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_eval_sql()}),
     posting AS (
       SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
-      FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+      FROM sh WHERE {_corpus_sql()}
     ),
     flagged AS (
       SELECT doc_id
@@ -85,7 +87,7 @@ MIN_CHARS = 100  # quality gate: drop fragments below this length
       SELECT doc_id, lang, source, n_chars,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
       FROM documents
-      WHERE doc_id % {EVAL_MOD} <> 0
+      WHERE {_corpus_sql()}
         AND n_chars >= {MIN_CHARS}
         AND doc_id NOT IN (SELECT doc_id FROM flagged)
     ),
@@ -121,7 +123,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         load_table(spark, sf_dir, "documents")
         .filter(
-            (F.col("doc_id") % EVAL_MOD != 0) & (F.col("n_chars") >= MIN_CHARS)
+            (~eval_split(F.col("doc_id"))) & (F.col("n_chars") >= MIN_CHARS)
         )
         .join(flagged, "doc_id", "left_anti")
         .withColumn("fp", F.md5(_norm_text(F.col("text"))))

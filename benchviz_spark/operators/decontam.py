@@ -14,6 +14,14 @@ Scale design (the judge's 100-TB lens):
   corpus does. This is the textbook-justified ``F.broadcast`` — unlike
   the vocabulary-sized document-frequency hints removed in round 3
   (see dedup.py:179-186), it stays KB/MB at any corpus scale.
+  Crucially the bound is STRUCTURAL, not an assumption about the data:
+  the eval carve is ``doc_id % EVAL_MOD == 0 AND doc_id < EVAL_CAP``,
+  so the carved set holds at most ``EVAL_CAP / EVAL_MOD`` documents
+  (~91k) no matter how large the corpus grows — a bare ``% EVAL_MOD``
+  carve would make the "eval" side ~9% OF THE CORPUS and turn
+  ``F.broadcast(ev)`` into an executor OOM at 100 TB. Everything not
+  in the carve (including ``doc_id >= EVAL_CAP`` rows that happen to
+  be ``% EVAL_MOD == 0``) is ordinary trainable corpus.
 - The corpus side never shuffles text: shingling is a narrow per-row
   projection, the explode is local, and the broadcast hash join keeps
   the probe map-side. The only exchange is the two-level hash
@@ -25,13 +33,14 @@ Scale design (the judge's 100-TB lens):
   shape is identical, only ``NGRAM`` changes.
 
 Here the "eval split" is carved deterministically from ``documents``
-(``doc_id % 11 == 0``) so the operator is self-contained and
-oracle-checkable; swapping in a real eval-set table changes one line.
+(``doc_id % 11 == 0 AND doc_id < EVAL_CAP``) so the operator is
+self-contained, oracle-checkable, AND bounded; swapping in a real
+eval-set table changes one line.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from benchviz_spark.operators.dedup import shingled_documents
@@ -40,11 +49,33 @@ from benchviz_spark.sources.tables import spread
 
 NGRAM = 4
 EVAL_MOD = 11
+# Hard doc_id ceiling on the eval carve: at most EVAL_CAP / EVAL_MOD
+# (~91k) documents can ever be "eval", independent of corpus size, so
+# every F.broadcast(ev) below is bounded by construction. All test SFs
+# (max doc_id 4999) sit entirely under the cap; the 10x scale corpus
+# (doc_id up to 9e7) exercises it — eval stays fixed while the corpus
+# grows, which is the real-pipeline shape.
+EVAL_CAP = 1_000_000
 THRESHOLD = 0.1
 
 _NGRAM_CONCAT = " || ' ' || ".join(
     "t[i]" if j == 0 else f"t[i+{j}]" for j in range(NGRAM)
 )
+
+
+def _eval_sql(col: str = "doc_id") -> str:
+    """DuckDB predicate: row belongs to the (capped) eval carve."""
+    return f"({col} % {EVAL_MOD} = 0 AND {col} < {EVAL_CAP})"
+
+
+def _corpus_sql(col: str = "doc_id") -> str:
+    """DuckDB predicate: complement of :func:`_eval_sql`."""
+    return f"({col} % {EVAL_MOD} <> 0 OR {col} >= {EVAL_CAP})"
+
+
+def eval_split(col: Column) -> Column:
+    """Spark predicate mirroring :func:`_eval_sql` exactly."""
+    return (col % EVAL_MOD == 0) & (col < EVAL_CAP)
 
 
 @query(
@@ -63,10 +94,10 @@ _NGRAM_CONCAT = " || ' ' || ".join(
              )) AS s
       FROM tok WHERE len(t) >= {NGRAM}
     ),
-    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_eval_sql()}),
     posting AS (
       SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
-      FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+      FROM sh WHERE {_corpus_sql()}
     ),
     hits AS (
       SELECT p.doc_id, p.n_shingles, count(*) AS n_contaminated
@@ -94,11 +125,11 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, shingled_documents(spark, sf_dir, n=NGRAM)
     ).localCheckpoint(eager=True).filter(F.size("shingles") > 0)
     ev = (
-        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        sh.filter(eval_split(F.col("doc_id")))
         .select(F.explode("shingles").alias("g"))
         .distinct()
     )
-    posting = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+    posting = sh.filter(~eval_split(F.col("doc_id"))).select(
         "doc_id",
         F.size("shingles").cast("long").alias("n_shingles"),
         F.explode("shingles").alias("g"),
@@ -134,10 +165,10 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS s
       FROM tok WHERE len(t) >= {NGRAM}
     ),
-    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_eval_sql()}),
     posting AS (
       SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
-      FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+      FROM sh WHERE {_corpus_sql()}
     ),
     flagged AS (
       SELECT doc_id
@@ -150,7 +181,7 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    WHERE doc_id % {EVAL_MOD} <> 0
+    WHERE {_corpus_sql()}
       AND doc_id NOT IN (SELECT doc_id FROM flagged)
     """,
 )
@@ -168,7 +199,7 @@ def decontam_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % EVAL_MOD != 0
+        ~eval_split(F.col("doc_id"))
     )
     return docs.join(flagged, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
@@ -206,7 +237,7 @@ FUZZY_T = 0.5
                    / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))),
                    6) AS jaccard
       FROM sh c JOIN sh e
-        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+        ON {_corpus_sql('c.doc_id')} AND {_eval_sql('e.doc_id')}
     ) WHERE jaccard >= {FUZZY_T}
     """,
 )
@@ -242,12 +273,12 @@ def decontam_fuzzy_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hs").alias("n_sh"),
         F.explode("hs").alias("h"),
     )
-    ev = hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+    ev = hashed.filter(eval_split(F.col("doc_id"))).select(
         F.col("doc_id").alias("eval_id"),
         F.col("n_sh").alias("n_eval"),
         "h",
     )
-    corpus = hashed.filter(F.col("doc_id") % EVAL_MOD != 0)
+    corpus = hashed.filter(~eval_split(F.col("doc_id")))
     inter = (
         corpus.join(F.broadcast(ev), "h")
         .groupBy("doc_id", "eval_id")
@@ -302,7 +333,7 @@ SUB_LEN = 40  # matched span length in normalized characters
              CAST(len(list_intersect(c.ws, e.ws)) AS BIGINT)
                AS n_shared_windows
       FROM w c JOIN w e
-        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+        ON {_corpus_sql('c.doc_id')} AND {_eval_sql('e.doc_id')}
     ) WHERE n_shared_windows >= 1
     """,
 )
@@ -339,10 +370,10 @@ def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
         .select("doc_id", F.explode(windows).alias("h"))
     )
-    ev = hashed.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+    ev = hashed.filter(eval_split(F.col("doc_id"))).select(
         F.col("doc_id").alias("eval_id"), "h"
     )
-    corpus = hashed.filter(F.col("doc_id") % EVAL_MOD != 0)
+    corpus = hashed.filter(~eval_split(F.col("doc_id")))
     return (
         corpus.join(F.broadcast(ev), "h")
         .groupBy("doc_id", "eval_id")
@@ -366,12 +397,12 @@ def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS s
       FROM tok WHERE len(t) >= {NGRAM}
     ),
-    ev4 AS (SELECT DISTINCT unnest(s) AS g FROM sh4 WHERE doc_id % {EVAL_MOD} = 0),
+    ev4 AS (SELECT DISTINCT unnest(s) AS g FROM sh4 WHERE {_eval_sql()}),
     flag_overlap AS (
       SELECT doc_id FROM (
         SELECT p.doc_id, p.n_shingles, count(*) AS n_contaminated
         FROM (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
-              FROM sh4 WHERE doc_id % {EVAL_MOD} <> 0) p
+              FROM sh4 WHERE {_corpus_sql()}) p
         JOIN ev4 USING (g) GROUP BY 1, 2
       ) WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= {THRESHOLD}
     ),
@@ -386,7 +417,7 @@ def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag_fuzzy AS (
       SELECT DISTINCT c.doc_id
       FROM sh3 c JOIN sh3 e
-        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+        ON {_corpus_sql('c.doc_id')} AND {_eval_sql('e.doc_id')}
       WHERE round(len(list_intersect(c.s, e.s))::DOUBLE
                   / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))),
                   6) >= {FUZZY_T}
@@ -404,12 +435,12 @@ def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag_sub AS (
       SELECT DISTINCT c.doc_id
       FROM w c JOIN w e
-        ON c.doc_id % {EVAL_MOD} <> 0 AND e.doc_id % {EVAL_MOD} = 0
+        ON {_corpus_sql('c.doc_id')} AND {_eval_sql('e.doc_id')}
       WHERE len(list_intersect(c.ws, e.ws)) >= 1
     )
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    WHERE doc_id % {EVAL_MOD} <> 0
+    WHERE {_corpus_sql()}
       AND doc_id NOT IN (SELECT doc_id FROM flag_overlap)
       AND doc_id NOT IN (SELECT doc_id FROM flag_fuzzy)
       AND doc_id NOT IN (SELECT doc_id FROM flag_sub)
@@ -437,7 +468,7 @@ def decontam_clean_corpus_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % EVAL_MOD != 0
+        ~eval_split(F.col("doc_id"))
     )
     return docs.join(flagged, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"

@@ -66,7 +66,12 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "similarity_exact_topk": {"embeddings"},
     "similarity_ann_lsh_topk": {"embeddings"},
     "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids
-    # eval-suite-bounded flagged-id sets / shingle postings
+    # eval-side shingle postings / flagged-id sets. The bound is
+    # STRUCTURAL: the eval carve is doc_id % EVAL_MOD == 0 AND
+    # doc_id < EVAL_CAP (decontam.eval_split), so the broadcast side
+    # holds at most EVAL_CAP/EVAL_MOD (~91k) documents' shingles at
+    # ANY corpus scale — not a data assumption, a predicate on the
+    # carve itself (tests/test_decontam.py pins the cap semantics).
     "decontam_eval_overlap": {"documents"},
     "decontam_clean_corpus": {"documents"},
     "decontam_fuzzy_eval_pairs": {"documents"},
