@@ -337,7 +337,9 @@ SUB_LEN = 40  # matched span length in normalized characters
     ) WHERE n_shared_windows >= 1
     """,
 )
-def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontam_substring_hits(
+    spark: SparkSession, sf_dir: str, stride: int = 1
+) -> DataFrame:
     """(corpus doc, eval doc, shared-window count) for every corpus
     document sharing at least one VERBATIM {SUB_LEN}-char normalized
     substring with an eval document — the exact-copy tier beside the
@@ -352,28 +354,47 @@ def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts combine map-side per (corpus, eval) pair. The count is over
     DISTINCT windows on both sides, so the oracle's string-set
     intersection is the exact relational spec (hash collisions are
-    the usual measure-zero caveat shared with the Jaccard tier)."""
+    the usual measure-zero caveat shared with the Jaccard tier).
+
+    The exact default (``stride=1``) emits one hashed window per corpus
+    character — ~8 bytes per character, an ~8x scan-stage amplification
+    that a 100-TB run would rather not pay. ``stride=k`` samples corpus
+    offsets ``1, 1+k, 1+2k, ...`` (the tiny eval side always emits ALL
+    offsets), cutting emission by ~k while keeping a hard guarantee:
+    every copied span of at least ``SUB_LEN + k - 1`` characters still
+    contains a sampled corpus window that lands fully inside it and so
+    MUST hit an eval window — detection weakens gracefully from
+    "40-char span" to "40+k-1-char span", never probabilistically
+    (pinned worst-case-offset by tests/test_decontam.py). With
+    ``stride > 1`` the reported count is over sampled windows only, so
+    it is a detection flag, not the exact shared-window count."""
     from benchviz_spark.operators.dedup import _norm_text
     from benchviz_spark.sources.tables import load_table
 
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
     docs = spread(spark, load_table(spark, sf_dir, "documents"))
-    windows = F.expr(
-        f"""
-        CASE WHEN length(norm) >= {SUB_LEN}
-             THEN array_distinct(transform(
-                    sequence(1, length(norm) - {SUB_LEN - 1}),
-                    i -> xxhash64(substring(norm, i, {SUB_LEN}))))
-             ELSE cast(array() AS array<bigint>) END
-        """
+
+    def windows(step: int) -> Column:
+        return F.expr(
+            f"""
+            CASE WHEN length(norm) >= {SUB_LEN}
+                 THEN array_distinct(transform(
+                        sequence(1, length(norm) - {SUB_LEN - 1}, {step}),
+                        i -> xxhash64(substring(norm, i, {SUB_LEN}))))
+                 ELSE cast(array() AS array<bigint>) END
+            """
+        )
+
+    normed = docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
+    ev = (
+        normed.filter(eval_split(F.col("doc_id")))
+        .select(F.col("doc_id").alias("eval_id"), F.explode(windows(1)).alias("h"))
     )
-    hashed = (
-        docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
-        .select("doc_id", F.explode(windows).alias("h"))
+    corpus = normed.filter(~eval_split(F.col("doc_id"))).select(
+        "doc_id", F.explode(windows(stride)).alias("h")
     )
-    ev = hashed.filter(eval_split(F.col("doc_id"))).select(
-        F.col("doc_id").alias("eval_id"), "h"
-    )
-    corpus = hashed.filter(~eval_split(F.col("doc_id")))
     return (
         corpus.join(F.broadcast(ev), "h")
         .groupBy("doc_id", "eval_id")

@@ -90,3 +90,48 @@ def test_eval_carve_size_is_corpus_independent(spark):
     )
     assert n_big == n_small
     assert n_big <= EVAL_CAP // EVAL_MOD + 1
+
+
+def test_substring_stride_detection_guarantee(spark, tmp_path):
+    """stride=k must still detect every copied span of length
+    >= SUB_LEN + k - 1, at EVERY paste offset (worst case included),
+    while stride=1 stays the exact spec the oracle checks."""
+    import random
+
+    from benchviz_spark.operators.decontam import (
+        SUB_LEN,
+        decontam_substring_hits,
+    )
+
+    stride = 7
+    span_len = SUB_LEN + stride - 1  # the guaranteed-detection minimum
+    rng = random.Random(1234)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    span = "".join(rng.choice(alpha) for _ in range(span_len))
+    # one eval doc (doc_id 0: % EVAL_MOD == 0, under the cap) carrying
+    # the span; corpus docs paste it at every offset in a window of
+    # unrelated text, plus one clean corpus doc as a negative.
+    rows = [(0, "EVALPREFIX " + span + " EVALSUFFIX")]
+    clean_of = lambda n: "".join(rng.choice("0123456789") for _ in range(n))
+    offsets = range(0, 2 * stride + 3)
+    # corpus ids of the form 11k+1 can never fall in the eval carve
+    planted_ids = [EVAL_MOD * i + 1 for i in range(len(list(offsets)))]
+    for pid, off in zip(planted_ids, offsets):
+        rows.append((pid, clean_of(off) + span + clean_of(60)))
+    neg_id = EVAL_MOD * len(planted_ids) + 1
+    rows.append((neg_id, clean_of(200)))
+    df = spark.createDataFrame(
+        [(d, t, "en", "synth", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf_planted")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+    hits = decontam_substring_hits(spark, sf, stride=stride).collect()
+    detected = {r.doc_id for r in hits}
+    expected = set(planted_ids)
+    assert expected <= detected, expected - detected
+    assert neg_id not in detected
+    # exact mode detects the same planted docs (sanity: stride only
+    # thins corpus offsets, never adds hits)
+    exact = {r.doc_id for r in decontam_substring_hits(spark, sf).collect()}
+    assert detected <= exact
