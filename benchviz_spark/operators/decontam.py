@@ -494,3 +494,58 @@ def decontam_clean_corpus_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(flagged, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Strided exact-substring decontamination: the production-rate variant
+# of decontam_substring_hits, registered so the stride path itself is
+# driver-checkable (the DuckDB oracle replays the exact offset lattice).
+# ---------------------------------------------------------------------------
+SUB_STRIDE = 7  # detection guarantee: spans >= SUB_LEN + SUB_STRIDE - 1
+
+
+@query(
+    "decontam_substring_hits_strided",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - {SUB_LEN - 2}, 1), {SUB_STRIDE}),
+               i -> substr(s, i, {SUB_LEN})
+             )) AS ws
+      FROM n
+    ),
+    we AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - {SUB_LEN - 2}, 1)),
+               i -> substr(s, i, {SUB_LEN})
+             )) AS ws
+      FROM n
+    )
+    SELECT doc_id, eval_id, n_shared_windows FROM (
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+             CAST(len(list_intersect(c.ws, e.ws)) AS BIGINT)
+               AS n_shared_windows
+      FROM wc c JOIN we e
+        ON {_corpus_sql('c.doc_id')} AND {_eval_sql('e.doc_id')}
+    ) WHERE n_shared_windows >= 1
+    """,
+)
+def decontam_substring_hits_strided(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``decontam_substring_hits`` at its production emission rate:
+    corpus offsets sampled every {SUB_STRIDE} characters (the eval side
+    keeps every offset), cutting the scan-stage window emission by
+    ~{SUB_STRIDE}x while guaranteeing detection of every copied span of
+    at least SUB_LEN + {SUB_STRIDE} - 1 characters. Registered beside
+    the exact tier so the strided lattice itself is oracle-replayed —
+    the counts here are over SAMPLED corpus windows, a detection
+    signal, not the exact shared-window count."""
+    return decontam_substring_hits(spark, sf_dir, stride=SUB_STRIDE)

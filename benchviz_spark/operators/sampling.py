@@ -317,3 +317,48 @@ def sample_weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(ES_K)
         .select("doc_id", "source", "w", F.round("k", 6).alias("sample_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k per-stratum sampling: fixed-SIZE samples (eval sets, human
+# review batches, per-language probes) where the rate-based stratified
+# sampler's binomial count variance is unacceptable.
+# ---------------------------------------------------------------------------
+EXACT_K = 50
+
+
+@query(
+    "sample_stratified_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, pick FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('exk:' || doc_id::VARCHAR), doc_id
+             ) AS BIGINT) AS pick
+      FROM documents
+    ) WHERE pick <= {EXACT_K}
+    """,
+)
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY min(k, stratum size) documents per language, chosen by
+    md5 key order — deterministic (same set on every rerun, append, or
+    repartition) and engine-agreed (the oracle replays the same hash
+    order in DuckDB). The rate-based ``sample_stratified_documents``
+    gives each stratum a binomially-noisy COUNT; this gives a fixed
+    one.
+
+    Scale: the rank-filter window rides Spark's WindowGroupLimit
+    rank-pushdown — each input partition pre-truncates to its local
+    top-k per stratum BEFORE the exchange, so the shuffle carries at
+    most k * n_partitions rows per language, not the corpus (asserted
+    in tests/test_plans.py). The md5 sort key is uniform, so per-lang
+    order is skew-free even when the lang column itself is skewed."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("exk:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= EXACT_K)
+    )

@@ -701,3 +701,65 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search: every neighbor above a similarity threshold —
+# the "find all near matches" sibling of top-k (retrieval dedup,
+# near-duplicate mining against a probe set, RAG recall floors).
+# ---------------------------------------------------------------------------
+RANGE_T = 0.3
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(
+               list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM scored WHERE cosine >= {RANGE_T}
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (query, neighbor) pairs with cosine >= {RANGE_T} — range
+    search, the threshold-complete complement of ``similarity_exact_topk``
+    (top-k bounds result COUNT but not quality; range search bounds
+    QUALITY but not count — retrieval-dedup and recall-floor audits
+    need the latter).
+
+    Scale: strictly cheaper than the top-k plan — the broadcast query
+    side probes each corpus partition, the threshold filter runs
+    scan-side inside the same codegen stage, and there is NO shuffle at
+    all (top-k still pays the per-query window exchange). Output size
+    is data-dependent by definition; the threshold is the knob.
+    Cosines round to 6 places before the compare so the >= boundary is
+    engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("ce")
+    )
+    return (
+        c.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_T)
+    )

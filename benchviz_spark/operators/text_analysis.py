@@ -771,3 +771,71 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "ngram")
         .limit(BOILERPLATE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# First-owner n-gram novelty: how much of a document is text the corpus
+# has never produced before it — the growth-ordered complement of the
+# pairwise dedup tier (dedup asks "whom do I copy"; novelty asks "how
+# much of me is new at my arrival point").
+# ---------------------------------------------------------------------------
+NOVELTY_N = 3
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {NOVELTY_N - 2}, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS s
+      FROM tok WHERE len(t) >= {NOVELTY_N}
+    ),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    owner AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (o.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (o.first_doc = g.doc_id)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM g JOIN owner o USING (gram)
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (with >= {NOVELTY_N} tokens): its distinct
+    {NOVELTY_N}-gram count, how many of those grams it is the FIRST
+    owner of (by doc_id order), and the novelty ratio. Boilerplate
+    re-posts score ~0; genuinely new text scores ~1 — the standard
+    curation signal for "does ingesting this source add anything".
+
+    Scale: two map-side-combined aggregations over one exploded
+    shingle relation — (gram -> min owner) then the per-doc ratio —
+    joined on the gram hash. No broadcast hint on the gram join (the
+    gram vocabulary grows with the corpus: same rule as the
+    unigram/tfidf vocabulary joins); min() makes the first-owner
+    reduction associative, so partial aggregation bounds the wire at
+    one row per (partition, gram). Shingles hash to int64 before the
+    shuffle — 8-byte keys, never gram strings (the dedup-tier rule)."""
+    from benchviz_spark.operators.dedup import hashed_shingled_documents
+
+    sh = hashed_shingled_documents(spark, sf_dir, NOVELTY_N).filter(
+        F.size("hs") > 0
+    )
+    g = sh.select("doc_id", F.explode("hs").alias("h"))
+    owner = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+    return (
+        g.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

@@ -64,6 +64,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # carry an explicit vec_id < N_QUERIES filter (asserted with
     # constraint propagation disabled in tests/test_plans.py).
     "similarity_exact_topk": {"embeddings"},
+    "similarity_range_search": {"embeddings"},  # vec_id < N_QUERIES probe set
     "similarity_ann_lsh_topk": {"embeddings"},
     "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids
     # eval-side shingle postings / flagged-id sets. The bound is
@@ -76,6 +77,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_clean_corpus": {"documents"},
     "decontam_fuzzy_eval_pairs": {"documents"},
     "decontam_substring_hits": {"documents"},
+    "decontam_substring_hits_strided": {"documents"},
     "decontam_clean_corpus_strict": {"documents"},
     "curation_pipeline": {"documents"},
 }

@@ -457,3 +457,29 @@ def test_scd2_windows_are_user_partitioned(spark):
     assert specs, "expected windows in the SCD-2 plan"
     for spec in specs:
         assert spec.strip().startswith("user_id"), spec
+
+
+def test_exact_k_sample_rides_window_group_limit(spark):
+    """sample_stratified_exact_k's docstring claim: the rank filter
+    lowers to WindowGroupLimit (Spark's rank-pushdown), so each input
+    partition pre-truncates to its local top-k per stratum before the
+    exchange instead of shuffling the whole corpus."""
+    from benchviz_spark.operators.sampling import sample_stratified_exact_k
+
+    plan = formatted_plan(sample_stratified_exact_k(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    # both the partial (pre-shuffle) and final sides must be present
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_range_search_no_exchange_at_all(spark):
+    """similarity_range_search's claim: broadcast probe + scan-side
+    threshold filter — the only Exchange allowed is the broadcast
+    itself (no shuffle exchange anywhere in the plan)."""
+    from benchviz_spark.operators.similarity import similarity_range_search
+
+    plan = formatted_plan(similarity_range_search(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            pytest.fail(f"unexpected shuffle exchange: {line}")
