@@ -63,3 +63,29 @@ def test_rolling_hash_is_order_sensitive(spark):
     )
     a, b = [r.h for r in df.select(rolled.alias("h")).collect()]
     assert a != b
+
+
+def test_ngram_novelty_planted_semantics(spark, tmp_path):
+    """First owner of a gram scores it novel; a verbatim repost scores
+    0; half-copied text scores in between — pinned on planted docs
+    (the DuckDB oracle replays the same formula, so this test is the
+    independent check that the formula MEANS novelty)."""
+    from benchviz_spark.operators.text_analysis import text_ngram_novelty
+
+    orig = "alpha bravo charlie delta echo foxtrot golf hotel"
+    fresh = "india juliett kilo lima mike november oscar papa"
+    half = "alpha bravo charlie delta quebec romeo sierra tango"
+    rows = [(1, orig), (2, orig), (3, fresh), (4, half)]
+    df = spark.createDataFrame(
+        [(d, t, "en", "synth", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf_novelty")
+    df.coalesce(1).write.parquet(sf + "/documents.parquet")
+    got = {r.doc_id: r for r in text_ngram_novelty(spark, sf).collect()}
+    assert got[1].novelty == 1.0          # first owner of every gram
+    assert got[2].novelty == 0.0          # verbatim repost
+    assert got[3].novelty == 1.0          # disjoint vocabulary
+    assert 0.0 < got[4].novelty < 1.0     # half-copied
+    # counts are distinct 3-grams: 8 tokens -> 6 grams
+    assert got[1].n_grams == 6 and got[2].n_novel == 0
