@@ -265,3 +265,28 @@ def test_png_roundtrip_property():
         assert (got == arr).all(), (filters, arr.tolist(), got.tolist())
 
     roundtrip()
+
+
+def test_resize_half_matches_naive_pooling():
+    """resize_half's vectorized block sum vs a four-loop reference, odd
+    dims included (edge rows/cols must drop, floor semantics exact)."""
+    import numpy as np
+
+    from benchviz_spark.operators.multimodal import resize_half
+
+    rng = np.random.default_rng(11)
+    for h, w in [(16, 16), (17, 21), (2, 2), (3, 3), (33, 16)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = resize_half(arr)
+        h2, w2 = h // 2, w // 2
+        assert got.shape == (h2, w2, 3)
+        for y in range(h2):
+            for x in range(w2):
+                for c in range(3):
+                    s = (
+                        int(arr[2 * y, 2 * x, c])
+                        + int(arr[2 * y, 2 * x + 1, c])
+                        + int(arr[2 * y + 1, 2 * x, c])
+                        + int(arr[2 * y + 1, 2 * x + 1, c])
+                    )
+                    assert got[y, x, c] == s // 4, (y, x, c)
