@@ -410,7 +410,14 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream operator. The stop-word probe uses array_intersect
     against an 8-element literal array: distinct-presence, not term
     frequency, exactly as the paper specifies."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_projection(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_projection(docs: DataFrame) -> DataFrame:
+    """The Gopher-rule columns as a pure projection of any (doc_id,
+    text) frame — batch or streaming (stateless, so the streaming twin
+    ``stream_quality_gopher_gate`` applies it verbatim to a document
+    stream and drains in append mode)."""
     norm = _norm_text(F.col("text"))
     toks = F.split(norm, " ")
     n_words = F.size(toks)

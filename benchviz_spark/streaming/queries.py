@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 # look them up (registry._QUERY_MODULES also orders events before this
 # module, but a direct import must not depend on that).
 import benchviz_spark.operators.events  # noqa: F401
+import benchviz_spark.operators.quality  # noqa: F401
 from benchviz_spark.registry import _ORACLES, query
 from benchviz_spark.streaming import stateful as st
 from benchviz_spark.streaming import windows as sw
@@ -152,3 +153,18 @@ def stream_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.stream_latest_user_state(spark, sf_dir), spark, "lww", "update"
     )
     return _final_state(drained)
+
+
+@query("stream_quality_gopher_gate", oracle=_ORACLES["quality_gopher_rules"])
+def stream_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate running ON THE STREAM — corpus hygiene
+    as a continuously-ingesting stage rather than a batch sweep. The
+    projection is stateless, so the drain runs in append mode and the
+    result hashes against the SAME oracle as the batch gate
+    (quality_gopher_rules): stream == batch == DuckDB, machine-checked.
+    First streaming query over the documents table (every other
+    stream_* rides events) — it proves the LLM-data tier composes with
+    Structured Streaming, not just with batch scans."""
+    return _drain(
+        sw.stream_gopher_gate(spark, sf_dir), spark, "gopher_gate", "append"
+    )

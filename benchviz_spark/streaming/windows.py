@@ -250,3 +250,25 @@ def stream_enriched_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a stream — the arriving-corpus shape a
+    continuously-ingesting curation pipeline sees. Schema from the
+    batch footer (never inferred on the stream)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality_gopher_rules: the same pure projection
+    applied to the document stream. Stateless — no watermark, no state
+    store; every arriving micro-batch emits its gate rows immediately,
+    which is exactly how a streaming corpus-hygiene stage deploys."""
+    from benchviz_spark.operators.quality import gopher_projection
+
+    return gopher_projection(read_documents_stream(spark, sf_dir))
