@@ -483,3 +483,20 @@ def test_range_search_no_exchange_at_all(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             pytest.fail(f"unexpected shuffle exchange: {line}")
+
+
+def test_nearest_asof_single_shuffle(spark):
+    """asof_purchase_nearest_view's claim: both directional window
+    frames share one per-user Exchange + Sort — exactly one shuffle
+    exchange in the whole plan."""
+    from benchviz_spark.operators.asof import asof_purchase_nearest_view
+
+    import re
+
+    plan = formatted_plan(asof_purchase_nearest_view(spark, SF_DIR))
+    # count detail headers "(n) Exchange" so tree + detail lines for
+    # the same node aren't double-counted
+    shuffles = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(shuffles) == 1, plan
+    # and the two frames fused into a single Window node
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, plan
