@@ -53,9 +53,7 @@ from benchviz_spark.sources.tables import load_table
 MIN_CHARS = 100  # quality gate: drop fragments below this length
 
 
-@query(
-    "curation_pipeline",
-    oracle=f"""
+_CURATION_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
@@ -103,7 +101,12 @@ MIN_CHARS = 100  # quality gate: drop fragments below this length
                 WHEN bucket < {VAL_UPTO} THEN 'val'
                 ELSE 'test' END AS split
     FROM (SELECT *, {_bucket_sql('split:')} AS bucket FROM deduped)
-    """,
+    """
+
+
+@query(
+    "curation_pipeline",
+    oracle=_CURATION_ORACLE
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation chain as one DataFrame: eval carve-out ->
@@ -139,4 +142,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.withColumn("bucket", hash_bucket(F.col("doc_id"), "split:"))
         .withColumn("split", split)
         .select("doc_id", "lang", "source", "n_chars", "split")
+    )
+
+
+@query(
+    "curation_mixture_report",
+    oracle=f"""
+    WITH cur AS ({_CURATION_ORACLE})
+    SELECT lang, source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM cur GROUP BY 1, 2, 3
+    """,
+)
+def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe card for the curated corpus: per (lang, source,
+    split) document counts and character volume — the table every
+    pretraining run records beside its mixture weights, computed over
+    the SAME one-plan curation chain (eval carve -> decontam -> quality
+    gate -> exact dedup -> split).
+
+    Scale: adds exactly one map-side-combined aggregation over a
+    (langs x sources x 3)-cell group space to the curation plan —
+    output is recipe-card-sized at any corpus scale."""
+    return (
+        curation_pipeline(spark, sf_dir)
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )

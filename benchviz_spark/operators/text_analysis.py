@@ -843,3 +843,38 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "quality_language_consistency",
+    oracle=f"""
+    WITH lid AS ({_lang_oracle()})
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(predicted_lang <> labeled_lang AND predicted_lang <> 'und'
+                AS INT) AS is_mismatch
+    FROM lid GROUP BY 1, 2
+    """,
+)
+def quality_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (labeled, predicted) language confusion matrix over the
+    corpus — the label-noise report a pipeline checks before trusting
+    the ``lang`` column for stratified sampling or per-language
+    filtering. ``is_mismatch`` marks confident disagreements
+    (prediction differs AND is not 'und'); 'und' rows are coverage
+    gaps, not noise.
+
+    Scale: the language-id projection is scan-side (fixed marker-array
+    intersections, no UDF) and the confusion matrix is one map-side-
+    combined aggregation over a <=36-cell group space — output size is
+    alphabet-bounded, independent of corpus size."""
+    lid = text_language_id(spark, sf_dir)
+    mism = (
+        (F.col("predicted_lang") != F.col("labeled_lang"))
+        & (F.col("predicted_lang") != "und")
+    )
+    return (
+        lid.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("is_mismatch", mism.cast("int"))
+    )
