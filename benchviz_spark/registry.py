@@ -77,7 +77,8 @@ _QUERY_MODULES = (
 # sample_stratified_exact_k, text_ngram_novelty,
 # multimodal_resize_stats, stream_quality_gopher_gate,
 # asof_purchase_nearest_view, quality_language_consistency,
-# curation_mixture_report — all oracle-paired, none ever
+# curation_mixture_report, embedding_integrity_profile — all
+# oracle-paired, none ever
 # driver-checked), then the 8 held-back TPC-H rows
 # (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders), then the
 # oldest remaining r04/r05 evidence.

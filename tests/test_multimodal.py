@@ -290,3 +290,36 @@ def test_resize_half_matches_naive_pooling():
                         + int(arr[2 * y + 1, 2 * x + 1, c])
                     )
                     assert got[y, x, c] == s // 4, (y, x, c)
+
+
+def test_embedding_integrity_planted_defects(spark, tmp_path):
+    """The synthetic store is defect-free, so the oracle only proves
+    zeros; planted defects prove each counter actually fires."""
+    from benchviz_spark.operators.multimodal import (
+        EMB_DIM,
+        embedding_integrity_profile,
+    )
+
+    good = [0.0] * EMB_DIM
+    good[0] = 1.0  # unit norm
+    rows = [
+        (1, good, 0),
+        (2, [0.5] * EMB_DIM, 0),            # norm 4 -> unit violation
+        (3, [0.0] * EMB_DIM, 0),            # zero vector (also violation)
+        (4, [1.0] * (EMB_DIM - 1), 0),      # wrong dim
+        (5, [float("nan")] + good[1:], 0),  # non-finite
+        (6, [float("inf")] + good[1:], 0),  # non-finite
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf_emb")
+    df.coalesce(1).write.parquet(sf + "/embeddings.parquet")
+    row = embedding_integrity_profile(spark, sf).collect()[0]
+    assert row.n_vecs == 6
+    assert row.n_wrong_dim == 1
+    assert row.n_nonfinite == 2
+    assert row.n_zero == 1
+    # violations: norm-4 vec, zero vec, wrong-dim (norm sqrt(63)), and
+    # the two non-finite rows (NaN/Inf norms fail the tolerance too)
+    assert row.n_unit_violations >= 3
