@@ -80,6 +80,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_substring_hits_strided": {"documents"},
     "decontam_clean_corpus_strict": {"documents"},
     "curation_pipeline": {"documents"},
+    "curation_mixture_report": {"documents"},  # same chain + 1 bounded agg
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
