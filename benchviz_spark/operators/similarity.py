@@ -763,3 +763,167 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= RANGE_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction: every vector's approximate nearest neighbors
+# — the substrate for graph clustering, semantic dedup, and diversity
+# sampling over the WHOLE corpus (not just a probe set).
+# ---------------------------------------------------------------------------
+K_GRAPH = 5
+KNN_MAX_BITS = 16
+KNN_TARGET_BUCKET = 32  # aim for ~this many vectors per (table, bucket)
+
+# A deeper hyperplane tensor than the probe-ANN path: the graph uses
+# only the first B planes per table, with B chosen from the corpus
+# size, so bucket occupancy stays ~KNN_TARGET_BUCKET at any scale.
+_KNN_PLANES = np.random.RandomState(11).standard_normal(
+    (N_TABLES, KNN_MAX_BITS, _DIM)
+)
+
+_KNN_BITS_SQL = (
+    f"least({KNN_MAX_BITS}, greatest({N_BITS}, "
+    f"CAST(ceil(log2(n / {KNN_TARGET_BUCKET}.0)) AS INT)))"
+)
+
+
+def _knn_graph_oracle() -> str:
+    """Full DuckDB replay of the adaptive-resolution LSH k-NN graph:
+    the same 12 x 16 hyperplane constants, the same corpus-size-derived
+    bit count B = clamp(ceil(log2(n / target)), {N_BITS}..{KNN_MAX_BITS}),
+    sign-bit bucketing over the first B planes per table, candidate
+    pairs = distinct vector pairs sharing any (table, bucket),
+    exact-cosine re-rank, top-{K_GRAPH} per source vector."""
+    rows = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(float(x)) for x in _KNN_PLANES[t][b])}])"
+        for t in range(N_TABLES)
+        for b in range(KNN_MAX_BITS)
+    )
+    return f"""
+    WITH planes(tbl, bit, p) AS (
+      VALUES {rows}
+    ),
+    nb AS (
+      SELECT {_KNN_BITS_SQL} AS bits
+      FROM (SELECT count(*) AS n FROM embeddings)
+    ),
+    bx AS (
+      SELECT e.vec_id, pl.tbl,
+             CAST(sum(CASE WHEN pl.bit < nb.bits
+                            AND list_sum(list_transform(range(1, {_DIM} + 1),
+                        i -> e.embedding[i]::DOUBLE * pl.p[i])) > 0
+                       THEN (1 << pl.bit) ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl CROSS JOIN nb
+      GROUP BY e.vec_id, pl.tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+      FROM bx a JOIN bx b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT cand.src_id, cand.nbr_id,
+             round(
+               list_sum(list_transform(range(1, len(av.embedding)+1),
+                 i -> av.embedding[i]::DOUBLE * bv.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(av.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(bv.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM cand
+      JOIN embeddings av ON av.vec_id = cand.src_id
+      JOIN embeddings bv ON bv.vec_id = cand.nbr_id
+    )
+    SELECT src_id, nbr_id, cosine, rank FROM (
+      SELECT src_id, nbr_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY src_id ORDER BY cosine DESC, nbr_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {K_GRAPH}
+    """
+
+
+@query("similarity_knn_graph", oracle=_knn_graph_oracle())
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the ENTIRE embedding corpus: each
+    vector's top-{K_GRAPH} LSH-candidate neighbors by exact cosine
+    (directed edges; vectors sharing no bucket with anyone drop out).
+    This is the all-pairs sibling of ``similarity_ann_lsh_topk`` —
+    that query fans a FIXED probe set out against the corpus, this one
+    builds the corpus-wide neighborhood structure that semantic dedup,
+    graph clustering, and diversity sampling consume.
+
+    Scale: the n x n product is never formed, and — unlike a
+    fixed-resolution LSH — it CANNOT re-emerge as the corpus grows:
+    the per-table bit count is derived from the corpus size
+    (B = clamp(ceil(log2(n / {KNN_TARGET_BUCKET})), {N_BITS}..{KNN_MAX_BITS}),
+    a 1-row broadcast scalar, the same pattern as layout_zorder's
+    bounds), so expected bucket occupancy stays ~{KNN_TARGET_BUCKET}
+    and candidate volume stays ~n * tables * target — linear in n. A
+    fixed 5-bit layout measured ~1e9 candidate pairs at the 10x probe;
+    the adaptive layout picks 11 bits there and stays ~linear. NO
+    broadcast of any corpus-scaled relation (both self-join sides are
+    the corpus — the one shape where a hint would be a scale bug); the
+    re-rank joins are ordinary shuffle hash joins on vec_id and the
+    top-k window rides WindowGroupLimit pre-truncation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = emb.agg(
+        F.least(
+            F.lit(KNN_MAX_BITS),
+            F.greatest(
+                F.lit(N_BITS),
+                F.ceil(F.log2(F.count(F.lit(1)) / KNN_TARGET_BUCKET)).cast("int"),
+            ),
+        ).alias("bits")
+    )
+    planes = _const_array(
+        np.asarray(_KNN_PLANES).tolist(), "array<array<array<double>>>"
+    )
+    emb_d = _as_double(F.col("embedding"))
+    bit_idx = F.sequence(F.lit(0), F.lit(KNN_MAX_BITS - 1))
+    per_table = F.transform(
+        planes,
+        lambda tbl_planes, t: F.struct(
+            t.cast("int").alias("table"),
+            F.aggregate(
+                F.zip_with(
+                    tbl_planes,
+                    bit_idx,
+                    lambda pl, i: F.when(
+                        (i < F.col("bits")) & (_dot(emb_d, pl) > F.lit(0.0)),
+                        # 2^i exactly (powers of two are exact doubles;
+                        # shiftleft needs a literal bit count)
+                        F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda a, v: a + v,
+            ).cast("int").alias("bucket"),
+        ),
+    )
+    buckets = (
+        emb.crossJoin(F.broadcast(nb))
+        .select("vec_id", F.explode(per_table).alias("tb"))
+        .select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    )
+    a = buckets.select(F.col("vec_id").alias("src_id"), "table", "bucket")
+    b = buckets.select(F.col("vec_id").alias("nbr_id"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()
+    )
+    av = emb.select(F.col("vec_id").alias("src_id"), _as_double("embedding").alias("av"))
+    bv = emb.select(F.col("vec_id").alias("nbr_id"), _as_double("embedding").alias("bv"))
+    scored = (
+        cand.join(av, "src_id")
+        .join(bv, "nbr_id")
+        .select("src_id", "nbr_id", _cosine(F.col("av"), F.col("bv")).alias("cosine"))
+    )
+    w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K_GRAPH)
+        .select("src_id", "nbr_id", "cosine", "rank")
+    )

@@ -72,12 +72,13 @@ _QUERY_MODULES = (
 # honestly non-SQL-expressible and pytest-bounded. Queries outside the
 # window remain registered and guarded by the committed local replica
 # (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r08 window
-# should lead with the ten queries round 7 added after this window
+# should lead with the eleven queries round 7 added after this window
 # shipped (similarity_range_search, decontam_substring_hits_strided,
 # sample_stratified_exact_k, text_ngram_novelty,
 # multimodal_resize_stats, stream_quality_gopher_gate,
 # asof_purchase_nearest_view, quality_language_consistency,
-# curation_mixture_report, embedding_integrity_profile — all
+# curation_mixture_report, embedding_integrity_profile,
+# similarity_knn_graph — all
 # oracle-paired, none ever driver-checked), then the 8 held-back
 # TPC-H rows
 # (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders), then the

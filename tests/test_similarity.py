@@ -145,3 +145,52 @@ def test_lsh_sign_margins_are_cross_engine_safe(spark):
         planes = np.asarray(_HYPERPLANES).reshape(-1, X.shape[1])
         min_margin = np.abs(X @ planes.T).min()
         assert min_margin > 1e-9, (sf, min_margin)
+
+
+def test_knn_graph_coverage_and_recall(spark, sf_dir):
+    """The oracle proves Spark == DuckDB on the SAME pipeline; this
+    guards against a degenerately-bucketed pipeline both engines agree
+    on: most vectors must receive edges, and the graph must recover a
+    reasonable share of the true top-5 neighbors."""
+    from benchviz_spark.operators.similarity import (
+        K_GRAPH,
+        similarity_knn_graph,
+    )
+
+    edges = similarity_knn_graph(spark, sf_dir)
+    rows = edges.collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    srcs = {r.src_id for r in rows}
+    assert len(srcs) > 0.8 * n_vecs, (len(srcs), n_vecs)
+    # brute-force truth for a sample of sources
+    import duckdb
+
+    con = duckdb.connect()
+    truth = con.execute(
+        f"""
+        WITH e AS (SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')),
+        s AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                 list_sum(list_transform(range(1, len(a.embedding)+1),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 50
+        )
+        SELECT src_id, nbr_id FROM (
+          SELECT src_id, nbr_id,
+                 row_number() OVER (PARTITION BY src_id ORDER BY dot DESC, nbr_id) rn
+          FROM s
+        ) WHERE rn <= {K_GRAPH}
+        """
+    ).fetchall()
+    true_sets: dict[int, set] = {}
+    for s, n in truth:
+        true_sets.setdefault(s, set()).add(n)
+    got_sets: dict[int, set] = {}
+    for r in rows:
+        if r.src_id < 50:
+            got_sets.setdefault(r.src_id, set()).add(r.nbr_id)
+    hits = sum(len(true_sets[s] & got_sets.get(s, set())) for s in true_sets)
+    total = sum(len(v) for v in true_sets.values())
+    recall = hits / total
+    assert recall > 0.3, recall
