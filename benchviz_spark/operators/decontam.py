@@ -387,7 +387,15 @@ def decontam_substring_hits(
             """
         )
 
-    normed = docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
+    # Both the eval and corpus sides consume this projection; without a
+    # materialization barrier the normalize+window+hash scan chain runs
+    # once per consumer. localCheckpoint it (mirroring
+    # dedup.hashed_shingled_documents(materialize=True)) so the scan is
+    # paid once per action.
+    normed = (
+        docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
+        .localCheckpoint(eager=True)
+    )
     ev = (
         normed.filter(eval_split(F.col("doc_id")))
         .select(F.col("doc_id").alias("eval_id"), F.explode(windows(1)).alias("h"))

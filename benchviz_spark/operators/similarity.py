@@ -781,9 +781,16 @@ _KNN_PLANES = np.random.RandomState(11).standard_normal(
     (N_TABLES, KNN_MAX_BITS, _DIM)
 )
 
+# B = ceil(log2(n / target)) in PURE INTEGER arithmetic:
+# length(bin(m)) is bit_length(m), and with m = (n-1) div target,
+# bit_length(m) = ceil(log2(ceil(n/target))) = ceil(log2(n/target))
+# for every n >= 1 (both engines' bin() emit no leading zeros). A
+# float log2 here could land 1 ULP apart in Spark vs DuckDB when
+# n/target is an exact power of two, flipping B by one and scrambling
+# every bucket; integer bit-length cannot.
 _KNN_BITS_SQL = (
     f"least({KNN_MAX_BITS}, greatest({N_BITS}, "
-    f"CAST(ceil(log2(n / {KNN_TARGET_BUCKET}.0)) AS INT)))"
+    f"CAST(length(bin(greatest(n - 1, 0) // {KNN_TARGET_BUCKET})) AS INT)))"
 )
 
 
@@ -867,12 +874,17 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank joins are ordinary shuffle hash joins on vec_id and the
     top-k window rides WindowGroupLimit pre-truncation."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nb = emb.agg(
+    # Same pure-integer bit-length formula as _KNN_BITS_SQL (see the
+    # comment there): bit_length((n-1) div target) == ceil(log2(n/target)),
+    # with no cross-engine float-log2 hazard at power-of-two corpus sizes.
+    nb = emb.agg(F.count(F.lit(1)).alias("n")).select(
         F.least(
             F.lit(KNN_MAX_BITS),
             F.greatest(
                 F.lit(N_BITS),
-                F.ceil(F.log2(F.count(F.lit(1)) / KNN_TARGET_BUCKET)).cast("int"),
+                F.length(
+                    F.bin(F.expr(f"greatest(n - 1, 0L) div {KNN_TARGET_BUCKET}"))
+                ).cast("int"),
             ),
         ).alias("bits")
     )

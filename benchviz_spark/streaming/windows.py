@@ -22,16 +22,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the batch loader (tables.py:_load_events) the conversion
     branches on the dtype Spark actually loads: 4.x reads it natively as
     timestamp_ntz (cast to session-TZ timestamp), 3.x needs the
-    legacy-long workaround (ns BIGINT -> integer-divide to µs)."""
+    legacy-long workaround (ns BIGINT -> integer-divide to µs). The
+    stream targets the table through a glob path + directory basePath,
+    not ``sf_dir`` + ``pathGlobFilter`` — rationale and the basePath
+    force-override caveat in read_documents_stream."""
+    table = f"{sf_dir}/events.parquet"
     try:
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        batch_schema = spark.read.parquet(table).schema
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        batch_schema = spark.read.parquet(table).schema
     stream = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/[e]vents.parquet")
     )
     ts_type = dict(stream.dtypes)["ts"]
     if ts_type == "bigint":
@@ -255,12 +259,21 @@ def stream_enriched_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a stream — the arriving-corpus shape a
     continuously-ingesting curation pipeline sees. Schema from the
-    batch footer (never inferred on the stream)."""
+    batch footer (never inferred on the stream). The stream targets the
+    table through a glob path (the file source's documented path
+    semantics), so it resolves whether the table is a single parquet
+    file (the driver's testdata layout) or a directory of part files (a
+    production layout) — no reliance on ``pathGlobFilter`` leaf-name
+    filtering against a sibling-table directory listing. The
+    single-char class keeps the path a glob: for a NON-glob path the
+    file-stream source force-overrides the ``basePath`` option with the
+    path itself, which errors when the path is a file ("Option
+    'basePath' must be a directory")."""
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/[d]ocuments.parquet")
     )
 
 

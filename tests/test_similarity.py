@@ -130,9 +130,9 @@ def test_lsh_sign_margins_are_cross_engine_safe(spark):
     pairing cannot be a coin flip."""
     import numpy as np
 
-    from benchviz_spark.operators.similarity import _HYPERPLANES
+    from benchviz_spark.operators.similarity import _HYPERPLANES, _KNN_PLANES
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         X = np.array(
             [
                 r.embedding
@@ -142,9 +142,59 @@ def test_lsh_sign_margins_are_cross_engine_safe(spark):
             ],
             dtype=np.float64,
         )
-        planes = np.asarray(_HYPERPLANES).reshape(-1, X.shape[1])
-        min_margin = np.abs(X @ planes.T).min()
-        assert min_margin > 1e-9, (sf, min_margin)
+        for tensor in (_HYPERPLANES, _KNN_PLANES):
+            planes = np.asarray(tensor).reshape(-1, X.shape[1])
+            min_margin = np.abs(X @ planes.T).min()
+            assert min_margin > 1e-9, (sf, min_margin)
+
+
+def test_knn_bit_count_cross_engine_integer_exact(spark):
+    """The adaptive bit count B = ceil(log2(n/target)) is computed via
+    integer bit-length on BOTH engines (similarity._KNN_BITS_SQL and the
+    DataFrame twin in similarity_knn_graph) precisely so it cannot flip
+    by one between Spark and DuckDB when n/target is an exact power of
+    two. Sweep n across every power-of-two boundary in range (and the
+    test-SF corpus sizes) and assert Spark SQL == DuckDB == the pure
+    Python reference bit_length((n-1)//target)."""
+    import duckdb
+
+    from benchviz_spark.operators.similarity import (
+        _KNN_BITS_SQL,
+        KNN_MAX_BITS,
+        KNN_TARGET_BUCKET,
+        N_BITS,
+    )
+
+    ns = sorted(
+        {32 * (1 << k) + d for k in range(0, 22) for d in (-1, 0, 1)}
+        | {1, 2, 31, 33, 1000, 12_345_678}
+        | {
+            spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet").count()
+            for sf in ("0.001", "0.01", "0.1")
+        }
+    )
+    ns = [n for n in ns if n >= 1]
+
+    def ref(n: int) -> int:
+        return max(N_BITS, min(KNN_MAX_BITS, ((n - 1) // KNN_TARGET_BUCKET).bit_length()))
+
+    duck = duckdb.connect()
+    duck_expr = _KNN_BITS_SQL
+    spark_expr = (
+        f"least({KNN_MAX_BITS}, greatest({N_BITS}, "
+        f"cast(length(bin(greatest(n - 1, 0L) div {KNN_TARGET_BUCKET})) as int)))"
+    )
+    spark_rows = (
+        spark.createDataFrame([(n,) for n in ns], "n long")
+        .selectExpr("n", f"{spark_expr} AS bits")
+        .collect()
+    )
+    got_spark = {r.n: r.bits for r in spark_rows}
+    for n in ns:
+        got_duck = duck.execute(
+            f"SELECT {duck_expr} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert got_spark[n] == got_duck == ref(n), (n, got_spark[n], got_duck, ref(n))
 
 
 def test_knn_graph_coverage_and_recall(spark, sf_dir):
