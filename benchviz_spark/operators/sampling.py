@@ -362,3 +362,74 @@ def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick", F.row_number().over(w).cast("long"))
         .filter(F.col("pick") <= EXACT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-ranked selection: keep each source's best-K documents.
+# ---------------------------------------------------------------------------
+QUALITY_TOP_K = 20
+
+
+@query(
+    "sample_quality_topk_per_source",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS n_tokens,
+             len(list_distinct(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')))
+               AS n_distinct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+             CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM feat WHERE n_tokens >= 20
+    )
+    SELECT source, doc_id, distinct_ratio, n_tokens, pick FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY distinct_ratio DESC, doc_id) AS BIGINT) AS pick
+      FROM scored
+    ) WHERE pick <= {QUALITY_TOP_K}
+    """,
+)
+def sample_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each source's top-{QUALITY_TOP_K} documents by lexical diversity
+    (distinct-token ratio, the text_quality_scores feature), minimum 20
+    tokens — best-of-K selection, the curation move between "keep
+    everything above a gate" (stream_quality_gopher_gate) and "sample
+    at a rate" (sample_temperature_mix): when a mixture recipe wants a
+    FIXED budget of the best examples per source, this is the query
+    that fills it.
+
+    Scale: same WindowGroupLimit shape as sample_stratified_exact_k —
+    the rank filter pre-truncates each input partition to its local
+    top-K per source before the exchange, so the shuffle carries at
+    most K * n_partitions rows per source, not the corpus. The ratio
+    rounds to 6 places on both engines before ranking and ties break
+    by doc_id, so the selection is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    n_tokens = F.size(t)
+    ratio = F.round(
+        F.size(F.array_distinct(t)).cast("double") / n_tokens, 6
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            ratio.alias("distinct_ratio"),
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 20)
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("distinct_ratio").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= QUALITY_TOP_K)
+        .select("source", "doc_id", "distinct_ratio", "n_tokens", "pick")
+    )

@@ -257,16 +257,57 @@ def _unit_rows(vecs: list[list[float]]) -> list[list[float]]:
     return (arr / norms).tolist()
 
 
-def ivf_assignment_ctes() -> str:
+def ivf_assignment_ctes(n_iter: int = KMEANS_ITERS) -> str:
     """The WITH-clause CTE chain (without the ``WITH`` keyword) that
     replays IVF training and scores every vector against the unit
-    centroids: ``e`` (double vectors), ``seeds``/``assigned``/``cm``/
-    ``cent``/``unitc`` (one Lloyd iteration from md5-ordered seeds),
-    and ``cellscore`` (vec_id, dot, cell_id). Shared by the IVF ANN
-    oracle and by any oracle that blocks on quantizer cells (the
-    embedding near-dup detector)."""
-    assert KMEANS_ITERS == 1, "oracle replays exactly one Lloyd iteration"
+    centroids: ``e`` (double vectors), ``seeds``, then per Lloyd
+    iteration t an ``assigned<t>``/``cm<t>``/``cent<t>`` triple
+    (E-step argmin by (d2, cell_id) against the previous round's
+    centroids — ``seeds`` for t=1 — then per-element means rounded to
+    6 places), ``unitc`` over the final centroids, and ``cellscore``
+    (vec_id, dot, cell_id). Shared by the IVF ANN oracle and by any
+    oracle that blocks on quantizer cells (the embedding near-dup
+    detector); the registered queries replay KMEANS_ITERS iterations
+    and tests/test_similarity.py hash-checks the n_iter=2 chain against
+    the Spark trainer, proving the replay technique covers the
+    iterated path the docstring recommends for clustered corpora.
+
+    Cross-engine determinism per iteration is the same argument as the
+    single-iteration original: centroid means round to 6 places on both
+    sides BEFORE feeding the next E-step, so iteration t's distances
+    are computed from identical literals on both engines."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     k, dim = N_CENTROIDS, _DIM
+    iters = []
+    for t in range(1, n_iter + 1):
+        prev = "seeds" if t == 1 else f"cent{t - 1}"
+        iters.append(
+            f"""
+    assigned{t} AS (
+      SELECT e.vec_id, e.v, s.cell_id
+      FROM e CROSS JOIN {prev} s
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                   i -> (e.v[i] - s.cvec[i]) * (e.v[i] - s.cvec[i]))),
+                 s.cell_id
+      ) = 1
+    ),
+    cm{t} AS (
+      SELECT cell_id, i, round(avg(x), 6) AS m
+      FROM (
+        SELECT cell_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM assigned{t}
+      )
+      GROUP BY cell_id, i
+    ),
+    cent{t} AS (
+      SELECT cell_id, list(m ORDER BY i) AS cvec
+      FROM cm{t} GROUP BY cell_id
+    )"""
+        )
+    iter_sql = ",".join(iters)
     return f"""
     e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -278,29 +319,8 @@ def ivf_assignment_ctes() -> str:
              v AS cvec
       FROM e
       QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k}
-    ),
-    assigned AS (
-      SELECT e.vec_id, e.v, s.cell_id
-      FROM e CROSS JOIN seeds s
-      QUALIFY row_number() OVER (
-        PARTITION BY e.vec_id
-        ORDER BY list_sum(list_transform(range(1, {dim} + 1),
-                   i -> (e.v[i] - s.cvec[i]) * (e.v[i] - s.cvec[i]))),
-                 s.cell_id
-      ) = 1
-    ),
-    cm AS (
-      SELECT cell_id, i, round(avg(x), 6) AS m
-      FROM (
-        SELECT cell_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
-        FROM assigned
-      )
-      GROUP BY cell_id, i
-    ),
-    cent AS (
-      SELECT cell_id, list(m ORDER BY i) AS cvec
-      FROM cm GROUP BY cell_id
-    ),
+    ),{iter_sql},
+    cent AS (SELECT cell_id, cvec FROM cent{n_iter}),
     unitc AS (
       SELECT cell_id,
              list_transform(
@@ -320,7 +340,7 @@ def ivf_assignment_ctes() -> str:
     )"""
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(n_iter: int = KMEANS_ITERS) -> str:
     """DuckDB replay of the ENTIRE IVF pipeline — training included.
     Every stochastic-looking ingredient is actually deterministic and
     cross-engine computable: seeds are the k smallest md5(vec_id)
@@ -334,7 +354,7 @@ def _ivf_oracle() -> str:
     same argument the LSH replay (``_lsh_oracle``) shipped with."""
     dim, nq, npb, topk = _DIM, N_QUERIES, N_PROBE, TOP_K
     return f"""
-    WITH {ivf_assignment_ctes()},
+    WITH {ivf_assignment_ctes(n_iter)},
     acell AS (
       SELECT vec_id, cell_id FROM cellscore
       WHERE vec_id >= {nq}
@@ -382,8 +402,26 @@ def similarity_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py; the full pipeline (training included) is
     hash-checked cross-engine against the DuckDB replay in
     ``_ivf_oracle``."""
+    return _ivf_topk(spark, sf_dir, n_iter=KMEANS_ITERS)
+
+
+@query("similarity_ann_ivf_topk_iter2", oracle=_ivf_oracle(n_iter=2))
+def similarity_ann_ivf_topk_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``similarity_ann_ivf_topk`` with a SECOND Lloyd refinement — the
+    quantizer configuration the trainer docstring recommends for
+    clustered production corpora, registered so the iterated training
+    path itself is driver-checked (the oracle replays both E+M rounds
+    via ``ivf_assignment_ctes(n_iter=2)``; each round's centroid means
+    round to 6 places on both engines before feeding the next, so the
+    chain stays cross-engine exact). Cost vs the 1-iteration query is
+    one extra sample-bounded E+M pass at training time; assignment and
+    probing stay the same narrow literal-centroid projections."""
+    return _ivf_topk(spark, sf_dir, n_iter=2)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    ids, vecs = ivf_centroids(spark, sf_dir)
+    ids, vecs = ivf_centroids(spark, sf_dir, n_iter=n_iter)
 
     # probe list: top-N_PROBE cells per query by dot against unit
     # centroids (rank-equivalent to cosine; 10 queries x k cells)
@@ -872,7 +910,21 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of any corpus-scaled relation (both self-join sides are
     the corpus — the one shape where a hint would be a scale bug); the
     re-rank joins are ordinary shuffle hash joins on vec_id and the
-    top-k window rides WindowGroupLimit pre-truncation."""
+    top-k window rides WindowGroupLimit pre-truncation.
+
+    Bucket-occupancy boundary (same tiering argument as
+    dedup.minhash_candidates): adaptive bits keep EXPECTED occupancy
+    at ~{KNN_TARGET_BUCKET} for spread-out embeddings, but a flood of
+    identical vectors (embeddings of byte-identical documents, or an
+    all-equal failure mode) shares every sign bit and lands in one
+    bucket per table regardless of B, making the candidate self-join
+    quadratic in the flood size. That mass belongs to the exact tiers
+    upstream — fingerprint dedup for identical documents,
+    embedding_integrity_profile's degenerate-vector screens — so the
+    graph sees one representative per identical class. No occupancy
+    cap here: a cap would silently disconnect real dense
+    neighborhoods, and the hash-checked oracle replays the uncapped
+    semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Same pure-integer bit-length formula as _KNN_BITS_SQL (see the
     # comment there): bit_length((n-1) div target) == ceil(log2(n/target)),

@@ -50,96 +50,95 @@ _QUERY_MODULES = (
 # names already driver-green in a prior round's CORRECTNESS_r{N}.json
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
-# Round-7 window (delivering exactly the rotation the r06 registry
-# promised): the 8 oracle-paired queries the driver has never checked
-# (the two newly oracle-paired dedup hashes, the two codec-geometry
-# queries, boilerplate mining, and the three round-6 decontam tiers),
-# the two queries whose registered defaults/helper-chains changed after
-# their last green row (dedup_levenshtein_pairs gained the simhash
-# block-widening default; decontam_clean_corpus sits on the
-# materialize/localCheckpoint-refactored shingle helpers), the four
-# r03-stale scan-side text projections, the three family
-# representatives whose families have no stale members
-# (bench_log_pipeline / compare / as-of — contract: every family in
-# every window), and then 33 of the 41 remaining r04 rows, oldest
-# evidence first. The 8 r04 rows left out (q2/q4/q6/q7/q13/q14/q19 +
-# subquery_above_avg_orders) are the most stable single-shape TPC-H
-# SQL, untouched since r04 and re-proven by the committed PARITY_LOCAL
-# replica; after this round no registered query's latest driver row is
-# older than r04. Every name here carries a DuckDB oracle so no slot
-# is wasted on a weaker rows-only check; the only rows-only queries
-# (decode mean-luma, the PCA eigensolve, the two sketch estimates) are
+# Round-8 window (delivering exactly the rotation the r07 registry
+# promised): the 11 oracle-paired queries round 7 added after the r07
+# window shipped (none ever driver-checked), the 3 queries round 8
+# itself added (band-occupancy monitor, quality-top-K sampler, the
+# 2-iteration IVF twin — new oracle pairs convert to external evidence
+# immediately; they displace the last three r05 rows, which join the
+# r09 oldest-evidence tier), the 8 held-back r04 TPC-H rows
+# (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders — after
+# this round no registered query's latest driver row is older than
+# r05), the queries whose registered helper chains changed THIS round
+# (dedup_cluster_representatives' struct-max now shuffles fingerprints
+# instead of document bodies; curation_pipeline and
+# curation_mixture_report now share one curated relation;
+# decontam_substring_hits gained the normalize-scan localCheckpoint),
+# the three family representatives whose families would otherwise be
+# absent (bench_log_pipeline / compare / skew — contract: every family
+# in every window; compare also re-times the r07 0.56->0.88 s drift),
+# and then 22 of the 42 remaining r05 rows, operator-style code first.
+# The 20 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
+# semi_join_urgent_customers, window_customer_running_spend,
+# quantiles_exact_by_flag, the two exact sketch twins,
+# stats_chi2/gini/zipf, graph_triangle_suppliers, and the three text
+# scan projections text_bigram_logprob/text_bpe_merge_pairs/
+# text_rolling_hash) are the most stable
+# single-shape SQL, untouched since r05 and re-proven by the committed
+# PARITY_LOCAL replica; they are the oldest evidence and lead the r09
+# window. Every name here carries a DuckDB oracle so no slot is wasted
+# on a weaker rows-only check; the only rows-only queries (decode
+# mean-luma, the PCA eigensolve, the two sketch estimates) are
 # honestly non-SQL-expressible and pytest-bounded. Queries outside the
 # window remain registered and guarded by the committed local replica
-# (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r08 window
-# should lead with the eleven queries round 7 added after this window
-# shipped (similarity_range_search, decontam_substring_hits_strided,
-# sample_stratified_exact_k, text_ngram_novelty,
-# multimodal_resize_stats, stream_quality_gopher_gate,
-# asof_purchase_nearest_view, quality_language_consistency,
-# curation_mixture_report, embedding_integrity_profile,
-# similarity_knn_graph — all
-# oracle-paired, none ever driver-checked), then the 8 held-back
-# TPC-H rows
-# (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders), then the
-# oldest remaining r04/r05 evidence.
+# (PARITY_LOCAL.json + tests/test_oracle_parity.py).
 _WINDOW = (
-    # Oracle-paired, never driver-checked ----------------------------------
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_fingerprints",
-    "multimodal_frame_sample",
-    "multimodal_decode_dims",
-    "text_boilerplate_ngrams",
-    "decontam_fuzzy_eval_pairs",
+    # Oracle-paired, never driver-checked (added in round 7) ---------------
+    "similarity_knn_graph",
+    "similarity_range_search",
+    "decontam_substring_hits_strided",
+    "sample_stratified_exact_k",
+    "text_ngram_novelty",
+    "multimodal_resize_stats",
+    "stream_quality_gopher_gate",
+    "asof_purchase_nearest_view",
+    "quality_language_consistency",
+    "curation_mixture_report",
+    "embedding_integrity_profile",
+    # Oracle-paired, added THIS round (never driver-checked) ---------------
+    "dedup_band_occupancy",
+    "sample_quality_topk_per_source",
+    "similarity_ann_ivf_topk_iter2",
+    # Held-back r04 TPC-H rows ---------------------------------------------
+    "q2_cheapest_part_per_brand",
+    "q4_priority_order_counts",
+    "q6_forecast_revenue",
+    "q7_bilateral_nation_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_revenue",
+    "subquery_above_avg_orders",
+    # Registered helper chains changed this round --------------------------
+    "dedup_cluster_representatives",
+    "curation_pipeline",
     "decontam_substring_hits",
-    "decontam_clean_corpus_strict",
-    # Registered defaults / helper chains changed since last green row -----
-    "dedup_levenshtein_pairs",
-    "decontam_clean_corpus",
-    # Last green in r03 ----------------------------------------------------
-    "text_term_frequency",
-    "text_token_stats",
-    "text_fingerprints",
-    "text_quality_scores",
-    # Family representatives (contract: every family in every window;
-    # these families have no stale members) --------------------------------
+    # Family representatives (contract: every family in every window) ------
     "bench_log_pipeline",
     "compare_event_type_series",
-    "asof_purchase_next_click",
-    # Last green in r04 — oldest evidence first ----------------------------
-    "curation_pipeline",
-    "events_daily_delta",
-    "events_enriched_user_segment",
-    "events_funnel_view_click_purchase",
-    "events_gap_filled_hourly",
-    "events_latest_user_state",
-    "events_multires_rollup",
-    "events_purchase_view_pairs",
-    "events_retention_cohorts",
-    "events_rolling_median_daily",
-    "events_session_stats",
-    "events_sliding_hourly_halfhour",
-    "events_tumbling_hourly",
-    "events_type_transitions",
-    "events_value_anomalies",
-    "explode_user_type_matrix",
-    "full_outer_join_daily_type_counts",
-    "graph_pagerank_trade_nations",
-    "json_props_extraction",
-    "quality_length_histogram",
-    "quality_table_fingerprints",
-    "sample_weighted_mix",
-    "similarity_exact_topk",
-    "skew_salted_distinct_users",
-    "skew_salted_type_totals",
-    "stats_ks_purchase_vs_click",
-    "stats_moments_by_returnflag",
-    "stats_source_term_divergence",
-    "stats_winsorized_prices",
-    "text_chunk_documents",
-    "text_pack_sequences",
-    "text_unigram_logprob",
-    "window_price_quartiles",
+    "skew_salted_join_segments",
+    # Last green in r05 — oldest remaining evidence ------------------------
+    "dedup_containment_pairs",
+    "dedup_incremental_new_docs",
+    "dedup_ngram_jaccard_pairs",
+    "embedding_dim_correlation",
+    "events_interarrival_stats",
+    "events_linear_attribution",
+    "join_bloom_prefilter_building",
+    "layout_zorder_events",
+    "multimodal_quantization_error",
+    "quality_char_entropy",
+    "quality_gopher_rules",
+    "sample_reservoir_per_source",
+    "sample_temperature_mix",
+    "sample_weighted_reservoir_es",
+    "similarity_ann_lsh_topk",
+    "similarity_label_centroid_dist",
+    "stream_dedup_events",
+    "stream_enriched_user_segment",
+    "stream_purchase_view_pairs",
+    "stream_session_stats",
+    "stream_sliding_hourly_halfhour",
+    "stream_tumbling_hourly",
 )
 
 

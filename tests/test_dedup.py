@@ -163,3 +163,41 @@ def test_levenshtein_simhash_widening_shrinks_blocks(spark):
     if exact:
         recall = len(widened) / len(exact)
         assert recall >= 0.5, f"recall {recall}: {set(exact) - set(widened)}"
+
+
+def test_minhash_identical_flood_is_one_bucket(spark, tmp_path):
+    """Pins the documented bucket-occupancy boundary of LSH banding
+    (minhash_candidates docstring): a planted flood of byte-identical
+    documents shares every minhash, lands in ONE bucket per band, and
+    the candidate expansion is exactly the flood's full pair set —
+    quadratic in flood size BY DESIGN, because byte-identical mass is
+    the exact tier's job (fingerprint dedup runs before LSH in the
+    curation stack; dedup_exact_documents collapses the flood to one
+    representative). The test makes the boundary visible rather than
+    capping it: a cap would silently drop real candidates."""
+    from benchviz_spark.operators.dedup import (
+        dedup_exact_documents,
+        minhash_candidates,
+    )
+
+    n = 40
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text, "en", f"src{i % 3}", len(text)) for i in range(n)]
+    flood_dir = str(tmp_path / "flood")
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .coalesce(1)
+        .write.parquet(f"{flood_dir}/documents.parquet")
+    )
+
+    cand = minhash_candidates(spark, flood_dir).collect()
+    # every ordered pair of the flood is a candidate: n*(n-1)/2
+    assert len(cand) == n * (n - 1) // 2
+    assert all(r.left_id < r.right_id for r in cand)
+
+    # and the exact tier collapses the same flood to ONE representative,
+    # which is why production LSH never sees it
+    reps = dedup_exact_documents(spark, flood_dir)
+    assert reps.count() == 1

@@ -67,6 +67,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "similarity_range_search": {"embeddings"},  # vec_id < N_QUERIES probe set
     "similarity_ann_lsh_topk": {"embeddings"},
     "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids
+    "similarity_ann_ivf_topk_iter2": {"embeddings"},  # same shape, 2 Lloyd iters
     "similarity_knn_graph": {"embeddings"},  # 1-row adaptive-bit-count scalar
     # eval-side shingle postings / flagged-id sets. The bound is
     # STRUCTURAL: the eval carve is doc_id % EVAL_MOD == 0 AND

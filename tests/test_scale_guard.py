@@ -77,3 +77,51 @@ def test_same_session_ratios_are_subset_of_record():
     sf1x, _ = _load()
     extra = set(sf1x.get("same_session_ratios", {})) - set(sf1x["queries"])
     assert not extra, f"ratio rows for untimed queries: {sorted(extra)}"
+
+
+# --- 30x family probes (VERDICT r7 #6) -------------------------------------
+# The sf3x records span two orders of magnitude of input; this guard
+# keeps those measurements from silently rotting the way the 10x bound
+# does for the full registry. Linear scaling at 30x input is r30 == 30;
+# the bound leaves headroom for shuffle constants but fails anything
+# clearly super-linear.
+
+MAX_RATIO_30X = 45.0
+
+# name -> one-line justification for a measured r30 above MAX_RATIO_30X.
+# Deliberately empty: after the 32g re-run separated GC artifact from
+# algorithm (bench_sf3x_dedup.json heap_comparison — the 8g
+# cluster_representatives x49 collapsed to x31.4), every probed query
+# is linear-or-better at 30x input.
+JUSTIFIED_30X: dict[str, str] = {}
+
+
+def _sf3x_records():
+    import glob
+
+    for path in sorted(
+        glob.glob(os.path.join(REPO, ".benchmarks", "bench_sf3x_*.json"))
+    ):
+        with open(path) as fh:
+            yield os.path.basename(path), json.load(fh)
+
+
+def test_sf3x_records_exist_for_dedup_and_knn_families():
+    names = {name for name, _ in _sf3x_records()}
+    assert "bench_sf3x_dedup.json" in names
+    assert "bench_sf3x_knn.json" in names
+
+
+def test_no_query_scales_worse_than_45x_at_30x_input():
+    offenders = []
+    for fname, rec in _sf3x_records():
+        for name, entry in rec["queries"].items():
+            r30 = entry.get("r30")
+            if r30 is None:
+                continue
+            if r30 > MAX_RATIO_30X and name not in JUSTIFIED_30X:
+                offenders.append(f"{fname}:{name} x{r30:.1f}")
+    assert not offenders, (
+        "super-linear at 30x input (fix the block keys or justify in "
+        f"JUSTIFIED_30X with cause + plan audit): {sorted(offenders)}"
+    )

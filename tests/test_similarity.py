@@ -197,6 +197,60 @@ def test_knn_bit_count_cross_engine_integer_exact(spark):
         assert got_spark[n] == got_duck == ref(n), (n, got_spark[n], got_duck, ref(n))
 
 
+def test_ivf_two_iteration_oracle_replays_spark_training(spark):
+    """The registered IVF queries replay KMEANS_ITERS=1; this proves the
+    parameterized CTE chain (ivf_assignment_ctes(n_iter=2)) replays the
+    ITERATED Lloyd path the trainer docstring recommends for clustered
+    corpora: DuckDB's two-iteration centroids match the Spark trainer's
+    element-for-element, and the resulting cell assignment (argmax dot
+    against unit centroids, ties to the lowest cell) matches for every
+    vector."""
+    import duckdb
+
+    from benchviz_spark.operators.similarity import (
+        _ivf_assign,
+        ivf_assignment_ctes,
+        ivf_centroids,
+    )
+    from benchviz_spark.sources.tables import load_table
+
+    ids, vecs = ivf_centroids(spark, SF_DIR, n_iter=2)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got_cells = {
+        r.vec_id: r.cell_id for r in _ivf_assign(emb, ids, vecs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want_cent = dict(
+        con.execute(
+            f"WITH {ivf_assignment_ctes(2)} SELECT cell_id, cvec FROM cent"
+        ).fetchall()
+    )
+    got_cent = dict(zip(ids, vecs))
+    assert set(got_cent) == set(want_cent)
+    for cid, vec in got_cent.items():
+        assert len(vec) == len(want_cent[cid])
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(vec, want_cent[cid])
+        ), cid
+
+    want_cells = dict(
+        con.execute(
+            f"""
+            WITH {ivf_assignment_ctes(2)}
+            SELECT vec_id, cell_id FROM cellscore
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+            """
+        ).fetchall()
+    )
+    assert got_cells == want_cells
+
+
 def test_knn_graph_coverage_and_recall(spark, sf_dir):
     """The oracle proves Spark == DuckDB on the SAME pipeline; this
     guards against a degenerately-bucketed pipeline both engines agree
