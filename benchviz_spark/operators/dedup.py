@@ -1246,3 +1246,64 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return definitely_new.unionByName(verified_new).select(
         "doc_id", "source", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship report: what dedup actually deletes, by source.
+# ---------------------------------------------------------------------------
+_SURVIVORSHIP_ORACLE = f"""
+WITH clusters AS ({_CLUSTER_ORACLE}),
+ranked AS (
+  SELECT d.source, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM ranked GROUP BY source
+"""
+
+
+@query("dedup_survivorship_report", oracle=_SURVIVORSHIP_ORACLE)
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting: how many documents each source
+    contributes, how many survive as cluster representatives (longest
+    member, ties to the smallest doc_id — the same keep rule as
+    ``dedup_cluster_representatives``), and how many documents/
+    characters dedup deletes. The table a curation run publishes to
+    answer "which feeds are mostly duplicates" — mixture weights are
+    set against SURVIVING mass, not raw counts, so this report is what
+    keeps a recipe honest when one source is 60% self-copies.
+
+    Scale: the clusters query (iterated fingerprint-label propagation,
+    checkpoint-truncated lineage) plus ONE window over
+    (cluster_id, n_chars, doc_id) — WindowGroupLimit does not apply
+    (every row needs its rank-1 flag) but the window key is the
+    cluster id, so partitions are cluster-sized, not corpus-sized —
+    and one map-side-combined aggregation into a sources-bounded
+    output."""
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("long")).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+    )

@@ -52,10 +52,11 @@ _QUERY_MODULES = (
 # checked, then to the queries with the OLDEST driver evidence.
 # Round-8 window (delivering exactly the rotation the r07 registry
 # promised): the 11 oracle-paired queries round 7 added after the r07
-# window shipped (none ever driver-checked), the 3 queries round 8
+# window shipped (none ever driver-checked), the 5 queries round 8
 # itself added (band-occupancy monitor, quality-top-K sampler, the
-# 2-iteration IVF twin — new oracle pairs convert to external evidence
-# immediately; they displace the last three r05 rows, which join the
+# 2-iteration IVF twin, truncation fidelity, survivorship report —
+# new oracle pairs convert to external evidence
+# immediately; they displace five r05 rows, which join the
 # r09 oldest-evidence tier), the 8 held-back r04 TPC-H rows
 # (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders — after
 # this round no registered query's latest driver row is older than
@@ -67,13 +68,14 @@ _QUERY_MODULES = (
 # the three family representatives whose families would otherwise be
 # absent (bench_log_pipeline / compare / skew — contract: every family
 # in every window; compare also re-times the r07 0.56->0.88 s drift),
-# and then 22 of the 42 remaining r05 rows, operator-style code first.
-# The 20 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
+# and then 20 of the 42 remaining r05 rows, operator-style code first.
+# The 22 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
 # semi_join_urgent_customers, window_customer_running_spend,
 # quantiles_exact_by_flag, the two exact sketch twins,
-# stats_chi2/gini/zipf, graph_triangle_suppliers, and the three text
-# scan projections text_bigram_logprob/text_bpe_merge_pairs/
-# text_rolling_hash) are the most stable
+# stats_chi2/gini/zipf, graph_triangle_suppliers,
+# sample_weighted_reservoir_es, similarity_label_centroid_dist, and
+# the three text scan projections text_bigram_logprob/
+# text_bpe_merge_pairs/text_rolling_hash) are the most stable
 # single-shape SQL, untouched since r05 and re-proven by the committed
 # PARITY_LOCAL replica; they are the oldest evidence and lead the r09
 # window. Every name here carries a DuckDB oracle so no slot is wasted
@@ -99,6 +101,8 @@ _WINDOW = (
     "dedup_band_occupancy",
     "sample_quality_topk_per_source",
     "similarity_ann_ivf_topk_iter2",
+    "embedding_truncation_fidelity",
+    "dedup_survivorship_report",
     # Held-back r04 TPC-H rows ---------------------------------------------
     "q2_cheapest_part_per_brand",
     "q4_priority_order_counts",
@@ -130,9 +134,7 @@ _WINDOW = (
     "quality_gopher_rules",
     "sample_reservoir_per_source",
     "sample_temperature_mix",
-    "sample_weighted_reservoir_es",
     "similarity_ann_lsh_topk",
-    "similarity_label_centroid_dist",
     "stream_dedup_events",
     "stream_enriched_user_segment",
     "stream_purchase_view_pairs",

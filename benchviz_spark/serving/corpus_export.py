@@ -1,0 +1,98 @@
+"""Curated-corpus export: the parquet sink a training run actually
+consumes (§2.1 sink breadth beside the JSON serving tree and the
+JSONL/CSV interchange).
+
+A curation job's deliverable is not a DataFrame — it is a partitioned
+parquet dataset plus a recipe card. This writer materializes
+``curated_documents`` (the curation stack's shared persist point) as:
+
+    <out>/data/split=train|val|test/part-*.parquet
+    <out>/recipe.json        (the mixture report, one JSON object)
+
+Design choices, each load-bearing at 100 TB:
+
+- **Hive-partitioned by split.** Training readers open ONLY
+  ``split=train``; partition pruning makes that a directory listing,
+  not a filter over the full corpus
+  (tests/test_corpus_export.py asserts the pruned read plans a
+  single-partition scan).
+- **NOT partitioned by (lang, source).** Splits are 3 directories;
+  lang x source x split would be hundreds of directories with
+  corpus-growth-independent small files — the classic small-files
+  failure. The recipe card carries the (lang, source, split) mixture
+  instead; readers that need one source filter on the column and let
+  parquet row-group stats prune.
+- **The recipe card is written FROM the same persisted relation** the
+  data files come from (one chain execution for both artifacts — the
+  reason curated_documents persists), and it is written AFTER the data
+  so a present recipe.json implies complete data underneath it (the
+  cheap two-phase-commit marker on top of Spark's own _SUCCESS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from benchviz_spark.operators.curation import curated_documents
+
+
+def write_curated_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """Export the curated corpus; returns the recipe dict that was
+    written to ``<out_dir>/recipe.json``."""
+    curated = curated_documents(spark, sf_dir)
+    data_dir = os.path.join(out_dir, "data")
+    (
+        curated.write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(data_dir)
+    )
+    # recipe card from the SAME persisted relation (no second chain run)
+    from pyspark.sql import functions as F
+
+    rows = (
+        curated.groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .collect()  # bounded: (langs x sources x 3) recipe-card cells
+    )
+    recipe = {
+        "sf_dir": sf_dir,
+        "mixture": sorted(
+            (
+                {
+                    "lang": r.lang,
+                    "source": r.source,
+                    "split": r.split,
+                    "n_docs": r.n_docs,
+                    "total_chars": r.total_chars,
+                }
+                for r in rows
+            ),
+            key=lambda m: (m["lang"], m["source"], m["split"]),
+        ),
+    }
+    with open(os.path.join(out_dir, "recipe.json"), "w") as fh:
+        json.dump(recipe, fh, indent=1, sort_keys=True)
+    return recipe
+
+
+def read_curated_split(
+    spark: SparkSession, out_dir: str, split: str
+):
+    """Read ONE split of an exported corpus — the training-reader path.
+    Filtering on the partition column prunes to the split's directory
+    at planning time (asserted in tests), so the train reader never
+    lists or opens val/test files."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(out_dir, "data"))
+        .filter(F.col("split") == split)
+    )

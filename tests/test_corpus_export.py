@@ -1,0 +1,82 @@
+"""Curated-corpus export sink: completeness, recipe/data agreement,
+and the partition-pruning contract the layout exists for."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from benchviz_spark.operators.curation import curation_pipeline
+from benchviz_spark.serving.corpus_export import (
+    read_curated_split,
+    write_curated_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_export_round_trips_and_recipe_matches(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    recipe = write_curated_corpus(spark, SF_DIR, out)
+
+    # data files agree with the curation query, row for row
+    expected = {
+        (r.doc_id, r.lang, r.source, r.n_chars, r.split)
+        for r in curation_pipeline(spark, SF_DIR).collect()
+    }
+    got = {
+        (r.doc_id, r.lang, r.source, r.n_chars, r.split)
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    }
+    assert got == expected
+
+    # recipe card written to disk, equals the returned dict, and its
+    # totals reconcile with the data files
+    with open(os.path.join(out, "recipe.json")) as fh:
+        on_disk = json.load(fh)
+    assert on_disk == recipe
+    totals = {
+        (m["lang"], m["source"], m["split"]): (m["n_docs"], m["total_chars"])
+        for m in recipe["mixture"]
+    }
+    agg = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .collect()
+    )
+    assert {
+        (r.lang, r.source, r.split): (r.n, r.chars) for r in agg
+    } == totals
+
+
+def test_split_read_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_curated_corpus(spark, SF_DIR, out)
+
+    df = read_curated_split(spark, out, "train")
+    rows = df.collect()
+    assert rows and all(r.split == "train" for r in rows)
+
+    # partition pruning: the physical plan's PartitionFilters prune on
+    # the split column, and only split=train files are scanned
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "split" in m.group(1), plan
+
+    # no val/test directory reaches the scan's selected partitions
+    union = (
+        read_curated_split(spark, out, "train")
+        .unionByName(read_curated_split(spark, out, "val"))
+        .unionByName(read_curated_split(spark, out, "test"))
+    )
+    full = spark.read.parquet(os.path.join(out, "data"))
+    assert union.count() == full.count()
