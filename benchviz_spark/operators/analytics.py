@@ -796,3 +796,109 @@ def stats_chi2_segment_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o").cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch set algebra: audience overlap from stored HLL state.
+# ---------------------------------------------------------------------------
+OVERLAP_TYPES = ("purchase", "click")
+
+
+@query("sketch_user_overlap")  # rows-only: HLL register contents are
+# engine-specific; the error envelope vs sketch_user_overlap_exact is
+# pinned in tests/test_sketches.py
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience overlap between {OVERLAP_TYPES} users via
+    MERGEABLE HLL sketches: per-(day, type) sketches are built once at
+    the scan (the state a 100-TB pipeline persists at ingest), then
+    every question is answered by re-aggregating the KB-sized sketches
+    — per-type distinct users via hll_union_agg over days, the union
+    audience via hll_union_agg over everything, and the intersection
+    by inclusion-exclusion (|A ∩ B| = |A| + |B| - |A ∪ B|). This is
+    the capability approx_count_distinct alone does NOT give: set
+    algebra across segments without re-touching raw rows.
+
+    Scale: one event scan builds the daily sketch table (fixed-size
+    state per group, merged map-side); the overlap computation then
+    reads days x 2 sketch rows — corpus-independent. The raw user-id
+    column never shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s")
+    daily = (
+        events.filter(F.col("event_type").isin(*OVERLAP_TYPES))
+        .groupBy(day, "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)  # the persisted-sketch-store stand-in:
+        # both consumers below re-aggregate THIS state, not the raw scan
+    )
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+    )
+    a = per_type.filter(F.col("event_type") == OVERLAP_TYPES[0]).select(
+        F.col("n").alias("approx_a_users")
+    )
+    b = per_type.filter(F.col("event_type") == OVERLAP_TYPES[1]).select(
+        F.col("n").alias("approx_b_users")
+    )
+    union = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union_users")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))  # 1-row x 1-row scalar spread
+        .crossJoin(F.broadcast(union))
+        .select(
+            "approx_a_users",
+            "approx_b_users",
+            "approx_union_users",
+            (
+                F.col("approx_a_users")
+                + F.col("approx_b_users")
+                - F.col("approx_union_users")
+            ).alias("approx_overlap_users"),
+        )
+    )
+
+
+@query(
+    "sketch_user_overlap_exact",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT CASE WHEN event_type = '{OVERLAP_TYPES[0]}'
+                 THEN user_id END) AS BIGINT) AS exact_a_users,
+           CAST(count(DISTINCT CASE WHEN event_type = '{OVERLAP_TYPES[1]}'
+                 THEN user_id END) AS BIGINT) AS exact_b_users,
+           CAST(count(DISTINCT CASE WHEN event_type IN
+                 ('{OVERLAP_TYPES[0]}', '{OVERLAP_TYPES[1]}')
+                 THEN user_id END) AS BIGINT) AS exact_union_users,
+           CAST(count(DISTINCT CASE WHEN event_type = '{OVERLAP_TYPES[0]}'
+                 THEN user_id END)
+              + count(DISTINCT CASE WHEN event_type = '{OVERLAP_TYPES[1]}'
+                 THEN user_id END)
+              - count(DISTINCT CASE WHEN event_type IN
+                 ('{OVERLAP_TYPES[0]}', '{OVERLAP_TYPES[1]}')
+                 THEN user_id END) AS BIGINT) AS exact_overlap_users
+    FROM events
+    """,
+)
+def sketch_user_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of ``sketch_user_overlap`` (same inclusion-exclusion
+    identity over exact distinct counts), split out so the cross-engine
+    gate can hash it — one pass, three conditional count-distincts."""
+    events = load_table(spark, sf_dir, "events")
+    in_a = F.when(F.col("event_type") == OVERLAP_TYPES[0], F.col("user_id"))
+    in_b = F.when(F.col("event_type") == OVERLAP_TYPES[1], F.col("user_id"))
+    in_ab = F.when(
+        F.col("event_type").isin(*OVERLAP_TYPES), F.col("user_id")
+    )
+    return events.agg(
+        F.count_distinct(in_a).cast("long").alias("exact_a_users"),
+        F.count_distinct(in_b).cast("long").alias("exact_b_users"),
+        F.count_distinct(in_ab).cast("long").alias("exact_union_users"),
+        (
+            F.count_distinct(in_a)
+            + F.count_distinct(in_b)
+            - F.count_distinct(in_ab)
+        )
+        .cast("long")
+        .alias("exact_overlap_users"),
+    )

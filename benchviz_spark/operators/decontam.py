@@ -387,15 +387,17 @@ def decontam_substring_hits(
             """
         )
 
-    # Both the eval and corpus sides consume this projection; without a
-    # materialization barrier the normalize+window+hash scan chain runs
-    # once per consumer. localCheckpoint it (mirroring
-    # dedup.hashed_shingled_documents(materialize=True)) so the scan is
-    # paid once per action.
-    normed = (
-        docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
-        .localCheckpoint(eager=True)
-    )
+    # Deliberately NOT localCheckpoint'ed (evaluated for r7 review and
+    # measured AGAINST): the eval and corpus consumers filter this
+    # projection to DISJOINT doc_id sets, so normalize+window+hash
+    # compute is never duplicated — each side evaluates only its own
+    # rows — unlike the shingle helpers, whose pair detectors consume
+    # the SAME rows three times (hashed_shingled_documents
+    # materialize=True). The only shared cost is the second parquet
+    # scan, and materializing the full normalized corpus to save it
+    # measured 0.9 -> 2.0 s at sf0.1 (and would be a corpus-sized
+    # block-manager write at 100 TB).
+    normed = docs.select("doc_id", _norm_text(F.col("text")).alias("norm"))
     ev = (
         normed.filter(eval_split(F.col("doc_id")))
         .select(F.col("doc_id").alias("eval_id"), F.explode(windows(1)).alias("h"))

@@ -54,9 +54,9 @@ _QUERY_MODULES = (
 # promised): the 11 oracle-paired queries round 7 added after the r07
 # window shipped (none ever driver-checked), the 5 queries round 8
 # itself added (band-occupancy monitor, quality-top-K sampler, the
-# 2-iteration IVF twin, truncation fidelity, survivorship report —
-# new oracle pairs convert to external evidence
-# immediately; they displace five r05 rows, which join the
+# 2-iteration IVF twin, truncation fidelity, survivorship report, the
+# HLL-overlap exact twin — new oracle pairs convert to external
+# evidence immediately; they displace six r05 rows, which join the
 # r09 oldest-evidence tier), the 8 held-back r04 TPC-H rows
 # (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders — after
 # this round no registered query's latest driver row is older than
@@ -68,12 +68,13 @@ _QUERY_MODULES = (
 # the three family representatives whose families would otherwise be
 # absent (bench_log_pipeline / compare / skew — contract: every family
 # in every window; compare also re-times the r07 0.56->0.88 s drift),
-# and then 20 of the 42 remaining r05 rows, operator-style code first.
-# The 22 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
+# and then 19 of the 42 remaining r05 rows, operator-style code first.
+# The 23 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
 # semi_join_urgent_customers, window_customer_running_spend,
 # quantiles_exact_by_flag, the two exact sketch twins,
 # stats_chi2/gini/zipf, graph_triangle_suppliers,
-# sample_weighted_reservoir_es, similarity_label_centroid_dist, and
+# sample_weighted_reservoir_es, sample_temperature_mix,
+# similarity_label_centroid_dist, and
 # the three text scan projections text_bigram_logprob/
 # text_bpe_merge_pairs/text_rolling_hash) are the most stable
 # single-shape SQL, untouched since r05 and re-proven by the committed
@@ -103,6 +104,7 @@ _WINDOW = (
     "similarity_ann_ivf_topk_iter2",
     "embedding_truncation_fidelity",
     "dedup_survivorship_report",
+    "sketch_user_overlap_exact",
     # Held-back r04 TPC-H rows ---------------------------------------------
     "q2_cheapest_part_per_brand",
     "q4_priority_order_counts",
@@ -133,7 +135,6 @@ _WINDOW = (
     "quality_char_entropy",
     "quality_gopher_rules",
     "sample_reservoir_per_source",
-    "sample_temperature_mix",
     "similarity_ann_lsh_topk",
     "stream_dedup_events",
     "stream_enriched_user_segment",

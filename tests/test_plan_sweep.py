@@ -59,6 +59,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "stats_chi2_segment_type": {"customer", "events"},  # segment x type marginals
     "graph_triangle_suppliers": {"lineitem"},  # TakeOrdered M-edge cap
     "sketch_heavy_hitter_terms": {"documents"},  # depth x width CMS counters
+    "sketch_user_overlap": {"events"},  # 1-row HLL-estimate scalars
     # fixed query-vector samples (bounded by query count, not corpus).
     # For the LSH path the bound is STRUCTURAL: both broadcast sides
     # carry an explicit vec_id < N_QUERIES filter (asserted with

@@ -472,6 +472,17 @@ def test_exact_k_sample_rides_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
 
 
+def test_quality_topk_rides_window_group_limit(spark):
+    """sample_quality_topk_per_source's docstring claim: same
+    WindowGroupLimit pre-truncation as the exact-k sampler — each input
+    partition keeps its local top-K per source before the exchange."""
+    from benchviz_spark.operators.sampling import sample_quality_topk_per_source
+
+    plan = formatted_plan(sample_quality_topk_per_source(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_range_search_no_exchange_at_all(spark):
     """similarity_range_search's claim: broadcast probe + scan-side
     threshold filter — the only Exchange allowed is the broadcast

@@ -113,3 +113,24 @@ def test_bloom_prefilter_no_false_negatives_bounded_fps(spark):
     assert n_kept >= n_exact
     # ~0.1% fp design point; 2% leaves jitter room without hiding breakage
     assert n_kept - n_exact <= max(5, 0.02 * n_total), (n_kept, n_exact)
+
+
+def test_hll_overlap_tracks_exact_inclusion_exclusion(spark):
+    """The mergeable-sketch overlap (per-day HLL state re-aggregated
+    into per-type / union estimates, intersection by
+    inclusion-exclusion) must track the exact twin within the HLL
+    envelope. Inclusion-exclusion AMPLIFIES relative error (three
+    estimates combine), so the overlap bound is looser than the
+    per-set bound."""
+    from benchviz_spark.operators.analytics import (
+        sketch_user_overlap,
+        sketch_user_overlap_exact,
+    )
+
+    approx = sketch_user_overlap(spark, SF_DIR).collect()[0]
+    exact = sketch_user_overlap_exact(spark, SF_DIR).collect()[0]
+    for side in ("a_users", "b_users", "union_users"):
+        e, a = exact[f"exact_{side}"], approx[f"approx_{side}"]
+        assert abs(a - e) <= max(3, 0.05 * e), (side, a, e)
+    e, a = exact["exact_overlap_users"], approx["approx_overlap_users"]
+    assert abs(a - e) <= max(5, 0.15 * max(e, 1)), (a, e)
