@@ -786,7 +786,32 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same fixpoint non-iteratively: a DuckDB
     recursive-CTE transitive closure, then min over each reachability
     set — quadratic in cluster size, fine at sf0.01, and a genuinely
-    independent formulation of "same component"."""
+    independent formulation of "same component".
+
+    Shared persist point (same design as curation.curated_documents):
+    the first call per (session, sf_dir) runs the pair detection + the
+    propagation loop and persists the (doc_id, cluster_id) relation;
+    the downstream consumers (cluster representatives, the
+    survivorship report, a keep-one filter job) re-aggregate the
+    16-byte-row cached relation instead of re-running the shingle
+    pair join — the memo is bounded by (applicationId, sf_dir) pairs
+    and the blocks are MEMORY_AND_DISK."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTERS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _build_duplicate_clusters(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _CLUSTERS_CACHE[key] = out
+    return out
+
+
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _build_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_ngram_jaccard_pairs(spark, sf_dir)
         .select("left_id", "right_id")

@@ -96,6 +96,10 @@ _WINDOW = (
     "stream_quality_gopher_gate",
     "asof_purchase_nearest_view",
     "quality_language_consistency",
+    # curation_pipeline precedes the report in bench order so the
+    # shared curated relation's costs attribute readably: the pipeline
+    # pays the chain, the report shows the marginal aggregation.
+    "curation_pipeline",
     "curation_mixture_report",
     "embedding_integrity_profile",
     # Oracle-paired, added THIS round (never driver-checked) ---------------
@@ -116,7 +120,6 @@ _WINDOW = (
     "subquery_above_avg_orders",
     # Registered helper chains changed this round --------------------------
     "dedup_cluster_representatives",
-    "curation_pipeline",
     "decontam_substring_hits",
     # Family representatives (contract: every family in every window) ------
     "bench_log_pipeline",
