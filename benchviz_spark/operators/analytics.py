@@ -902,3 +902,135 @@ def sketch_user_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_overlap_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI between the first and second half of the stream.
+# ---------------------------------------------------------------------------
+PSI_BUCKETS = 10
+PSI_WIDTH = 50.0  # fixed value-bucket width; bucket 9 is open-ended
+
+
+@query(
+    "stats_value_psi",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    mid AS (
+      SELECT (min(s) + max(s)) // 2 AS mid_s FROM ev
+    ),
+    bucketed AS (
+      SELECT event_type,
+             least({PSI_BUCKETS - 1},
+                   CAST(floor(value / {PSI_WIDTH}) AS BIGINT)) AS bucket,
+             CASE WHEN s <= (SELECT mid_s FROM mid) THEN 1 ELSE 0 END AS is_ref
+      FROM ev
+    ),
+    spine AS (
+      SELECT t.event_type, b.bucket
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN (SELECT unnest(range({PSI_BUCKETS})) AS bucket) b
+    ),
+    counts AS (
+      SELECT s.event_type, s.bucket,
+             coalesce(sum(c.is_ref), 0) AS ref_n,
+             coalesce(sum(1 - c.is_ref), 0) AS cur_n
+      FROM spine s
+      LEFT JOIN bucketed c
+        ON c.event_type = s.event_type AND c.bucket = s.bucket
+      GROUP BY s.event_type, s.bucket
+    ),
+    tot AS (
+      SELECT event_type, sum(ref_n) AS ref_t, sum(cur_n) AS cur_t
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum(
+             ((c.ref_n + 1)::DOUBLE / (t.ref_t + {PSI_BUCKETS})
+              - (c.cur_n + 1)::DOUBLE / (t.cur_t + {PSI_BUCKETS}))
+             * ln(((c.ref_n + 1)::DOUBLE / (t.ref_t + {PSI_BUCKETS}))
+                  / ((c.cur_n + 1)::DOUBLE / (t.cur_t + {PSI_BUCKETS})))
+           ), 6) AS psi,
+           CAST(max(t.ref_t) AS BIGINT) AS ref_events,
+           CAST(max(t.cur_t) AS BIGINT) AS cur_events
+    FROM counts c JOIN tot t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def stats_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half of the stream (by the midpoint of the observed time
+    range) vs the second, per event type — THE standard drift monitor
+    a data pipeline runs on every feature before a training snapshot
+    ships (rule of thumb: psi < 0.1 stable, > 0.25 drifted).
+    Laplace-smoothed (+1 per bucket) so empty buckets contribute a
+    finite, engine-exact term.
+
+    Scale: one scan buckets every event (fixed width-{PSI_WIDTH}
+    buckets, integer-exact floor on an IEEE division both engines
+    round identically); the midpoint enters as a 1-row broadcast
+    scalar (the layout_zorder bounds pattern); everything after the
+    (type, bucket) count — a {PSI_BUCKETS} x types cell space — is
+    constant-sized. The dense bucket spine is types x {PSI_BUCKETS}
+    rows built from a distinct-types aggregate, never broadcast-hinted
+    corpus data."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("s"),
+    )
+    mid = ev.agg(
+        ((F.min("s") + F.max("s")) / 2).cast("long").alias("mid_s")
+    )
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.floor(F.col("value") / PSI_WIDTH).cast("long"),
+    )
+    bucketed = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            (F.col("s") <= F.col("mid_s")).cast("long").alias("is_ref"),
+        )
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias(
+                "bucket"
+            ),
+        )
+        .select("event_type", F.col("bucket").cast("long").alias("bucket"))
+    )
+    counts = (
+        spine.join(bucketed, ["event_type", "bucket"], "left")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.coalesce(F.sum("is_ref"), F.lit(0)).alias("ref_n"),
+            F.coalesce(F.sum(1 - F.col("is_ref")), F.lit(0)).alias("cur_n"),
+        )
+    )
+    tw = W.partitionBy("event_type")
+    p = (F.col("ref_n") + 1) / (F.sum("ref_n").over(tw) + PSI_BUCKETS)
+    q = (F.col("cur_n") + 1) / (F.sum("cur_n").over(tw) + PSI_BUCKETS)
+    return (
+        counts.select(
+            "event_type",
+            ((p - q) * F.log(p / q)).alias("term"),
+            F.sum("ref_n").over(tw).alias("ref_t"),
+            F.sum("cur_n").over(tw).alias("cur_t"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term"), 6).alias("psi"),
+            F.max("ref_t").cast("long").alias("ref_events"),
+            F.max("cur_t").cast("long").alias("cur_events"),
+        )
+    )

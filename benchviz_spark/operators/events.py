@@ -1014,3 +1014,126 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_touch_credit"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over the dense hourly grid (the lerp sibling of
+# the gap-fill's ffill).
+# ---------------------------------------------------------------------------
+@query(
+    "events_interpolated_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS h,
+             event_type, count(*) AS n, round(avg(value), 6) AS av
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, 3600)) AS h FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, s.h, hourly.n, hourly.av
+      FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type
+                                   AND s.h = hourly.h
+    ),
+    bracketed AS (
+      SELECT event_type, h, n, av,
+             last_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_av,
+             last_value(CASE WHEN av IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+             first_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_av,
+             first_value(CASE WHEN av IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined
+    )
+    SELECT event_type, h AS hour_ts,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           round(CASE
+             WHEN av IS NOT NULL THEN av
+             ELSE prev_av + (next_av - prev_av)
+                  * (h - prev_h)::DOUBLE / (next_h - prev_h)
+           END, 6) AS avg_value_lerp
+    FROM bracketed
+    """,
+)
+def events_interpolated_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linear-interpolation sibling of ``events_gap_filled_hourly``:
+    gap hours get the value lerped between the bracketing observed
+    hours instead of the last value carried forward — the resample +
+    interpolate of a time-series engine, the right fill when the metric
+    is a level (a rate, a gauge) rather than a state. Observed hours
+    keep their exact hourly average; the per-type grid is bounded by
+    observed hours on both ends, so every gap has both brackets.
+
+    Scale design: identical to the gap-fill — generated spine, one
+    left join, windows partitioned by type — plus one backward-looking
+    window pair (prev value/hour) and one forward-looking pair
+    (next value/hour); all four ride the SAME per-type sort order, so
+    Catalyst evaluates them in two Window nodes over one exchange. The
+    lerp ratio is integer-hour arithmetic over 6-place-rounded inputs,
+    deterministic cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("av"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("h"),
+            "event_type",
+            "n",
+            "av",
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.lit(3600).cast("long"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_h = F.when(F.col("av").isNotNull(), F.col("h"))
+    b = joined.select(
+        "event_type",
+        "h",
+        "n",
+        "av",
+        F.last("av", ignorenulls=True).over(back).alias("prev_av"),
+        F.last(known_h, ignorenulls=True).over(back).alias("prev_h"),
+        F.first("av", ignorenulls=True).over(fwd).alias("next_av"),
+        F.first(known_h, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    # multiply-then-divide, matching the oracle's left-associative
+    # `(next-prev) * gap / span` exactly — dividing first is a 1-ULP
+    # difference that can flip round(.., 6) at a .xxxxxx5 boundary
+    # (observed once at sf0.01)
+    lerp = F.col("prev_av") + (F.col("next_av") - F.col("prev_av")) * (
+        F.col("h") - F.col("prev_h")
+    ).cast("double") / (F.col("next_h") - F.col("prev_h"))
+    return b.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.when(F.col("av").isNotNull(), F.col("av")).otherwise(lerp), 6
+        ).alias("avg_value_lerp"),
+    )

@@ -878,3 +878,110 @@ def quality_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .withColumn("is_mismatch", mism.cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: how big a vocab covers X% of token mass.
+# ---------------------------------------------------------------------------
+COVERAGE_TARGETS = (90, 95, 99)  # percent of total token occurrences
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    tiers AS (
+      SELECT tf, count(*) AS n_terms, tf * count(*) AS tokens
+      FROM tf GROUP BY tf
+    ),
+    cum AS (
+      SELECT tf, n_terms, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY tf DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before,
+             coalesce(sum(n_terms) OVER (ORDER BY tf DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS terms_before,
+             sum(tokens) OVER () AS total
+      FROM tiers
+    )
+    SELECT coverage_pct, vocab_size, covered_tokens, total_tokens FROM (
+      SELECT t.coverage_pct,
+             CAST(cum.terms_before
+                  + (tgt.tokens_needed - cum.tok_before + cum.tf - 1) // cum.tf
+               AS BIGINT) AS vocab_size,
+             CAST(cum.tok_before
+                  + ((tgt.tokens_needed - cum.tok_before + cum.tf - 1) // cum.tf)
+                    * cum.tf AS BIGINT) AS covered_tokens,
+             CAST(cum.total AS BIGINT) AS total_tokens
+      FROM cum
+      CROSS JOIN (VALUES {", ".join(f"({t})" for t in COVERAGE_TARGETS)})
+        t(coverage_pct)
+      CROSS JOIN LATERAL (
+        SELECT (cum.total * t.coverage_pct + 99) // 100 AS tokens_needed
+      ) tgt
+      WHERE cum.tok_before < tgt.tokens_needed
+        AND cum.tok_before + cum.tokens >= tgt.tokens_needed
+    )
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each coverage target in {COVERAGE_TARGETS}%: the smallest
+    frequency-ordered vocabulary (ties arbitrary within a frequency
+    tier — any k same-frequency terms cover k*tf tokens, so the SIZE is
+    tie-free) that covers that share of total token occurrences, plus
+    the exact token mass covered. The tokenizer-sizing table: "how many
+    word types until 99% of running text is in-vocabulary".
+
+    Scale: the vocabulary itself is never globally ranked (the
+    stats_zipf_fit lesson). Everything reduces through the
+    COUNT-OF-COUNTS table — (tf, n_terms) tiers, at most ~sqrt(2N)
+    rows for N total tokens since distinct counts sum to N — and the
+    only window is an unpartitioned cumsum over that sqrt-bounded tier
+    table (allow-listed in the plan sweep with this argument). All
+    arithmetic is integer (ceil via (a+b-1) div b; targets as integer
+    percents), so both engines agree exactly — no float boundary
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tiers = tf.groupBy("tf").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.col("tf") * F.count(F.lit(1))).alias("tokens"),
+    )
+    w_prev = W.orderBy(F.col("tf").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_all = W.orderBy(F.col("tf").desc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = tiers.select(
+        "tf",
+        "n_terms",
+        "tokens",
+        F.coalesce(F.sum("tokens").over(w_prev), F.lit(0)).alias("tok_before"),
+        F.coalesce(F.sum("n_terms").over(w_prev), F.lit(0)).alias("terms_before"),
+        F.sum("tokens").over(w_all).alias("total"),
+    )
+    targets = spark.range(1).select(
+        F.explode(F.lit(list(COVERAGE_TARGETS))).alias("coverage_pct")
+    )
+    need = F.expr("(total * coverage_pct + 99) div 100")
+    k = F.expr("(tokens_needed - tok_before + tf - 1) div tf")
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .withColumn("tokens_needed", need)
+        .filter(
+            (F.col("tok_before") < F.col("tokens_needed"))
+            & (F.col("tok_before") + F.col("tokens") >= F.col("tokens_needed"))
+        )
+        .select(
+            F.col("coverage_pct").cast("long").alias("coverage_pct"),
+            (F.col("terms_before") + k).cast("long").alias("vocab_size"),
+            (F.col("tok_before") + k * F.col("tf"))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.col("total").cast("long").alias("total_tokens"),
+        )
+    )

@@ -60,6 +60,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "graph_triangle_suppliers": {"lineitem"},  # TakeOrdered M-edge cap
     "sketch_heavy_hitter_terms": {"documents"},  # depth x width CMS counters
     "sketch_user_overlap": {"events"},  # 1-row HLL-estimate scalars
+    "stats_value_psi": {"events"},  # 1-row midpoint-epoch scalar
     # fixed query-vector samples (bounded by query count, not corpus).
     # For the LSH path the bound is STRUCTURAL: both broadcast sides
     # carry an explicit vec_id < N_QUERIES filter (asserted with
@@ -89,6 +90,10 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
 _ALLOWED_GLOBAL_WINDOWS = {
     "graph_pagerank_trade_nations",  # 25 nations: rank over a fixed entity set
+    # count-of-counts tiers: distinct frequencies sum to N, so the tier
+    # table is <= ~sqrt(2N) rows (~4.5M at 1e13 tokens) — a bounded
+    # single-task cumsum, NOT the vocabulary (the stats_zipf_fit lesson)
+    "text_vocab_coverage",
 }
 
 # Streaming queries execute an availableNow drain inside the callable;
