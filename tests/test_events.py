@@ -110,3 +110,36 @@ def test_scd2_same_second_matches_oracle(spark, samesec_dir):
         samesec_dir,
         "events_scd2_tier_intervals[same-second]",
     )
+
+
+def test_psi_detects_planted_drift(spark, tmp_path):
+    """stats_value_psi semantics on a planted corpus (the oracle proves
+    cross-engine parity, not that PSI measures drift): a type whose
+    value distribution is identical in both halves of the time range
+    scores ~0; a type that jumps buckets between halves scores far
+    above the 0.25 'drifted' rule of thumb."""
+    from benchviz_spark.operators.analytics import stats_value_psi
+
+    rows = []
+    eid = 0
+    for day in range(30):
+        half2 = day >= 15
+        for i in range(20):
+            rows.append(
+                (eid, _t(day * 86_400 + i * 60), 1, "stable", 25.0, "{}")
+            )
+            eid += 1
+            drift_val = 475.0 if half2 else 25.0
+            rows.append(
+                (eid, _t(day * 86_400 + i * 60 + 1), 2, "drift", drift_val, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "planted")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    got = {r.event_type: r for r in stats_value_psi(spark, d).collect()}
+    assert abs(got["stable"].psi) < 0.01, got["stable"]
+    assert got["drift"].psi > 1.0, got["drift"]
+    # halves are balanced by construction
+    assert got["drift"].ref_events == got["drift"].cur_events == 300
