@@ -42,7 +42,7 @@ from benchviz_spark.operators.decontam import (
     decontam_eval_overlap,
     eval_split,
 )
-from benchviz_spark.operators.dedup import _norm_text
+from benchviz_spark.operators.dedup import _JACCARD_ORACLE, _norm_text
 from benchviz_spark.operators.sampling import (
     TRAIN_UPTO,
     VAL_UPTO,
@@ -215,5 +215,61 @@ def curation_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "curation_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    cur AS ({_CURATION_ORACLE})
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaking
+    FROM pairs p
+    JOIN cur a ON a.doc_id = p.left_id
+    JOIN cur b ON b.doc_id = p.right_id
+    GROUP BY 1, 2
+    """,
+)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit: near-duplicate pairs (3-gram Jaccard
+    >= 0.5, the oracle-proven pair detector) where BOTH members survive
+    curation, grouped by their (split_a, split_b) assignment. Exact
+    dedup inside the curation chain removes byte-identical twins, but
+    NEAR-duplicates survive it by design — and a near-dup pair
+    straddling train/val is eval leakage that silently inflates
+    held-out metrics. A curation run publishes this table beside the
+    recipe card; off-diagonal rows are the alarm (the fix: assign
+    splits by near-dup CLUSTER, not per document).
+
+    Scale: composes two already-bounded stacks — the prefix-filtered
+    pair detector (pair-count-sized output) inner-joined twice against
+    the persisted curated relation on doc_id. No new corpus-scaled
+    shuffle: the pair side is duplicate-rate-sized, so AQE broadcasts
+    it against the curated relation at any realistic dup rate."""
+    from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        "left_id", "right_id"
+    )
+    cur = curated_documents(spark, sf_dir).select("doc_id", "split")
+    a = cur.select(
+        F.col("doc_id").alias("left_id"), F.col("split").alias("split_a")
+    )
+    b = cur.select(
+        F.col("doc_id").alias("right_id"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "left_id")
+        .join(b, "right_id")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("split_a") != F.col("split_b")).cast("long"))
+            .cast("long")
+            .alias("n_leaking"),
         )
     )

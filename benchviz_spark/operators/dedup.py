@@ -148,9 +148,9 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard: inverted shingle index, no all-pairs join.
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_ngram_jaccard_pairs",
-    oracle="""
+# Hoisted so composite oracles (the split-leakage audit) can reuse the
+# exact pair spec as a CTE.
+_JACCARD_ORACLE = """
     WITH tok AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
@@ -170,8 +170,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.5
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, df_cap: int | None = None
 ) -> DataFrame:

@@ -85,6 +85,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_clean_corpus_strict": {"documents"},
     "curation_pipeline": {"documents"},
     "curation_mixture_report": {"documents"},  # same chain + 1 bounded agg
+    "curation_split_leakage": {"documents"},  # same chain + dup-rate-sized pairs
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
