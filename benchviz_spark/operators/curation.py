@@ -273,3 +273,55 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_leaking"),
         )
     )
+
+
+def _cluster_splits_oracle() -> str:
+    from benchviz_spark.operators.dedup import _CLUSTER_ORACLE
+
+    return f"""
+    WITH cur AS ({_CURATION_ORACLE}),
+    clusters AS ({_CLUSTER_ORACLE})
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT c.doc_id, c.lang, c.source, c.n_chars,
+             {_bucket_sql('csplit:', 'cl.cluster_id')} AS bucket
+      FROM cur c JOIN clusters cl ON cl.doc_id = c.doc_id
+    )
+    """
+
+
+@query("curation_cluster_splits", oracle=_cluster_splits_oracle())
+def curation_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX the split-leakage audit motivates: train/val/test
+    assigned by near-dup CLUSTER id instead of per document, so every
+    member of a near-duplicate cluster lands in the same split and
+    cross-split leakage is ZERO by construction (a J >= 0.5 pair is an
+    edge, edges stay within a connected component, and the whole
+    component shares one hash bucket —
+    tests/test_events.py pins the audit at zero off-diagonal pairs
+    over this assignment). Same output shape as curation_pipeline;
+    the split column is the only difference, and it remains a pure
+    key function (stable under appends/reruns, engine-replayable).
+
+    Scale: the persisted curated relation joined once against the
+    persisted clusters relation — both already materialized by their
+    own stacks — plus the same narrow md5-bucket projection; no new
+    corpus-scale shuffle beyond the doc_id equi-join."""
+    from benchviz_spark.operators.dedup import dedup_duplicate_clusters
+
+    cur = curated_documents(spark, sf_dir).drop("split")
+    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    split = (
+        F.when(F.col("bucket") < TRAIN_UPTO, "train")
+        .when(F.col("bucket") < VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return (
+        cur.join(clusters, "doc_id")
+        .withColumn("bucket", hash_bucket(F.col("cluster_id"), "csplit:"))
+        .withColumn("split", split)
+        .select("doc_id", "lang", "source", "n_chars", "split")
+    )

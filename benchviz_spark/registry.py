@@ -52,12 +52,12 @@ _QUERY_MODULES = (
 # checked, then to the queries with the OLDEST driver evidence.
 # Round-8 window (delivering exactly the rotation the r07 registry
 # promised): the 11 oracle-paired queries round 7 added after the r07
-# window shipped (none ever driver-checked), the 5 queries round 8
+# window shipped (none ever driver-checked), the 11 queries round 8
 # itself added (band-occupancy monitor, quality-top-K sampler, the
 # 2-iteration IVF twin, truncation fidelity, survivorship report, the
 # HLL-overlap exact twin, vocab coverage, value PSI, hourly lerp, the
-# split-leakage audit — new oracle pairs convert to external
-# evidence immediately; they displace ten r05 rows, which join the
+# split-leakage audit, cluster-safe splits — new oracle pairs convert
+# to external evidence immediately; they displace eleven r05 rows, which join the
 # r09 oldest-evidence tier), the 8 held-back r04 TPC-H rows
 # (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders — after
 # this round no registered query's latest driver row is older than
@@ -69,15 +69,15 @@ _QUERY_MODULES = (
 # the three family representatives whose families would otherwise be
 # absent (bench_log_pipeline / compare / skew — contract: every family
 # in every window; compare also re-times the r07 0.56->0.88 s drift),
-# and then 15 of the 42 remaining r05 rows, operator-style code first.
-# The 27 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
+# and then 14 of the 42 remaining r05 rows, operator-style code first.
+# The 28 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
 # semi_join_urgent_customers, window_customer_running_spend,
 # quantiles_exact_by_flag, the two exact sketch twins,
 # stats_chi2/gini/zipf, graph_triangle_suppliers,
 # sample_weighted_reservoir_es, sample_temperature_mix,
-# similarity_label_centroid_dist, four streaming twins whose batch
+# similarity_label_centroid_dist, five streaming twins whose batch
 # twins stay windowed (stream_session_stats/sliding/tumbling/
-# purchase_view_pairs), and
+# purchase_view_pairs/enriched_user_segment), and
 # the three text scan projections text_bigram_logprob/
 # text_bpe_merge_pairs/text_rolling_hash) are the most stable
 # single-shape SQL, untouched since r05 and re-proven by the committed
@@ -116,6 +116,7 @@ _WINDOW = (
     "stats_value_psi",
     "events_interpolated_hourly",
     "curation_split_leakage",
+    "curation_cluster_splits",
     # Held-back r04 TPC-H rows ---------------------------------------------
     "q2_cheapest_part_per_brand",
     "q4_priority_order_counts",
@@ -147,7 +148,6 @@ _WINDOW = (
     "sample_reservoir_per_source",
     "similarity_ann_lsh_topk",
     "stream_dedup_events",
-    "stream_enriched_user_segment",
 )
 
 

@@ -1,0 +1,70 @@
+"""Curation-stack semantics beyond the SQL oracles: the split-leakage
+audit / cluster-safe-split pair."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _cross_split_pairs(spark, splits_df):
+    from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, SF_DIR).select(
+        "left_id", "right_id"
+    )
+    a = splits_df.select(
+        F.col("doc_id").alias("left_id"), F.col("split").alias("split_a")
+    )
+    b = splits_df.select(
+        F.col("doc_id").alias("right_id"), F.col("split").alias("split_b")
+    )
+    joined = pairs.join(a, "left_id").join(b, "right_id")
+    return (
+        joined.count(),
+        joined.filter(F.col("split_a") != F.col("split_b")).count(),
+    )
+
+
+def test_doc_level_splits_leak_and_cluster_splits_do_not(spark):
+    """The pair that motivates curation_cluster_splits: per-document
+    hash splits DO put surviving near-dup pairs on opposite sides of
+    the train/val/test boundary (the audit finds real leaks at
+    sf0.01), and cluster-keyed splits drive that to ZERO by
+    construction — every J >= 0.5 pair is an edge, so both members
+    share a connected component and therefore a split."""
+    from benchviz_spark.operators.curation import (
+        curation_cluster_splits,
+        curation_pipeline,
+    )
+
+    n_doc, leak_doc = _cross_split_pairs(
+        spark, curation_pipeline(spark, SF_DIR).select("doc_id", "split")
+    )
+    n_cl, leak_cl = _cross_split_pairs(
+        spark, curation_cluster_splits(spark, SF_DIR).select("doc_id", "split")
+    )
+    assert leak_doc > 0, "expected real leakage under per-doc splits"
+    assert leak_cl == 0, f"cluster splits must not leak, got {leak_cl}"
+    # same survivor set -> same pair universe
+    assert n_doc == n_cl
+
+
+def test_cluster_splits_match_pipeline_except_split(spark):
+    """Cluster-keyed assignment changes ONLY the split column: the
+    survivor set and its attributes are identical to the pipeline's."""
+    from benchviz_spark.operators.curation import (
+        curation_cluster_splits,
+        curation_pipeline,
+    )
+
+    base = {
+        (r.doc_id, r.lang, r.source, r.n_chars)
+        for r in curation_pipeline(spark, SF_DIR).collect()
+    }
+    clus = {
+        (r.doc_id, r.lang, r.source, r.n_chars)
+        for r in curation_cluster_splits(spark, SF_DIR).collect()
+    }
+    assert base == clus

@@ -86,6 +86,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "curation_pipeline": {"documents"},
     "curation_mixture_report": {"documents"},  # same chain + 1 bounded agg
     "curation_split_leakage": {"documents"},  # same chain + dup-rate-sized pairs
+    "curation_cluster_splits": {"documents"},  # same chain + cached clusters join
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
