@@ -803,6 +803,33 @@ def stats_chi2_segment_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 OVERLAP_TYPES = ("purchase", "click")
 
+# One daily-sketch state table per (Spark application, sf_dir) — the
+# persisted-sketch-store stand-in. Memoized (same pattern as
+# curation.curated_documents) so repeated invocations share ONE
+# checkpointed relation instead of each leaving a fresh checkpointed
+# RDD persisted for the session lifetime, and lazily checkpointed
+# (eager=False) so merely BUILDING the plan — the plan-sweep test, a
+# harness listing queries — triggers no job; the scan+sketch
+# aggregation runs on the first real action (ADVICE r8).
+_DAILY_SKETCH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DAILY_SKETCH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    events = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s")
+    daily = (
+        events.filter(F.col("event_type").isin(*OVERLAP_TYPES))
+        .groupBy(day, "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=False)
+    )
+    _DAILY_SKETCH_CACHE[key] = daily
+    return daily
+
 
 @query("sketch_user_overlap")  # rows-only: HLL register contents are
 # engine-specific; the error envelope vs sketch_user_overlap_exact is
@@ -821,16 +848,10 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one event scan builds the daily sketch table (fixed-size
     state per group, merged map-side); the overlap computation then
     reads days x 2 sketch rows — corpus-independent. The raw user-id
-    column never shuffles."""
-    events = load_table(spark, sf_dir, "events")
-    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s")
-    daily = (
-        events.filter(F.col("event_type").isin(*OVERLAP_TYPES))
-        .groupBy(day, "event_type")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .localCheckpoint(eager=True)  # the persisted-sketch-store stand-in:
-        # both consumers below re-aggregate THIS state, not the raw scan
-    )
+    column never shuffles. Both consumers below re-aggregate the
+    memoized checkpointed sketch state (``_daily_user_sketches``),
+    not the raw scan."""
+    daily = _daily_user_sketches(spark, sf_dir)
     per_type = (
         daily.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))

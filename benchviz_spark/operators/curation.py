@@ -246,10 +246,13 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits by near-dup CLUSTER, not per document).
 
     Scale: composes two already-bounded stacks — the prefix-filtered
-    pair detector (pair-count-sized output) inner-joined twice against
-    the persisted curated relation on doc_id. No new corpus-scaled
-    shuffle: the pair side is duplicate-rate-sized, so AQE broadcasts
-    it against the curated relation at any realistic dup rate."""
+    pair detector (pair-count-sized output, read from dedup's shared
+    ``_PAIRS_CACHE`` persist point so a session that also built the
+    near-dup clusters pays the pair join once, not twice) inner-joined
+    twice against the persisted curated relation on doc_id. No new
+    corpus-scaled shuffle: the pair side is duplicate-rate-sized, so
+    AQE broadcasts it against the curated relation at any realistic
+    dup rate."""
     from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
 
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
@@ -304,7 +307,12 @@ def curation_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_events.py pins the audit at zero off-diagonal pairs
     over this assignment). Same output shape as curation_pipeline;
     the split column is the only difference, and it remains a pure
-    key function (stable under appends/reruns, engine-replayable).
+    key function — stable under RERUNS (no RNG, engine-replayable).
+    Known trade-off of cluster-keyed splitting: cluster_id is the min
+    doc_id reachable in the near-dup graph, so an APPENDED document
+    that bridges two existing clusters merges them and reassigns the
+    absorbed side's documents to the merged cluster's split; appends
+    that don't merge clusters leave prior assignments unchanged.
 
     Scale: the persisted curated relation joined once against the
     persisted clusters relation — both already materialized by their

@@ -638,6 +638,33 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 BPE_PAIR_TOP_K = 50
 
+# Corpus word-frequency table (w, wc) — the relation every BPE merge
+# iteration re-reads (and the single-round pair count starts from), so
+# it is the thing to persist: memoized per (application, sf_dir), same
+# pattern as curation.curated_documents. After the first materialization
+# the corpus is never re-scanned by a BPE consumer; everything
+# downstream is vocab-bounded, corpus-independent work.
+_WORD_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WORD_COUNTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    df = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _WORD_COUNTS_CACHE[key] = df
+    return df
+
 
 @query(
     "text_bpe_merge_pairs",
@@ -675,14 +702,10 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations are partial-agg (map-side combined) hash aggregates,
     and the final top-K lowers to TakeOrdered — no global sort. At a
     real 100-TB run the word-count table is also what every later merge
-    iteration re-reads, so it is the thing to persist."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wc"))
-        .filter(F.length("w") >= 2)
-    )
+    iteration re-reads, so it is the thing to persist — served here
+    from the shared ``_word_counts`` persist point that the iterated
+    trainer (``text_bpe_merges_iter3``) re-reads each merge round."""
+    words = _word_counts(spark, sf_dir).filter(F.length("w") >= 2)
     pairs = words.select(
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
@@ -695,6 +718,147 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "symbol_pair")
         .limit(BPE_PAIR_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterated BPE training: apply the top merge and recount, 3 rounds.
+# ---------------------------------------------------------------------------
+BPE_ITER_ROUNDS = 3
+
+# Symbol-sequence encoding shared by both engines: a word's symbol list
+# is one string — single-space padded, symbols joined by DOUBLE spaces
+# (" h  e  l  l  o "). One BPE merge of pair (a, b) is then the LITERAL
+# leftmost-non-overlapping replace of " a  b " with " ab ": each match
+# consumes one boundary space per side and the replacement restores it,
+# so back-to-back occurrences ("a b a b") both merge while overlapping
+# ones ("a a a" under (a,a)) merge greedily left-to-right — exactly the
+# reference BPE application rule, and `replace` has identical
+# leftmost-non-overlap semantics in Spark and DuckDB (no regex, no
+# lookaround, so the oracle replays it verbatim).
+
+
+def _bpe_symbol_strings(words: DataFrame) -> DataFrame:
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    return words.select(
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("s"),
+        "wc",
+    )
+
+
+def _bpe_pair_counts(wdf: DataFrame) -> DataFrame:
+    arr = F.split(F.trim(F.col("s")), "  ")
+    return (
+        wdf.select(arr.alias("arr"), "wc")
+        .filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("arr", 1, F.size("arr") - 1),
+                    F.slice("arr", 2, F.size("arr") - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+    )
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    for i in range(1, BPE_ITER_ROUNDS + 1):
+        rounds.append(f"""
+    p{i} AS (
+      SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(arr)),
+                 j -> arr[j] || ' ' || arr[j+1])) AS pair, wc
+        FROM (SELECT string_split(trim(s), '  ') AS arr, wc FROM w{i-1})
+      ) GROUP BY pair
+    ),
+    b{i} AS (SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    w{i} AS (
+      SELECT replace(s, ' ' || string_split(pair, ' ')[1] || '  '
+                          || string_split(pair, ' ')[2] || ' ',
+                        ' ' || replace(pair, ' ', '') || ' ') AS s, wc
+      FROM w{i-1}, b{i}
+    )""")
+    legs = "\n UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, pair AS symbol_pair,"
+        f" replace(pair, ' ', '') AS merged_symbol, n AS n_occurrences"
+        f" FROM b{i}"
+        for i in range(1, BPE_ITER_ROUNDS + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+      ) GROUP BY w HAVING length(w) >= 1
+    ),
+    w0 AS (
+      SELECT ' ' || array_to_string(list_transform(range(1, length(w)+1),
+               i -> w[i]), '  ') || ' ' AS s, wc
+      FROM words
+    ),{",".join(rounds)}
+    SELECT * FROM ({legs}) ORDER BY merge_rank
+    """
+
+
+@query(f"text_bpe_merges_iter{BPE_ITER_ROUNDS}", oracle=_bpe_oracle())
+def text_bpe_merges_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_ITER_ROUNDS} learned BPE merges — iterated
+    training, not just one round's statistic: each round counts
+    adjacent symbol pairs over the word-frequency table, takes the
+    argmax (ties broken lexicographically on the pair — deterministic
+    and engine-replayable), APPLIES that merge to every word's symbol
+    sequence, and recounts. ``text_bpe_merge_pairs`` is the counting
+    kernel; this is the training loop around it, the same
+    replay-the-iteration proof ``similarity_ann_ivf_topk_iter2`` gives
+    for k-means. Output: (merge_rank, symbol_pair, merged_symbol,
+    n_occurrences) — the tokenizer's merge list prefix.
+
+    Fully declarative iteration: the per-round argmax is a 1-row
+    relation crossJoin(broadcast)-spread into the merge application
+    (no driver collect), and the merge itself is a literal string
+    replace over the double-space symbol encoding (see block comment
+    above) that DuckDB replays verbatim — the oracle is the SAME
+    chain as nested CTEs.
+
+    Scale: the ONLY corpus-scaled work is the word-count table, read
+    from the shared ``_word_counts`` persist point (one corpus scan
+    per session, shared with ``text_bpe_merge_pairs``); every round
+    after that is vocab x avg_word_len bounded — explode, map-side-
+    combined hash aggregate, TakeOrdered(1) — independent of corpus
+    row count, which is precisely why production BPE trainers count
+    over word frequencies and never raw text."""
+    wdf = _bpe_symbol_strings(_word_counts(spark, sf_dir))
+    legs = []
+    for r in range(1, BPE_ITER_ROUNDS + 1):
+        best = _bpe_pair_counts(wdf).orderBy(
+            F.col("n").desc(), F.col("pair")
+        ).limit(1)
+        legs.append(
+            best.select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                F.col("pair").alias("symbol_pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged_symbol"
+                ),
+                F.col("n").alias("n_occurrences"),
+            )
+        )
+        if r < BPE_ITER_ROUNDS:
+            a = F.element_at(F.split(F.col("pair"), " "), 1)
+            b = F.element_at(F.split(F.col("pair"), " "), 2)
+            pat = F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" "))
+            rep = F.concat(F.lit(" "), a, b, F.lit(" "))
+            wdf = wdf.crossJoin(F.broadcast(best.select("pair"))).select(
+                F.replace(F.col("s"), pat, rep).alias("s"), "wc"
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("merge_rank")
 
 
 # ---------------------------------------------------------------------------

@@ -50,104 +50,105 @@ _QUERY_MODULES = (
 # names already driver-green in a prior round's CORRECTNESS_r{N}.json
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
-# Round-8 window (delivering exactly the rotation the r07 registry
-# promised): the 11 oracle-paired queries round 7 added after the r07
-# window shipped (none ever driver-checked), the 11 queries round 8
-# itself added (band-occupancy monitor, quality-top-K sampler, the
-# 2-iteration IVF twin, truncation fidelity, survivorship report, the
-# HLL-overlap exact twin, vocab coverage, value PSI, hourly lerp, the
-# split-leakage audit, cluster-safe splits — new oracle pairs convert
-# to external evidence immediately; they displace eleven r05 rows, which join the
-# r09 oldest-evidence tier), the 8 held-back r04 TPC-H rows
-# (q2/q4/q6/q7/q13/q14/q19 + subquery_above_avg_orders — after
-# this round no registered query's latest driver row is older than
-# r05), the queries whose registered helper chains changed THIS round
-# (dedup_cluster_representatives' struct-max now shuffles fingerprints
-# instead of document bodies; curation_pipeline and
-# curation_mixture_report now share one curated relation;
-# decontam_substring_hits gained the normalize-scan localCheckpoint),
-# the three family representatives whose families would otherwise be
-# absent (bench_log_pipeline / compare / skew — contract: every family
-# in every window; compare also re-times the r07 0.56->0.88 s drift),
-# and then 14 of the 42 remaining r05 rows, operator-style code first.
-# The 28 r05 rows left out (q10/q12/q15/q16/q17/q18/q20/q22,
-# semi_join_urgent_customers, window_customer_running_spend,
-# quantiles_exact_by_flag, the two exact sketch twins,
-# stats_chi2/gini/zipf, graph_triangle_suppliers,
+# Round-9 window (delivering exactly the rotation the r08 registry
+# promised): ALL 28 r05-stale rows lead — after this round no
+# registered query's latest driver row is older than r06
+# (q10/q12/q15/q16/q17/q18/q20/q22, semi_join_urgent_customers,
+# window_customer_running_spend, quantiles_exact_by_flag, the two
+# exact sketch twins, stats_chi2/gini/zipf, graph_triangle_suppliers,
 # sample_weighted_reservoir_es, sample_temperature_mix,
-# similarity_label_centroid_dist, five streaming twins whose batch
-# twins stay windowed (stream_session_stats/sliding/tumbling/
-# purchase_view_pairs/enriched_user_segment), and
-# the three text scan projections text_bigram_logprob/
-# text_bpe_merge_pairs/text_rolling_hash) are the most stable
-# single-shape SQL, untouched since r05 and re-proven by the committed
-# PARITY_LOCAL replica; they are the oldest evidence and lead the r09
-# window. Every name here carries a DuckDB oracle so no slot is wasted
-# on a weaker rows-only check; the only rows-only queries (decode
+# similarity_label_centroid_dist, the five streaming twins, and the
+# three text scan projections) — then the query round 9 added
+# (text_bpe_merges_iter3, the iterated-BPE trainer: new oracle pairs
+# convert to external evidence immediately; note text_bpe_merge_pairs
+# in the stale tier also re-proves the shared _word_counts persist
+# point both BPE queries now read), then the four queries whose
+# registered helper chains changed THIS round
+# (dedup_ngram_jaccard_pairs is now the memoized _PAIRS_CACHE persist
+# point; dedup_duplicate_clusters and curation_split_leakage both
+# consume it instead of re-running pair detection;
+# curation_cluster_splits consumes the clusters relation downstream —
+# ordered pairs -> clusters -> cluster_splits -> leakage so the
+# persist-point costs attribute readably: each query pays only its
+# marginal work after the first), then the family representatives the
+# contract requires (events/multimodal/skew/bench_log_pipeline/asof/
+# compare — every family in every window), and the remaining slots go
+# to the OLDEST next tier: r06 rows, operator-style code first.
+# Every name here carries a DuckDB oracle so no slot is wasted on a
+# weaker rows-only check; the only rows-only queries (decode
 # mean-luma, the PCA eigensolve, the two sketch estimates) are
 # honestly non-SQL-expressible and pytest-bounded. Queries outside the
 # window remain registered and guarded by the committed local replica
-# (PARITY_LOCAL.json + tests/test_oracle_parity.py).
+# (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r10 window
+# should rotate to the remaining r06 rows (the registry comment is
+# the standing commitment): anti_join_idle_customers,
+# basket_part_pair_lift, count_distinct_exact, cube_part_brand_type,
+# date_functions_projection, dedup_embedding_blocked_pairs,
+# distinct_order_channels, groupingsets_order_stats,
+# having_rich_segments, left_join_nation_customer_counts,
+# multimodal_embedding_normalized_checksum, pivot_status_by_returnflag,
+# q11/q21/q3/q5/q8/q9, quality_profile_documents,
+# rollup_lineitem_status, sample_stratified_documents,
+# scalar_functions_projection, the three setop queries,
+# stats_orders_exact, stream_user_profiles, text_bpe_token_counts,
+# text_language_id, topk_expensive_orders, unpivot_order_metrics,
+# window_top3_orders_per_customer.
 _WINDOW = (
-    # Oracle-paired, never driver-checked (added in round 7) ---------------
-    "similarity_knn_graph",
-    "similarity_range_search",
-    "decontam_substring_hits_strided",
-    "sample_stratified_exact_k",
-    "text_ngram_novelty",
-    "multimodal_resize_stats",
-    "stream_quality_gopher_gate",
-    "asof_purchase_nearest_view",
-    "quality_language_consistency",
-    # curation_pipeline precedes the report in bench order so the
-    # shared curated relation's costs attribute readably: the pipeline
-    # pays the chain, the report shows the marginal aggregation.
-    "curation_pipeline",
-    "curation_mixture_report",
-    "embedding_integrity_profile",
+    # Last green in r05 — the oldest evidence, all 28 -----------------------
+    "graph_triangle_suppliers",
+    "q10_return_losses_top20",
+    "q12_priority_by_linestatus",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_bulk_order_customers",
+    "q20_bulk_small_part_suppliers",
+    "q22_idle_rich_customers",
+    "quantiles_exact_by_flag",
+    "sample_temperature_mix",
+    "sample_weighted_reservoir_es",
+    "semi_join_urgent_customers",
+    "similarity_label_centroid_dist",
+    "sketch_events_daily_exact",
+    "sketch_heavy_hitter_exact",
+    "stats_chi2_segment_type",
+    "stats_value_gini_by_type",
+    "stats_zipf_fit",
+    "stream_enriched_user_segment",
+    "stream_purchase_view_pairs",
+    "stream_session_stats",
+    "stream_sliding_hourly_halfhour",
+    "stream_tumbling_hourly",
+    "text_bigram_logprob",
+    "text_bpe_merge_pairs",
+    "text_rolling_hash",
+    "window_customer_running_spend",
     # Oracle-paired, added THIS round (never driver-checked) ---------------
-    "dedup_band_occupancy",
-    "sample_quality_topk_per_source",
-    "similarity_ann_ivf_topk_iter2",
-    "embedding_truncation_fidelity",
-    "dedup_survivorship_report",
-    "sketch_user_overlap_exact",
-    "text_vocab_coverage",
-    "stats_value_psi",
-    "events_interpolated_hourly",
-    "curation_split_leakage",
-    "curation_cluster_splits",
-    # Held-back r04 TPC-H rows ---------------------------------------------
-    "q2_cheapest_part_per_brand",
-    "q4_priority_order_counts",
-    "q6_forecast_revenue",
-    "q7_bilateral_nation_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_revenue",
-    "subquery_above_avg_orders",
-    # Registered helper chains changed this round --------------------------
-    "dedup_cluster_representatives",
-    "decontam_substring_hits",
-    # Family representatives (contract: every family in every window) ------
-    "bench_log_pipeline",
-    "compare_event_type_series",
-    "skew_salted_join_segments",
-    # Last green in r05 — oldest remaining evidence ------------------------
-    "dedup_containment_pairs",
-    "dedup_incremental_new_docs",
+    "text_bpe_merges_iter3",
+    # Registered helper chains changed this round (shared pair persist) ----
     "dedup_ngram_jaccard_pairs",
-    "embedding_dim_correlation",
-    "events_interarrival_stats",
-    "events_linear_attribution",
-    "join_bloom_prefilter_building",
-    "layout_zorder_events",
-    "multimodal_quantization_error",
-    "quality_char_entropy",
-    "quality_gopher_rules",
-    "sample_reservoir_per_source",
-    "similarity_ann_lsh_topk",
-    "stream_dedup_events",
+    "dedup_duplicate_clusters",
+    "curation_cluster_splits",
+    "curation_split_leakage",
+    # Family representatives (contract: every family in every window) ------
+    "events_scd2_tier_intervals",
+    "multimodal_binary_metadata",
+    "skew_salted_join_segments",
+    "bench_log_pipeline",
+    "asof_purchase_last_view",
+    "compare_event_type_series",
+    # Oldest next tier (r06), operator-style code first --------------------
+    "dedup_exact_documents",
+    "decontam_eval_overlap",
+    "quality_redact_pii",
+    "quality_repetition_metrics",
+    "text_tfidf_top_terms",
+    "similarity_ann_ivf_topk",
+    "sample_split_documents",
+    "stream_latest_user_state",
+    "multimodal_embedding_stats",
+    "range_join_price_bands",
+    "q1_pricing_summary",
 )
 
 

@@ -77,6 +77,11 @@ def build(spark, out_dir: str, replicas: int) -> None:
 
 
 def main() -> None:
+    from benchviz_spark.operators.similarity import (
+        KNN_MAX_BITS,
+        KNN_TARGET_BUCKET,
+        N_BITS,
+    )
     from benchviz_spark.registry import all_queries
     from benchviz_spark.session import get_spark
 
@@ -90,7 +95,12 @@ def main() -> None:
     out: dict[str, dict[str, float | int]] = {}
     for tier, (sf_dir, replicas) in TIERS.items():
         n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
-        bits = max(5, min(16, ((n - 1) // 32).bit_length()))
+        # the query's own adaptive-bit formula, from the query's own
+        # constants — the recorded mechanism column can't diverge
+        bits = max(
+            N_BITS,
+            min(KNN_MAX_BITS, ((n - 1) // KNN_TARGET_BUCKET).bit_length()),
+        )
         t0 = time.perf_counter()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 2)

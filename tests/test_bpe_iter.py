@@ -1,0 +1,110 @@
+"""Iterated BPE training (text_bpe_merges_iter3): the merge
+APPLICATION semantics — greedy leftmost-non-overlapping, back-to-back
+occurrences all merge, deterministic tie-break — pinned on planted
+text against an independent per-symbol-list Python reference, plus
+the Spark/DuckDB oracle agreement on the same planted corpus."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+
+from benchviz_spark.operators.text_analysis import BPE_ITER_ROUNDS
+from benchviz_spark.registry import all_oracles, all_queries
+
+QUERY = f"text_bpe_merges_iter{BPE_ITER_ROUNDS}"
+
+
+def _reference_bpe(texts: list[str], rounds: int) -> list[tuple]:
+    """Ground-truth BPE trainer over symbol LISTS (no string-encoding
+    tricks): count pairs weighted by word frequency, argmax with
+    (-count, 'a b') tie-break, apply greedily left-to-right."""
+    words = collections.Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) for w in words}
+    out = []
+    for r in range(rounds):
+        cnt: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += words[w]
+        (a, b), n = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[0]
+        out.append((r + 1, f"{a} {b}", a + b, n))
+        for w, syms in vocab.items():
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return out
+
+
+# Adversarial corpus, counts chosen by hand:
+# - COUNTING includes overlapping adjacent pairs ("aaaa" contributes
+#   THREE (a,a) pairs; wc=7 -> round-1 (a,a)=21, the argmax), but
+#   APPLICATION is greedy left-to-right non-overlapping
+#   (aaaa -> [aa, aa], never [aa, a, a] twice more);
+# - back-to-back merges all apply in one round
+#   (abababab -> [ab, ab, ab, ab]);
+# - round 2 is an exact TIE: (a,b)=14 vs (z,q)=14, and the
+#   lexicographic break must pick "a b";
+# - word-frequency weighting: pair counts are wc-weighted, never
+#   raw-text-position counts.
+PLANTED = [
+    "aaaa aaaa aaaa aaaa aaaa aaaa",
+    "abababab abababab abababab",
+    "aaaa abab",
+    "zq " * 13 + "zq",
+    "single",
+]
+
+
+def _write_planted(spark, tmp_path) -> str:
+    sf_dir = str(tmp_path / "planted_sf")
+    rows = [
+        (i, t, "en", "planted", len(t)) for i, t in enumerate(PLANTED)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_merge_application_matches_symbol_list_reference(spark, tmp_path):
+    sf_dir = _write_planted(spark, tmp_path)
+    got = [
+        tuple(r)
+        for r in all_queries()[QUERY](spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _reference_bpe(PLANTED, BPE_ITER_ROUNDS)
+    # pin the hand-computed plant outcomes (module comment): the
+    # overlap-counted round-1 argmax, the tie round won
+    # lexicographically, and the deferred loser taking round 3
+    assert got[0][1:] == ("a a", "aa", 21)
+    assert got[1][1:] == ("a b", "ab", 14)
+    assert got[2][1:] == ("z q", "zq", 14)
+
+
+def test_oracle_replays_the_same_chain_on_planted_text(spark, tmp_path):
+    sf_dir = _write_planted(spark, tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(all_oracles()[QUERY]).fetchall()
+    got = [
+        tuple(r)
+        for r in all_queries()[QUERY](spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == oracle

@@ -26,11 +26,22 @@ def test_export_round_trips_and_recipe_matches(spark, tmp_path):
         (r.doc_id, r.lang, r.source, r.n_chars, r.split)
         for r in curation_pipeline(spark, SF_DIR).collect()
     }
+    exported = spark.read.parquet(os.path.join(out, "data")).collect()
     got = {
-        (r.doc_id, r.lang, r.source, r.n_chars, r.split)
-        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+        (r.doc_id, r.lang, r.source, r.n_chars, r.split) for r in exported
     }
     assert got == expected
+
+    # the TEXT PAYLOAD survives: every exported row carries the raw
+    # corpus text for its doc_id (the sink writes trainable data, not
+    # a metadata table)
+    raw_text = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert all(r.text == raw_text[r.doc_id] for r in exported)
 
     # recipe card written to disk, equals the returned dict, and its
     # totals reconcile with the data files
@@ -71,6 +82,17 @@ def test_split_read_prunes_partitions(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "split" in m.group(1), plan
+
+    # column pruning: a metadata-only read over the payload-bearing
+    # files never deserializes the text column
+    meta_plan = (
+        df.select("doc_id", "n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rs = re.search(r"ReadSchema: ([^\n]*)", meta_plan)
+    assert rs and "text" not in rs.group(1), meta_plan
 
     # no val/test directory reaches the scan's selected partitions
     union = (

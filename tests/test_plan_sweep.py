@@ -54,6 +54,9 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "join_bloom_prefilter_building": {"customer"},  # 1-row fixed-size bitset map
     "basket_part_pair_lift": {"lineitem"},  # 1-row order-count scalar
     "dedup_incremental_new_docs": {"documents"},  # 1-row fixed-size bitset map
+    # 1-row per-round argmax pair (TakeOrdered(1) over vocab-bounded
+    # pair counts) spread into the next merge round — never the corpus
+    "text_bpe_merges_iter3": {"documents"},
     # fixed-size aggregates / caps
     "sample_temperature_mix": {"documents"},  # per-source rates (sources bounded)
     "stats_chi2_segment_type": {"customer", "events"},  # segment x type marginals
