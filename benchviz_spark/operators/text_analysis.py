@@ -834,9 +834,18 @@ def text_bpe_merges_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdf = _bpe_symbol_strings(_word_counts(spark, sf_dir))
     legs = []
     for r in range(1, BPE_ITER_ROUNDS + 1):
-        best = _bpe_pair_counts(wdf).orderBy(
-            F.col("n").desc(), F.col("pair")
-        ).limit(1)
+        # each round's 1-row argmax feeds THREE plan branches (its own
+        # output leg, the next round's merge, and transitively every
+        # later round); a lazy localCheckpoint makes all branches share
+        # one computed RDD instead of re-running the round's pair
+        # aggregation per branch (the kmeans_train iterative-DataFrame
+        # pattern; eager=False so building the plan triggers no job)
+        best = (
+            _bpe_pair_counts(wdf)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
         legs.append(
             best.select(
                 F.lit(r).cast("long").alias("merge_rank"),
