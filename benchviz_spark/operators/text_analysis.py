@@ -740,6 +740,7 @@ BPE_ITER_ROUNDS = 3
 def _bpe_symbol_strings(words: DataFrame) -> DataFrame:
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     return words.select(
+        "w",
         F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("s"),
         "wc",
     )
@@ -804,6 +805,38 @@ def _bpe_oracle() -> str:
     """
 
 
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the BPE_ITER_ROUNDS-round training chain. Returns (one 1-row
+    argmax DataFrame per round, the word symbol-string table with ALL
+    learned merges applied — (w, s, wc), the trained segmenter state
+    the tokenizer query consumes). Every round's argmax is lazily
+    localCheckpoint'ed: it feeds its own output leg, the next round's
+    merge application, and transitively every later round, so the
+    checkpoint makes all branches share one computed RDD (the
+    kmeans_train iterative-DataFrame pattern; eager=False so building
+    the plan triggers no job)."""
+    wdf = _bpe_symbol_strings(_word_counts(spark, sf_dir))
+    bests = []
+    for _ in range(BPE_ITER_ROUNDS):
+        best = (
+            _bpe_pair_counts(wdf)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        bests.append(best)
+        a = F.element_at(F.split(F.col("pair"), " "), 1)
+        b = F.element_at(F.split(F.col("pair"), " "), 2)
+        pat = F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" "))
+        rep = F.concat(F.lit(" "), a, b, F.lit(" "))
+        wdf = wdf.crossJoin(F.broadcast(best.select("pair"))).select(
+            "w", F.replace(F.col("s"), pat, rep).alias("s"), "wc"
+        )
+    return bests, wdf
+
+
 @query(f"text_bpe_merges_iter{BPE_ITER_ROUNDS}", oracle=_bpe_oracle())
 def text_bpe_merges_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first {BPE_ITER_ROUNDS} learned BPE merges — iterated
@@ -831,43 +864,104 @@ def text_bpe_merges_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined hash aggregate, TakeOrdered(1) — independent of corpus
     row count, which is precisely why production BPE trainers count
     over word frequencies and never raw text."""
-    wdf = _bpe_symbol_strings(_word_counts(spark, sf_dir))
-    legs = []
-    for r in range(1, BPE_ITER_ROUNDS + 1):
-        # each round's 1-row argmax feeds THREE plan branches (its own
-        # output leg, the next round's merge, and transitively every
-        # later round); a lazy localCheckpoint makes all branches share
-        # one computed RDD instead of re-running the round's pair
-        # aggregation per branch (the kmeans_train iterative-DataFrame
-        # pattern; eager=False so building the plan triggers no job)
-        best = (
-            _bpe_pair_counts(wdf)
-            .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(1)
-            .localCheckpoint(eager=False)
+    bests, _ = _bpe_train(spark, sf_dir)
+    legs = [
+        best.select(
+            F.lit(r).cast("long").alias("merge_rank"),
+            F.col("pair").alias("symbol_pair"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                "merged_symbol"
+            ),
+            F.col("n").alias("n_occurrences"),
         )
-        legs.append(
-            best.select(
-                F.lit(r).cast("long").alias("merge_rank"),
-                F.col("pair").alias("symbol_pair"),
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
-                    "merged_symbol"
-                ),
-                F.col("n").alias("n_occurrences"),
-            )
-        )
-        if r < BPE_ITER_ROUNDS:
-            a = F.element_at(F.split(F.col("pair"), " "), 1)
-            b = F.element_at(F.split(F.col("pair"), " "), 2)
-            pat = F.concat(F.lit(" "), a, F.lit("  "), b, F.lit(" "))
-            rep = F.concat(F.lit(" "), a, b, F.lit(" "))
-            wdf = wdf.crossJoin(F.broadcast(best.select("pair"))).select(
-                F.replace(F.col("s"), pat, rep).alias("s"), "wc"
-            )
+        for r, best in enumerate(bests, start=1)
+    ]
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("merge_rank")
+
+
+def _bpe_tokenize_oracle() -> str:
+    rounds = []
+    for i in range(1, BPE_ITER_ROUNDS + 1):
+        rounds.append(f"""
+    p{i} AS (
+      SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(arr)),
+                 j -> arr[j] || ' ' || arr[j+1])) AS pair, wc
+        FROM (SELECT string_split(trim(s), '  ') AS arr, wc FROM w{i-1})
+      ) GROUP BY pair
+    ),
+    b{i} AS (SELECT pair FROM p{i} ORDER BY n DESC, pair LIMIT 1),
+    w{i} AS (
+      SELECT w, replace(s, ' ' || string_split(pair, ' ')[1] || '  '
+                             || string_split(pair, ' ')[2] || ' ',
+                           ' ' || replace(pair, ' ', '') || ' ') AS s, wc
+      FROM w{i-1}, b{i}
+    )""")
+    last = f"w{BPE_ITER_ROUNDS}"
+    return f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+      ) GROUP BY w HAVING length(w) >= 1
+    ),
+    w0 AS (
+      SELECT w, ' ' || array_to_string(list_transform(range(1, length(w)+1),
+               i -> w[i]), '  ') || ' ' AS s, wc
+      FROM words
+    ),{",".join(rounds)},
+    wn AS (
+      SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+      FROM {last}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)   AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_tokens
+    FROM tok JOIN wn USING (w)
+    GROUP BY doc_id
+    """
+
+
+@query("text_bpe_tokenize_docs", oracle=_bpe_tokenize_oracle())
+def text_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE side of the trained tokenizer: apply the
+    BPE_ITER_ROUNDS learned merges and count each document's tokens
+    under the resulting segmentation — (doc_id, n_words, n_tokens).
+    This is the number a training pipeline actually bills by (the
+    token budget under the learned vocab, vs text_bpe_token_counts'
+    fixed pre-tokenizer estimate), and together with the trainer it
+    closes the loop: learn merges on the corpus, tokenize the corpus
+    with them.
+
+    Scale: merge application happens on the VOCABULARY (the word
+    symbol-string table from the shared training chain — vocab-sized,
+    corpus-independent), never on raw text; the corpus is touched by
+    exactly two bounded passes — the shared ``_word_counts`` persist
+    point and one explode of doc words joined to the per-word token
+    counts on the word key (vocab-sized build side, the same
+    no-broadcast-hint rule as TF-IDF's document-frequency join: AQE
+    broadcasts it while genuinely small). The DuckDB oracle replays
+    the training CTE chain and the same join."""
+    _, trained = _bpe_train(spark, sf_dir)
+    wn = trained.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    return (
+        tok.join(wn, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,43 @@ def test_merge_application_matches_symbol_list_reference(spark, tmp_path):
     assert got[2][1:] == ("z q", "zq", 14)
 
 
+def test_tokenizer_applies_learned_merges_per_document(spark, tmp_path):
+    """text_bpe_tokenize_docs must charge each document the token count
+    of its words under the TRAINED segmentation (all merges applied),
+    per the same symbol-list reference the trainer is pinned to."""
+    sf_dir = _write_planted(spark, tmp_path)
+
+    words = collections.Counter(
+        w for t in PLANTED for w in t.lower().split()
+    )
+    vocab = {w: list(w) for w in words}
+    for _, pair, merged, _n in _reference_bpe(PLANTED, BPE_ITER_ROUNDS):
+        a, b = pair.split(" ")
+        for w, syms in vocab.items():
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    expected = {
+        i: (len(t.lower().split()), sum(len(vocab[w]) for w in t.lower().split()))
+        for i, t in enumerate(PLANTED)
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in all_queries()["text_bpe_tokenize_docs"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # pin the hand-computed compression: each "abababab" (8 chars)
+    # segments to [ab, ab, ab, ab] after the round-2 (a,b) merge, so
+    # doc 1 (three such words) costs exactly 12 tokens, not 24 chars
+    assert got[1] == (3, 12)
+
+
 def test_oracle_replays_the_same_chain_on_planted_text(spark, tmp_path):
     sf_dir = _write_planted(spark, tmp_path)
     con = duckdb.connect()
