@@ -882,7 +882,10 @@ def text_bpe_merges_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_rank")
 
 
-def _bpe_tokenize_oracle() -> str:
+def _bpe_trained_wn_cte() -> str:
+    """The WITH-body prefix replaying the training chain down to the
+    per-word trained token count ``wn(w, n_sym)`` — shared by the
+    tokenizer oracle and the token-budget oracle."""
     rounds = []
     for i in range(1, BPE_ITER_ROUNDS + 1):
         rounds.append(f"""
@@ -902,7 +905,7 @@ def _bpe_tokenize_oracle() -> str:
     )""")
     last = f"w{BPE_ITER_ROUNDS}"
     return f"""
-    WITH words AS (
+    words AS (
       SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
         SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
       ) GROUP BY w HAVING length(w) >= 1
@@ -915,7 +918,12 @@ def _bpe_tokenize_oracle() -> str:
     wn AS (
       SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
       FROM {last}
-    ),
+    )"""
+
+
+def _bpe_tokenize_oracle() -> str:
+    return f"""
+    WITH {_bpe_trained_wn_cte()},
     tok AS (
       SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
       FROM documents
@@ -961,6 +969,85 @@ def text_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("n_sym").cast("long").alias("n_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning: epochs per source to fill a budget.
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET_SHARE = 0.5  # plan a run of half the corpus's trained tokens
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+    WITH {_bpe_trained_wn_cte()},
+    tok AS (
+      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+      FROM tok JOIN wn USING (w)
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per_source
+    )
+    SELECT source, n_tokens,
+           round(n_tokens::DOUBLE / t, 6)                    AS token_share,
+           round(1.0 / k, 6)                                 AS target_share,
+           round({TOKEN_BUDGET_SHARE} * t / k / n_tokens, 6) AS epochs
+    FROM per_source, tot
+    """
+
+
+@query("curation_token_budget", oracle=_token_budget_oracle())
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe planning: given a token budget (TOKEN_BUDGET_SHARE
+    of the corpus's tokens under the LEARNED tokenizer) and a uniform
+    target mixture across sources, how many EPOCHS of each source does
+    the run consume? epochs < 1 means the source is subsampled,
+    epochs > 1 means it must repeat to hit its share — the
+    oversampling signal a mixture designer acts on before launching a
+    run (the per-source twin of the doc-count-based
+    ``sample_temperature_mix``, but denominated in trained tokens,
+    which is what the budget is actually billed in).
+
+    Scale: the per-source token table composes the same two bounded
+    passes as ``text_bpe_tokenize_docs`` (shared ``_word_counts``
+    persist point + one exploded-words join on the word key), then
+    everything downstream is sources-sized: a 1-row total
+    crossJoin(broadcast)-spread into ratios. Float discipline: shares
+    and epochs are double divisions of exact int64 token counts,
+    rounded to 6 places on both engines."""
+    _, trained = _bpe_train(spark, sf_dir)
+    wn = trained.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+    per_source = (
+        tok.join(wn, "w")
+        .groupBy("source")
+        .agg(F.sum("n_sym").cast("long").alias("n_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+        F.round(
+            F.lit(TOKEN_BUDGET_SHARE) * F.col("t") / F.col("k") / F.col("n_tokens"),
+            6,
+        ).alias("epochs"),
     )
 
 

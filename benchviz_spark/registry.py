@@ -58,12 +58,14 @@ _QUERY_MODULES = (
 # exact sketch twins, stats_chi2/gini/zipf, graph_triangle_suppliers,
 # sample_weighted_reservoir_es, sample_temperature_mix,
 # similarity_label_centroid_dist, the five streaming twins, and the
-# three text scan projections) — then the two queries round 9 added
-# (text_bpe_merges_iter3, the iterated-BPE trainer, and
-# text_bpe_tokenize_docs, its inference side: new oracle pairs
-# convert to external evidence immediately; note text_bpe_merge_pairs
-# in the stale tier also re-proves the shared _word_counts persist
-# point all three BPE queries now read), then the four queries whose
+# three text scan projections) — then the three queries round 9 added
+# (text_bpe_merges_iter3, the iterated-BPE trainer;
+# text_bpe_tokenize_docs, its inference side; curation_token_budget,
+# the epochs-per-source mixture planner denominated in trained
+# tokens: new oracle pairs convert to external evidence immediately;
+# note text_bpe_merge_pairs in the stale tier also re-proves the
+# shared _word_counts persist point every BPE query now reads), then
+# the four queries whose
 # registered helper chains changed THIS round
 # (dedup_ngram_jaccard_pairs is now the memoized _PAIRS_CACHE persist
 # point; dedup_duplicate_clusters and curation_split_leakage both
@@ -75,8 +77,8 @@ _QUERY_MODULES = (
 # contract requires (events/multimodal/skew/bench_log_pipeline/asof/
 # compare — every family in every window), and the remaining slots go
 # to the OLDEST next tier: r06 rows, operator-style code first
-# (q1_pricing_summary yielded its fill slot to the second round-9
-# query, text_bpe_tokenize_docs, and joins the r10 list below).
+# (q1_pricing_summary and range_join_price_bands yielded their fill
+# slots to the round-9 additions and join the r10 list below).
 # Every name here carries a DuckDB oracle so no slot is wasted on a
 # weaker rows-only check; the only rows-only queries (decode
 # mean-luma, the PCA eigensolve, the two sketch estimates) are
@@ -91,6 +93,7 @@ _QUERY_MODULES = (
 # having_rich_segments, left_join_nation_customer_counts,
 # multimodal_embedding_normalized_checksum, pivot_status_by_returnflag,
 # q1/q11/q21/q3/q5/q8/q9, quality_profile_documents,
+# range_join_price_bands,
 # rollup_lineitem_status, sample_stratified_documents,
 # scalar_functions_projection, the three setop queries,
 # stats_orders_exact, stream_user_profiles, text_bpe_token_counts,
@@ -129,6 +132,7 @@ _WINDOW = (
     # Oracle-paired, added THIS round (never driver-checked) ---------------
     "text_bpe_merges_iter3",
     "text_bpe_tokenize_docs",
+    "curation_token_budget",
     # Registered helper chains changed this round (shared pair persist) ----
     "dedup_ngram_jaccard_pairs",
     "dedup_duplicate_clusters",
@@ -151,7 +155,6 @@ _WINDOW = (
     "sample_split_documents",
     "stream_latest_user_state",
     "multimodal_embedding_stats",
-    "range_join_price_bands",
 )
 
 

@@ -130,6 +130,28 @@ def test_tokenizer_applies_learned_merges_per_document(spark, tmp_path):
     assert got[1] == (3, 12)
 
 
+def test_token_budget_invariants_on_planted_corpus(spark, tmp_path):
+    """curation_token_budget: shares sum to 1, target is uniform, and
+    epochs = budget_share * total / (k * n_tokens) exactly (single
+    planted source -> epochs == TOKEN_BUDGET_SHARE)."""
+    from benchviz_spark.operators.text_analysis import TOKEN_BUDGET_SHARE
+
+    sf_dir = _write_planted(spark, tmp_path)
+    rows = all_queries()["curation_token_budget"](spark, sf_dir).collect()
+    assert len(rows) == 1  # one planted source
+    r = rows[0]
+    assert r.token_share == 1.0 and r.target_share == 1.0
+    assert r.epochs == round(TOKEN_BUDGET_SHARE, 6)
+    # the denominator is the TRAINED token count, not chars or words:
+    # must equal the tokenizer query's corpus total
+    total = (
+        all_queries()["text_bpe_tokenize_docs"](spark, sf_dir)
+        .agg({"n_tokens": "sum"})
+        .collect()[0][0]
+    )
+    assert r.n_tokens == total
+
+
 def test_oracle_replays_the_same_chain_on_planted_text(spark, tmp_path):
     sf_dir = _write_planted(spark, tmp_path)
     con = duckdb.connect()

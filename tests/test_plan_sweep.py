@@ -58,6 +58,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # pair counts) spread into the next merge round — never the corpus
     "text_bpe_merges_iter3": {"documents"},
     "text_bpe_tokenize_docs": {"documents"},  # same 1-row argmax spreads
+    "curation_token_budget": {"documents"},  # argmax spreads + 1-row totals
     # fixed-size aggregates / caps
     "sample_temperature_mix": {"documents"},  # per-source rates (sources bounded)
     "stats_chi2_segment_type": {"customer", "events"},  # segment x type marginals
