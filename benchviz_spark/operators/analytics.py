@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from benchviz_spark.caching import memo_put, register_cache
 from benchviz_spark.registry import query
 from benchviz_spark.sources.tables import load_table
 
@@ -811,7 +812,7 @@ OVERLAP_TYPES = ("purchase", "click")
 # (eager=False) so merely BUILDING the plan — the plan-sweep test, a
 # harness listing queries — triggers no job; the scan+sketch
 # aggregation runs on the first real action (ADVICE r8).
-_DAILY_SKETCH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DAILY_SKETCH_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -827,8 +828,7 @@ def _daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
         .localCheckpoint(eager=False)
     )
-    _DAILY_SKETCH_CACHE[key] = daily
-    return daily
+    return memo_put(_DAILY_SKETCH_CACHE, key, daily)
 
 
 @query("sketch_user_overlap")  # rows-only: HLL register contents are

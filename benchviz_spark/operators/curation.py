@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from benchviz_spark.caching import memo_put, register_cache
 from benchviz_spark.operators.decontam import (
     NGRAM,
     THRESHOLD,
@@ -115,7 +116,7 @@ _CURATION_ORACLE = f"""
 # in pytest sessions, exactly one in a production job — and the
 # persisted blocks themselves are MEMORY_AND_DISK, so Spark evicts to
 # disk under pressure rather than OOMing the executors.
-_CURATED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CURATED_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,8 +136,7 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     df = _build_curated(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    _CURATED_CACHE[key] = df
-    return df
+    return memo_put(_CURATED_CACHE, key, df)
 
 
 @query(

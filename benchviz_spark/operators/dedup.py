@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from benchviz_spark.caching import memo_put, register_cache
 from benchviz_spark.registry import query
 from benchviz_spark.sources.tables import load_table, spread
 
@@ -182,7 +183,7 @@ _JACCARD_ORACLE = """
 # after the clusters build paid it (VERDICT r8 #2). The cached rows
 # are (long, long, double) = 20 bytes — duplicate-rate-sized, not
 # corpus-sized — and MEMORY_AND_DISK evicts rather than OOMs.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 @query("dedup_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE)
@@ -204,8 +205,7 @@ def dedup_ngram_jaccard_pairs(
     out = _build_ngram_jaccard_pairs(spark, sf_dir, None).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _PAIRS_CACHE[key] = out
-    return out
+    return memo_put(_PAIRS_CACHE, key, out)
 
 
 def _build_ngram_jaccard_pairs(
@@ -842,11 +842,10 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    _CLUSTERS_CACHE[key] = out
-    return out
+    return memo_put(_CLUSTERS_CACHE, key, out)
 
 
-_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _build_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from benchviz_spark.caching import memo_put, register_cache
 from benchviz_spark.registry import query
 from benchviz_spark.sources.tables import load_table
 
@@ -644,7 +645,7 @@ BPE_PAIR_TOP_K = 50
 # pattern as curation.curated_documents. After the first materialization
 # the corpus is never re-scanned by a BPE consumer; everything
 # downstream is vocab-bounded, corpus-independent work.
-_WORD_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WORD_COUNTS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,8 +663,7 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _WORD_COUNTS_CACHE[key] = df
-    return df
+    return memo_put(_WORD_COUNTS_CACHE, key, df)
 
 
 @query(

@@ -84,6 +84,13 @@ def build_corpus(spark) -> None:
 
     from pyspark.sql import functions as F
 
+    from benchviz_spark.caching import clear_caches
+
+    # The snapshot under PROBE_DIR is about to change on disk: any
+    # session-memoized relation keyed by this sf_dir (pair relation,
+    # clusters, curated corpus, word counts, sketch state) would
+    # silently serve rows of the OLD snapshot (ADVICE r9).
+    clear_caches()
     os.makedirs(PROBE_DIR, exist_ok=True)
     for table, strides in KEYED.items():
         # single FILE named <table>.parquet, like the real testdata —

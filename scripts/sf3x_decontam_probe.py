@@ -51,17 +51,22 @@ def main() -> None:
     queries = all_queries()
     spark.read.parquet(f"{TIERS['sf0.1']}/documents.parquet").count()
     out: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    raw: dict[str, dict[str, float]] = {}
     for tier, sf_dir in TIERS.items():
         for name in QUERIES:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            out[name][tier] = round(time.perf_counter() - t0, 2)
+            raw.setdefault(name, {})[tier] = time.perf_counter() - t0
+            out[name][tier] = round(raw[name][tier], 2)
             print(f"{tier} {name}: {out[name][tier]}s", file=sys.stderr)
     for name in QUERIES:
-        out[name]["r10"] = round(out[name]["sf1x"] / out[name]["sf0.1"], 2)
-        out[name]["r30"] = round(out[name]["sf3x"] / out[name]["sf0.1"], 2)
+        # ratios from UNROUNDED walls (a fast cached row rounds to 0.0
+        # and would divide-by-zero or wildly inflate the ratio)
+        base = max(raw[name]["sf0.1"], 1e-3)
+        out[name]["r10"] = round(raw[name]["sf1x"] / base, 2)
+        out[name]["r30"] = round(raw[name]["sf3x"] / base, 2)
     print(
         json.dumps(
             {

@@ -134,3 +134,41 @@ def test_hll_overlap_tracks_exact_inclusion_exclusion(spark):
         assert abs(a - e) <= max(3, 0.05 * e), (side, a, e)
     e, a = exact["exact_overlap_users"], approx["approx_overlap_users"]
     assert abs(a - e) <= max(5, 0.15 * max(e, 1)), (a, e)
+
+
+def test_overlap_reuses_memoized_sketch_state(spark):
+    """ADVICE r9: the daily HLL sketch state is memoized per
+    (applicationId, sf_dir) — repeated overlap queries must consume the
+    SAME lazily-checkpointed relation (no second scan+sketch build),
+    and the memo must survive producing identical results."""
+    from benchviz_spark.operators.analytics import (
+        _DAILY_SKETCH_CACHE,
+        _daily_user_sketches,
+        sketch_user_overlap,
+    )
+
+    key = (spark.sparkContext.applicationId, SF_DIR)
+    first = sketch_user_overlap(spark, SF_DIR).collect()
+    assert key in _DAILY_SKETCH_CACHE
+    state = _daily_user_sketches(spark, SF_DIR)
+    assert state is _DAILY_SKETCH_CACHE[key]  # memo hit, not a rebuild
+    second = sketch_user_overlap(spark, SF_DIR).collect()
+    assert second == first
+
+
+def test_cache_registry_prunes_dead_apps_and_clears(spark):
+    """benchviz_spark.caching invariants: inserting under a new
+    applicationId evicts entries of other (stopped) applications, and
+    clear_caches() empties every registered memo."""
+    from benchviz_spark.caching import clear_caches, memo_put, register_cache
+
+    cache = register_cache({})
+    df_old = spark.range(1)
+    df_new = spark.range(2)
+    memo_put(cache, ("dead-app", "/x"), df_old)
+    memo_put(cache, ("live-app", "/x"), df_new)
+    assert list(cache) == [("live-app", "/x")]  # dead-app entry pruned
+    memo_put(cache, ("live-app", "/y"), df_old)
+    assert set(cache) == {("live-app", "/x"), ("live-app", "/y")}
+    assert clear_caches() >= 2
+    assert not cache
