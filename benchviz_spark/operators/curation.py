@@ -253,16 +253,28 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scaled shuffle: the pair side is duplicate-rate-sized, so
     AQE broadcasts it against the curated relation at any realistic
     dup rate."""
+    return leakage_over(
+        spark, sf_dir, curated_documents(spark, sf_dir).select("doc_id", "split")
+    )
+
+
+def leakage_over(
+    spark: SparkSession, sf_dir: str, assignment: DataFrame
+) -> DataFrame:
+    """The leakage aggregation over an arbitrary (doc_id, split)
+    assignment — shared by the registered audit above (per-doc splits,
+    the motivating alarm) and the corpus export sink (cluster splits,
+    where the off-diagonal is zero by construction and leakage.json
+    makes that guarantee artifact-visible)."""
     from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
 
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
         "left_id", "right_id"
     )
-    cur = curated_documents(spark, sf_dir).select("doc_id", "split")
-    a = cur.select(
+    a = assignment.select(
         F.col("doc_id").alias("left_id"), F.col("split").alias("split_a")
     )
-    b = cur.select(
+    b = assignment.select(
         F.col("doc_id").alias("right_id"), F.col("split").alias("split_b")
     )
     return (

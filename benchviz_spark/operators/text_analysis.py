@@ -1052,6 +1052,74 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing under the TRAINED tokenizer: the billed-token twin
+# of text_pack_sequences (VERDICT r9 #4).
+# ---------------------------------------------------------------------------
+def _pack_trained_oracle() -> str:
+    return f"""
+    WITH {_bpe_trained_wn_cte()},
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    ),
+    dc AS (
+      SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+      FROM tok JOIN wn USING (w)
+      GROUP BY doc_id
+    ),
+    run AS (
+      SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY doc_id % {N_PACK_SHARDS} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM dc
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_offset / {SEQ_CAPACITY}.0) AS BIGINT) AS seq_id,
+           CAST(start_offset AS BIGINT) AS start_offset
+    FROM run
+    """
+
+
+@query("text_pack_sequences_trained", oracle=_pack_trained_oracle())
+def text_pack_sequences_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_pack_sequences`` denominated in the tokens a run is
+    actually billed in: the concat-then-chunk packing window runs over
+    ``text_bpe_tokenize_docs``' per-document counts under the LEARNED
+    merges instead of the fixed pre-tokenizer estimate — the same
+    upgrade ``curation_token_budget`` made over ``sample_weighted_mix``.
+    A document with no in-vocabulary words has nothing to pack and is
+    absent, exactly as in the tokenizer query.
+
+    Scale: composes two already-bounded shapes — the tokenizer's
+    vocab-sized merge application + word-key join (one corpus explode),
+    then the N_PACK_SHARDS-parallel running-sum window over doc-sized
+    rows. Nothing new shuffles: the window reuses the packing plan the
+    pre-tokenizer variant already carries at 100 TB."""
+    counts = text_bpe_tokenize_docs(spark, sf_dir).select("doc_id", "n_tokens")
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = counts.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(N_PACK_SHARDS)).alias("shard"),
+        "n_tokens",
+    )
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_CAPACITY)
+        .cast("long")
+        .alias("seq_id"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Boilerplate phrase mining: global word-n-gram document frequency.
 # ---------------------------------------------------------------------------
 BOILERPLATE_N = 8

@@ -167,3 +167,25 @@ def test_oracle_replays_the_same_chain_on_planted_text(spark, tmp_path):
         .collect()
     ]
     assert got == oracle
+
+
+def test_pack_trained_composes_tokenizer_counts(spark):
+    """text_pack_sequences_trained must pack exactly the tokenizer's
+    per-doc counts: same docs, same n_tokens, offsets = per-shard
+    prefix sums in doc_id order, seq_id = offset // SEQ_CAPACITY."""
+    from benchviz_spark.operators.text_analysis import (
+        SEQ_CAPACITY,
+        text_bpe_tokenize_docs,
+        text_pack_sequences_trained,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    counts = {r.doc_id: r.n_tokens for r in text_bpe_tokenize_docs(spark, sf).collect()}
+    rows = text_pack_sequences_trained(spark, sf).collect()
+    assert {r.doc_id for r in rows} == set(counts)
+    running: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.n_tokens == counts[r.doc_id]
+        assert r.start_offset == running.get(r.shard, 0)
+        assert r.seq_id == r.start_offset // SEQ_CAPACITY
+        running[r.shard] = running.get(r.shard, 0) + r.n_tokens
