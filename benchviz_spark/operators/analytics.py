@@ -530,9 +530,20 @@ def stats_value_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_RSD = 0.02  # target relative standard deviation for approx distinct
 
 
-@query("sketch_events_daily")  # rows-only: sketches are estimators, not
-# reproducible scalars a cross-engine oracle can hash; the error
-# envelope vs sketch_events_daily_exact is pinned in tests/test_sketches.py
+@query(
+    "sketch_events_daily",
+    # The two estimate columns are estimators, not reproducible scalars
+    # a cross-engine oracle can hash (their envelope vs the exact twin
+    # is pinned in tests/test_sketches.py) — but the ROW STRUCTURE is
+    # deterministic: the partial oracle (VERDICT r9 #6) hash-checks the
+    # full day grid and the exact event counts, leaving only
+    # approx_users / approx_p50_value under the declared mask.
+    partial_oracle="""
+    SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+           CAST(count(*) AS BIGINT)                            AS n_events
+    FROM events GROUP BY 1
+    """,
+)
 def sketch_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day approximate profile of the event stream: HLL++ distinct
     users (rsd=2%) and t-digest-style approximate value percentiles —

@@ -28,11 +28,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 def main() -> None:
     from oracle_harness import compare_frames, duckdb_connection
 
-    from benchviz_spark.registry import all_oracles, all_queries
+    from benchviz_spark.registry import (
+        all_oracles,
+        all_partial_oracles,
+        all_queries,
+    )
     from benchviz_spark.session import get_spark
 
     spark = get_spark("parity_snapshot")
     queries, oracles = all_queries(), all_oracles()
+    partials = all_partial_oracles()
     con = duckdb_connection(SF_DIR)
 
     report: dict[str, dict] = {}
@@ -54,6 +59,18 @@ def main() -> None:
                 compare_frames(spark_pdf, oracle_pdf, name)
                 entry["rows_match"] = entry["schema_match"] = True
                 entry["values_match"] = True
+            elif name in partials:
+                oracle_pdf = con.execute(partials[name]).fetchdf()
+                entry["oracle_rows"] = len(oracle_pdf)
+                cols = {c.lower() for c in oracle_pdf.columns}
+                keep = [c for c in spark_pdf.columns if c.lower() in cols]
+                masked = sorted(
+                    c for c in spark_pdf.columns if c.lower() not in cols
+                )
+                compare_frames(spark_pdf[keep], oracle_pdf, name)
+                entry["rows_match"] = entry["schema_match"] = True
+                entry["values_match"] = True
+                entry["masked_cols"] = masked  # estimator columns only
             else:
                 entry["err"] = "no_oracle"
         except Exception as exc:  # noqa: BLE001 - record and continue

@@ -41,7 +41,12 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     spark.read.parquet(f"{SF01}/documents.parquet").count()  # warm
 
+    from benchviz_spark.caching import clear_caches
+
     def run(name: str, sf_dir: str) -> float:
+        # same cold-row discipline as bench.py (ADVICE r9): a probe row
+        # must never time a cached read another probed query warmed
+        clear_caches()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec = round(time.perf_counter() - t0, 2)

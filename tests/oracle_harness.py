@@ -89,3 +89,24 @@ def run_pair(spark, con, query_fn, oracle: str, sf_dir: str, name: str) -> None:
     spark_pdf = query_fn(spark, sf_dir).toPandas()
     oracle_pdf = con.execute(oracle).fetchdf()
     compare_frames(spark_pdf, oracle_pdf, name)
+
+
+def run_partial_pair(
+    spark, con, query_fn, partial_oracle: str, sf_dir: str, name: str
+) -> list[str]:
+    """Partial-oracle compare: the oracle replays only the query's
+    deterministic columns; the Spark frame is PROJECTED to those
+    columns before the full rows+schema+values check (row count still
+    compares the complete result — projection drops no rows). Returns
+    the masked (non-replayed) column names for the parity record."""
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    oracle_pdf = con.execute(partial_oracle).fetchdf()
+    oracle_cols = {c.lower() for c in oracle_pdf.columns}
+    keep = [c for c in spark_pdf.columns if c.lower() in oracle_cols]
+    masked = sorted(c for c in spark_pdf.columns if c.lower() not in oracle_cols)
+    assert keep and masked, (
+        f"{name}: a partial oracle must replay a strict, non-empty "
+        f"column subset (replayed={keep}, masked={masked})"
+    )
+    compare_frames(spark_pdf[keep], oracle_pdf, name)
+    return masked

@@ -35,12 +35,18 @@ def test_snapshot_keys_match_registry():
 
 
 def test_snapshot_is_green():
-    from benchviz_spark.registry import all_oracles
+    from benchviz_spark.registry import all_oracles, all_partial_oracles
 
     oracles = set(all_oracles())
+    partials = set(all_partial_oracles())
     for name, entry in _load()["queries"].items():
         if name in oracles:
             assert entry["values_match"] is True, (name, entry["err"])
+        elif name in partials:
+            # partial-oracle rows: green over the replayed columns, and
+            # the declared mask names the estimator columns it excludes
+            assert entry["values_match"] is True, (name, entry["err"])
+            assert entry.get("masked_cols"), name
         else:
             assert entry["err"] == "no_oracle", (name, entry["err"])
             assert entry["spark_rows"] is not None and entry["spark_rows"] >= 0, name
