@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 # Import the batch twins FIRST so their oracles are registered before we
 # look them up (registry._QUERY_MODULES also orders events before this
 # module, but a direct import must not depend on that).
+import benchviz_spark.operators.dedup  # noqa: F401
 import benchviz_spark.operators.events  # noqa: F401
 import benchviz_spark.operators.quality  # noqa: F401
 from benchviz_spark.registry import _ORACLES, query
@@ -167,4 +168,20 @@ def stream_quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming, not just with batch scans."""
     return _drain(
         sw.stream_gopher_gate(spark, sf_dir), spark, "gopher_gate", "append"
+    )
+
+
+@query("stream_image_dedup_gate", oracle=_ORACLES["dedup_image_dhash_fingerprints"])
+def stream_image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup admission hash running ON THE STREAM: every
+    arriving document's PNG payload is decoded by the real codec and
+    perceptually hashed (streaming/windows.py stream_image_dhash),
+    drained in append mode, and hash-checked against the SAME
+    closed-form oracle as the batch fingerprint scan — stream == batch
+    == DuckDB, bit-exact on every 56-bit hash. This is the front half
+    of a streaming near-dup gate (production probes the persisted band
+    index with these keys; the band join itself is the already-proven
+    dedup_image_phash_pairs shuffle shape)."""
+    return _drain(
+        sw.stream_image_dhash(spark, sf_dir), spark, "image_dhash", "append"
     )

@@ -285,3 +285,20 @@ def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchviz_spark.operators.quality import gopher_projection
 
     return gopher_projection(read_documents_stream(spark, sf_dir))
+
+
+def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_image_dhash_fingerprints: arriving
+    documents are PNG-encoded and perceptually hashed by the REAL
+    codec inside the same Arrow-batched ``mapInPandas`` stages the
+    batch path uses — the admission-control front of an image-lake
+    dedup pipeline (hash on ingest, then probe the persisted band
+    index). Stateless, so each micro-batch emits its fingerprints
+    immediately and the drain runs in append mode; proves the codec +
+    Pandas-UDF plumbing composes with Structured Streaming, not just
+    with batch scans."""
+    from benchviz_spark.operators.multimodal import document_dhashes
+
+    return document_dhashes(
+        read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    )

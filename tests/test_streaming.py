@@ -195,3 +195,21 @@ def test_stream_static_enrichment_equals_batch(spark):
     mismatched, n = streaming_batch_parity(spark, batch, stream, "enriched_seg")
     assert n > 0
     assert mismatched == 0
+
+
+def test_stream_image_dhash_matches_batch(spark):
+    """The streamed admission hash equals the batch fingerprint scan
+    row for row — the real PNG codec + Arrow mapInPandas stages run
+    identically under Structured Streaming (availableNow drain)."""
+    from benchviz_spark.operators.dedup import dedup_image_dhash_fingerprints
+    from benchviz_spark.streaming.queries import stream_image_dedup_gate
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: r.dh for r in stream_image_dedup_gate(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: r.dh
+        for r in dedup_image_dhash_fingerprints(spark, sf).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
