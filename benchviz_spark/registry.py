@@ -88,7 +88,10 @@ _QUERY_MODULES = (
 # replica (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r11
 # window should rotate to the remaining r07 rows (the registry
 # comment is the standing commitment): asof_purchase_next_click and
-# the five reps below re-check this round; still-r07 after r10 =
+# the five reps below re-check this round (graph_pagerank and
+# json_props_extraction yielded their fill slots to the mid-round
+# audio additions and join the r11 list); still-r07 after r10 =
+# graph_pagerank_trade_nations, json_props_extraction,
 # decontam_clean_corpus_strict, decontam_fuzzy_eval_pairs,
 # events_daily_delta, events_enriched_user_segment,
 # events_funnel_view_click_purchase, events_gap_filled_hourly,
@@ -161,8 +164,9 @@ _WINDOW = (
     "dedup_minhash_lsh_pairs",
     "dedup_levenshtein_pairs",
     "decontam_clean_corpus",
-    "graph_pagerank_trade_nations",
-    "json_props_extraction",
+    # Oracle-paired, added mid-round (new > oldest: the audio tier) ---------
+    "multimodal_audio_features",
+    "multimodal_audio_envelope",
 )
 
 
