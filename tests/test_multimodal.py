@@ -323,3 +323,31 @@ def test_embedding_integrity_planted_defects(spark, tmp_path):
     # violations: norm-4 vec, zero vec, wrong-dim (norm sqrt(63)), and
     # the two non-finite rows (NaN/Inf norms fail the tolerance too)
     assert row.n_unit_violations >= 3
+
+
+def test_decode_quarantine_classifies_and_preserves_good_rows(spark, sf_smoke_dir):
+    """The quarantine gate (fault-injected REAL bytes through the real
+    parser): corrupted payloads land in their typed quarantine class
+    with NULL geometry, good rows still decode, and the row set covers
+    the whole corpus — one bad file never costs a partition."""
+    from benchviz_spark.operators.multimodal import (
+        CRCFLIP_MOD,
+        TRUNCATE_MOD,
+        multimodal_decode_quarantine,
+    )
+    from benchviz_spark.sources.tables import load_table
+
+    rows = multimodal_decode_quarantine(spark, sf_smoke_dir).collect()
+    n_docs = load_table(spark, sf_smoke_dir, "documents").count()
+    assert len(rows) == n_docs
+    statuses = {"ok": 0, "truncated": 0, "bad_crc": 0}
+    for r in rows:
+        statuses[r.status] += 1
+        if r.doc_id % TRUNCATE_MOD == 0:
+            assert r.status == "truncated" and r.width is None and r.height is None
+        elif r.doc_id % CRCFLIP_MOD == 0:
+            assert r.status == "bad_crc" and r.width is None
+        else:
+            assert r.status == "ok" and 16 <= r.width < 80 and 16 <= r.height < 80
+    assert statuses["truncated"] > 0 and statuses["bad_crc"] > 0
+    assert statuses["ok"] > statuses["truncated"] + statuses["bad_crc"]
