@@ -189,11 +189,20 @@ def main() -> None:
         if sec is not None
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
+    try:
+        # record host load with the timings: co-tenant drift inflates
+        # whole sessions by >1.1x (BASELINE.md), and a regression list
+        # is only interpretable next to the load it ran under
+        with open("/proc/loadavg") as lf:
+            loadavg = [float(x) for x in lf.read().split()[:3]]
+    except OSError:
+        loadavg = None
     with open(path, "w") as fh:
         json.dump(
             {
                 "sf": sf,
                 "total_sec": round(total, 3),
+                "loadavg": loadavg,
                 "queries": timings,
                 "history": new_history,
             },
