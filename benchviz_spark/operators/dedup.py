@@ -934,6 +934,142 @@ def dedup_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Audio-content near-duplicates: the 1-D sibling of the image tier.
+# ---------------------------------------------------------------------------
+def _audio_dhash_ctes() -> str:
+    """CTE chain computing every document's 56-bit audio dHash in
+    closed form from the WAV generator's byte-tiling rule (sample k =
+    byte k mod n, frame count/sample rate from content length) — the
+    exact replay ``multimodal._audio_base_ctes`` exposes, extended
+    through the 57-cell energy partition and the difference-bit
+    packing. Shared by the audio fingerprint and pair oracles."""
+    from benchviz_spark.operators.multimodal import (
+        AUDIO_DHASH_CELLS,
+        _audio_base_ctes,
+    )
+
+    c = AUDIO_DHASH_CELLS
+    return f"""{_audio_base_ctes()},
+    cs AS (
+      SELECT d.doc_id, CAST(k.k * {c} // d.f AS INT) AS cell,
+             sum(CAST('0x' || substr(d.hx, (k.k % d.n) * 2 + 1, 2) AS BIGINT)) AS s
+      FROM d, (SELECT unnest(range(0, 1280)) AS k) k
+      WHERE k.k < d.f
+      GROUP BY 1, 2
+    ),
+    adh AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN a.s > b.s THEN (1::BIGINT << a.cell)
+                           ELSE 0 END) AS BIGINT) AS adh
+      FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND b.cell = a.cell + 1
+      GROUP BY 1
+    )"""
+
+
+@query(
+    "dedup_audio_fingerprints",
+    oracle=f"WITH {_audio_dhash_ctes()}\nSELECT doc_id, adh FROM adh",
+)
+def dedup_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, adh) — every document's 56-bit audio perceptual hash
+    from REAL decoded WAV samples (the energy-contour difference hash;
+    multimodal.audio_dhash56), the persisted near-dup key of the audio
+    lake exactly as dedup_image_dhash_fingerprints is for images.
+    Bit-exact cross-engine: 100% of rows value-checked even where the
+    pair ball below is sparse."""
+    from benchviz_spark.operators.multimodal import document_audio_dhashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return document_audio_dhashes(docs)
+
+
+def _audio_pairs_oracle() -> str:
+    from benchviz_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        DHASH_HAMMING_MAX,
+    )
+
+    return f"""
+    WITH {_audio_dhash_ctes()},
+    bands AS (
+      SELECT doc_id, adh, i AS band,
+             (adh >> ({DHASH_BAND_BITS} * i)) & {(1 << DHASH_BAND_BITS) - 1} AS bkey
+      FROM adh, (SELECT unnest(range(0, {DHASH_BANDS})) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+             a.adh AS ha, b.adh AS hb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT left_id, right_id,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {DHASH_HAMMING_MAX}
+    """
+
+
+@query("dedup_audio_fingerprint_pairs", oracle=_audio_pairs_oracle())
+def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All audio pairs whose energy-contour fingerprints differ in at
+    most DHASH_HAMMING_MAX bits — re-encoded or lightly edited copies
+    of the same recording. Same EXACT-ball guarantee and shuffle shape
+    as the image tier: 4x14-bit pigeonhole-complete band blocking over
+    8-byte keys, decode cost paid once scan-side, never all-pairs."""
+    from benchviz_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        DHASH_HAMMING_MAX,
+        document_audio_dhashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = document_audio_dhashes(docs)
+    mask = (1 << DHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "adh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("adh", DHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "adh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.col("a.adh").alias("ha"),
+            F.col("b.adh").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "left_id", "right_id", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
 # Duplicate clusters: connected components over the near-dup pair graph.
 # ---------------------------------------------------------------------------
 # Pair detection gives edges; an actual dedup pipeline must then GROUP

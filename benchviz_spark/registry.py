@@ -92,7 +92,8 @@ _QUERY_MODULES = (
 # json_props_extraction yielded their fill slots to the mid-round
 # audio additions and join the r11 list); still-r07 after r10 =
 # graph_pagerank_trade_nations, json_props_extraction,
-# dedup_levenshtein_pairs,
+# dedup_levenshtein_pairs, dedup_minhash_lsh_pairs,
+# decontam_clean_corpus,
 # decontam_clean_corpus_strict, decontam_fuzzy_eval_pairs,
 # events_daily_delta, events_enriched_user_segment,
 # events_funnel_view_click_purchase, events_gap_filled_hourly,
@@ -162,14 +163,16 @@ _WINDOW = (
     "compare_event_type_series",
     # Oldest next tier (r07), operator-style code first --------------------
     "dedup_simhash_fingerprints",
-    "dedup_minhash_lsh_pairs",
-    "decontam_clean_corpus",
     # Oracle-paired, added mid-round (new > oldest: the audio tier and
-    # the fault-injected decode quarantine; dedup_levenshtein_pairs
-    # yielded its fill slot and joins the r11 list) -------------------------
+    # the fault-injected decode quarantine, and the audio-fingerprint
+    # dedup pair; dedup_levenshtein_pairs, dedup_minhash_lsh_pairs and
+    # decontam_clean_corpus yielded their fill slots and join the r11
+    # list) -------------------------
     "multimodal_audio_features",
     "multimodal_audio_envelope",
     "multimodal_decode_quarantine",
+    "dedup_audio_fingerprints",
+    "dedup_audio_fingerprint_pairs",
 )
 
 

@@ -68,3 +68,37 @@ def test_envelope_partitions_every_frame_once(spark, sf_smoke_dir):
             totals[doc_id] * 255.0 / 256.0 / n_frames * 10000.0 + 0.5
         ) / 10000.0
         assert mean_level == expect, doc_id
+
+
+def test_audio_dhash_perceptual_properties():
+    """The audio fingerprint must survive re-encoding exactly, stay
+    inside the Hamming ball under a tiny level-preserving edit, and
+    land far away for reversed content (every contour comparison
+    flips)."""
+    import numpy as np
+
+    from benchviz_spark.operators.multimodal import (
+        DHASH_HAMMING_MAX,
+        audio_dhash56,
+        decode_wav_raw,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(23)
+    # a wandering contour with wide margins between cell sums
+    base = (128 + 100 * np.sin(np.linspace(0, 9, 1100))).astype(np.uint8)
+    h0 = audio_dhash56(base)
+    # re-encode round trip: decode(encode(x)) == x -> identical hash
+    _f, _r, _c, decoded = decode_wav_raw(encode_wav(base, 8000))
+    assert audio_dhash56(decoded) == h0
+    # tiny edit: a short dropout in one cell moves few comparisons
+    edited = base.copy()
+    edited[400:410] = 0
+    ham = bin(h0 ^ audio_dhash56(edited)).count("1")
+    assert ham <= DHASH_HAMMING_MAX
+    # reversed signal: the contour comparisons invert -> far away
+    flipped = np.ascontiguousarray(base[::-1])
+    assert bin(h0 ^ audio_dhash56(flipped)).count("1") > 2 * DHASH_HAMMING_MAX
+    # unrelated noise: far away
+    noise = rng.integers(0, 256, size=1100, dtype=np.uint8)
+    assert bin(h0 ^ audio_dhash56(noise)).count("1") > 2 * DHASH_HAMMING_MAX
