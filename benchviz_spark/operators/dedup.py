@@ -841,6 +841,64 @@ def _image_dhash_oracle() -> str:
     """
 
 
+def _banded_hamming_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
+    """The shared blocking core of the perceptual-hash dedup tiers:
+    split a 56-bit fingerprint column into DHASH_BANDS disjoint
+    14-bit keys, equi-join same-band/same-key rows (pigeonhole: any
+    pair within DHASH_HAMMING_MAX shares >= 1 band verbatim, so the
+    candidate set is COMPLETE), and verify with bit_count(xor) — the
+    exact Hamming ball, never all-pairs. Used by the image and audio
+    pair queries; only the hash column differs."""
+    from benchviz_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        DHASH_HAMMING_MAX,
+    )
+
+    mask = (1 << DHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(hash_col, DHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", hash_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
+        )
+        .distinct()  # a close pair can match in several bands
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "left_id", "right_id", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_HAMMING_MAX)
+
+
 @query("dedup_image_phash_pairs", oracle=_image_dhash_oracle())
 def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All image pairs whose perceptual hashes (dHash over REAL decoded
@@ -863,55 +921,10 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (4 rows per doc, equi-join on the band key) — never all-pairs;
     a band-bucket flood surfaces in dedup_band_occupancy's monitoring
     pattern rather than as a silent quadratic join."""
-    from benchviz_spark.operators.multimodal import (
-        DHASH_BAND_BITS,
-        DHASH_BANDS,
-        DHASH_HAMMING_MAX,
-        document_dhashes,
-    )
+    from benchviz_spark.operators.multimodal import document_dhashes
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = document_dhashes(docs)
-    mask = (1 << DHASH_BAND_BITS) - 1
-    bands = hashes.select(
-        "doc_id",
-        "dh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("dh", DHASH_BAND_BITS * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bkey"),
-                    )
-                    for i in range(DHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "dh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bkey") == F.col("b.bkey"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("left_id"),
-            F.col("b.doc_id").alias("right_id"),
-            F.col("a.dh").alias("dha"),
-            F.col("b.dh").alias("dhb"),
-        )
-        .distinct()  # a close pair can match in several bands
-    )
-    hamming = F.bit_count(F.col("dha").bitwiseXOR(F.col("dhb")))
-    return cand.select(
-        "left_id", "right_id", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= DHASH_HAMMING_MAX)
+    return _banded_hamming_pairs(document_dhashes(docs), "dh")
 
 
 @query(
@@ -1018,55 +1031,10 @@ def dedup_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     of the same recording. Same EXACT-ball guarantee and shuffle shape
     as the image tier: 4x14-bit pigeonhole-complete band blocking over
     8-byte keys, decode cost paid once scan-side, never all-pairs."""
-    from benchviz_spark.operators.multimodal import (
-        DHASH_BAND_BITS,
-        DHASH_BANDS,
-        DHASH_HAMMING_MAX,
-        document_audio_dhashes,
-    )
+    from benchviz_spark.operators.multimodal import document_audio_dhashes
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = document_audio_dhashes(docs)
-    mask = (1 << DHASH_BAND_BITS) - 1
-    bands = hashes.select(
-        "doc_id",
-        "adh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("adh", DHASH_BAND_BITS * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bkey"),
-                    )
-                    for i in range(DHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "adh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bkey") == F.col("b.bkey"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("left_id"),
-            F.col("b.doc_id").alias("right_id"),
-            F.col("a.adh").alias("ha"),
-            F.col("b.adh").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select(
-        "left_id", "right_id", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= DHASH_HAMMING_MAX)
+    return _banded_hamming_pairs(document_audio_dhashes(docs), "adh")
 
 
 # ---------------------------------------------------------------------------
