@@ -106,10 +106,20 @@ def _sf3x_records():
             yield os.path.basename(path), json.load(fh)
 
 
-def test_sf3x_records_exist_for_dedup_and_knn_families():
+def test_sf3x_records_exist_for_probed_families():
+    """Every family that has earned a 30x record keeps it: dedup/knn
+    (r7), decontam/curation/text (r8-r9), events/multimodal (r10)."""
     names = {name for name, _ in _sf3x_records()}
-    assert "bench_sf3x_dedup.json" in names
-    assert "bench_sf3x_knn.json" in names
+    for fname in (
+        "bench_sf3x_dedup.json",
+        "bench_sf3x_knn.json",
+        "bench_sf3x_decontam.json",
+        "bench_sf3x_curation.json",
+        "bench_sf3x_text.json",
+        "bench_sf3x_events.json",
+        "bench_sf3x_multimodal.json",
+    ):
+        assert fname in names, fname
 
 
 def test_no_query_scales_worse_than_45x_at_30x_input():
