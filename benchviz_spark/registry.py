@@ -167,7 +167,8 @@ _WINDOW = (
     # the fault-injected decode quarantine, and the audio-fingerprint
     # dedup pair; dedup_levenshtein_pairs, dedup_minhash_lsh_pairs and
     # decontam_clean_corpus yielded their fill slots and join the r11
-    # list) -------------------------
+    # list); dedup_audio_duplicate_clusters, registered after the window
+    # froze, is PARITY_LOCAL-guarded and leads the r11 never-checked tier -------------------------
     "multimodal_audio_features",
     "multimodal_audio_envelope",
     "multimodal_decode_quarantine",
