@@ -41,7 +41,11 @@ from benchviz_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_DIR = os.path.join(REPO, ".benchmarks")
+# Overridable so harnesses (the contract test's bench smoke) can write
+# to a scratch dir instead of churning the committed timings files.
+BENCH_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_DIR", os.path.join(REPO, ".benchmarks")
+)
 
 # A query is a regression when it is this factor slower than its
 # previously committed time AND the slowdown exceeds an absolute floor

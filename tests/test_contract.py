@@ -36,12 +36,17 @@ def test_entry_runs_flagship_at_smoke_sf(spark):
     assert df.columns[0] == "l_returnflag"
 
 
-def test_bench_emits_single_json_line():
+def test_bench_emits_single_json_line(tmp_path):
     """bench.py at sf0.001 (keep CI fast): stdout must be exactly one
     parseable JSON object, small enough to survive the driver's ~2.2 KB
-    stdout-tail capture, with the full per-query map in a file."""
+    stdout-tail capture, with the full per-query map in a file. The
+    timings go to a scratch dir so the smoke never churns the committed
+    .benchmarks files."""
     env = dict(
-        os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4"
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_DIR=str(tmp_path),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
