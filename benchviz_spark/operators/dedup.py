@@ -1242,6 +1242,12 @@ def min_label_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # Empty pair graph (legitimately common for the perceptual-hash
+    # Hamming balls at small SF): every document is a singleton. SUM
+    # over zero rows is NULL and the fixpoint loop would int(None);
+    # short-circuit to the all-singleton answer instead.
+    if not labels.head(1):
+        return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
 
     def label_sum(df: DataFrame) -> int:
         # decimal sum: id sums can exceed int64 at corpus scale

@@ -26,7 +26,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
-    from oracle_harness import compare_frames, duckdb_connection
+    from oracle_harness import (
+        compare_frames,
+        duckdb_connection,
+        run_partial_pair,
+    )
 
     from benchviz_spark.registry import (
         all_oracles,
@@ -60,14 +64,11 @@ def main() -> None:
                 entry["rows_match"] = entry["schema_match"] = True
                 entry["values_match"] = True
             elif name in partials:
-                oracle_pdf = con.execute(partials[name]).fetchdf()
-                entry["oracle_rows"] = len(oracle_pdf)
-                cols = {c.lower() for c in oracle_pdf.columns}
-                keep = [c for c in spark_pdf.columns if c.lower() in cols]
-                masked = sorted(
-                    c for c in spark_pdf.columns if c.lower() not in cols
-                )
-                compare_frames(spark_pdf[keep], oracle_pdf, name)
+                # Same code path as the pytest gate (ADVICE r10: no
+                # inline re-implementation that can drift) — including
+                # its strict-subset assertion.
+                entry["oracle_rows"] = len(con.execute(partials[name]).fetchdf())
+                masked = run_partial_pair(spark, con, fn, partials[name], SF_DIR, name)
                 entry["rows_match"] = entry["schema_match"] = True
                 entry["values_match"] = True
                 entry["masked_cols"] = masked  # estimator columns only

@@ -201,3 +201,15 @@ def test_minhash_identical_flood_is_one_bucket(spark, tmp_path):
     # which is why production LSH never sees it
     reps = dedup_exact_documents(spark, flood_dir)
     assert reps.count() == 1
+
+
+def test_min_label_components_empty_pair_graph(spark):
+    # ADVICE r10: an EMPTY edge list (common for perceptual-hash
+    # Hamming balls at small SF) must yield all-singleton clusters,
+    # not int(None) from a NULL label sum.
+    from benchviz_spark.operators.dedup import min_label_components
+
+    docs = spark.createDataFrame([(1,), (2,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame([], "left_id long, right_id long")
+    out = min_label_components(spark, pairs, docs).collect()
+    assert {(r.doc_id, r.cluster_id) for r in out} == {(1, 1), (2, 2), (7, 7)}
