@@ -67,6 +67,17 @@ REGRESSION_FACTOR = 1.5
 REGRESSION_FLOOR_MIN_SEC = 0.25
 REGRESSION_FLOOR_MAX_SEC = 1.0
 HISTORY_KEEP = 5
+# Co-tenant load poisons whole sessions (VERDICT r10: all five flags at
+# recorded loadavg 7.32 re-measured at baseline under loadavg<1, code
+# untouched). Two guards: (1) a run whose 1-min loadavg exceeds this
+# bound never flags — its rows are recorded but adjudicating them wastes
+# a judge round every time; (2) a flag must also beat the MEDIAN of the
+# committed history by the same factor, so one fluke-fast committed row
+# can't manufacture flags against later normal runs. (The verdict
+# suggested the history MIN, but min <= prev always — prev joins the
+# history every run — so a min test is implied by the prev test and
+# catches nothing; the median is the robust form of the same intent.)
+LOADAVG_FLAG_MAX = 4.0
 
 
 def _median(xs: list[float]) -> float:
@@ -98,18 +109,30 @@ def find_regressions(
     new: dict[str, float | None],
     old: dict[str, float | None],
     history: dict[str, list[float]] | None = None,
+    loadavg_1m: float | None = None,
 ) -> list[str]:
     """Names of queries ≥REGRESSION_FACTOR slower than their previous
     committed time, where the slowdown also exceeds that query's
-    variance-derived absolute floor (see ``_floor_sec``)."""
+    variance-derived absolute floor (see ``_floor_sec``) AND beats the
+    committed history's median time by the same factor. A run under
+    co-tenant load (1-min loadavg > LOADAVG_FLAG_MAX) never flags —
+    load drift, not code, dominates such runs (VERDICT r10)."""
+    if loadavg_1m is not None and loadavg_1m > LOADAVG_FLAG_MAX:
+        return []
     history = history or {}
     out = []
     for name, sec in new.items():
         prev = old.get(name)
         if sec is None or prev is None or prev <= 0:
             continue
-        floor = _floor_sec([h for h in history.get(name, []) if h is not None])
-        if sec > prev * REGRESSION_FACTOR and sec - prev > floor:
+        hist = [h for h in history.get(name, []) if h is not None]
+        floor = _floor_sec(hist)
+        typical = _median(hist + [prev])
+        if (
+            sec > prev * REGRESSION_FACTOR
+            and sec - prev > floor
+            and sec > typical * REGRESSION_FACTOR
+        ):
             out.append(f"{name} x{sec / prev:.1f}")
     return sorted(out)
 
@@ -183,7 +206,18 @@ def main() -> None:
             history = committed.get("history", {})
         except (OSError, json.JSONDecodeError):
             pass
-    regressions = find_regressions(timings, previous, history)
+    try:
+        # record host load with the timings: co-tenant drift inflates
+        # whole sessions by >1.1x (BASELINE.md), and a regression list
+        # is only interpretable next to the load it ran under — flags
+        # are suppressed outright above LOADAVG_FLAG_MAX
+        with open("/proc/loadavg") as lf:
+            loadavg = [float(x) for x in lf.read().split()[:3]]
+    except OSError:
+        loadavg = None
+    regressions = find_regressions(
+        timings, previous, history, loadavg[0] if loadavg else None
+    )
 
     new_history = {
         name: ([h for h in history.get(name, []) if h is not None] + [sec])[
@@ -193,14 +227,6 @@ def main() -> None:
         if sec is not None
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
-    try:
-        # record host load with the timings: co-tenant drift inflates
-        # whole sessions by >1.1x (BASELINE.md), and a regression list
-        # is only interpretable next to the load it ran under
-        with open("/proc/loadavg") as lf:
-            loadavg = [float(x) for x in lf.read().split()[:3]]
-    except OSError:
-        loadavg = None
     with open(path, "w") as fh:
         json.dump(
             {

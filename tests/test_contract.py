@@ -94,6 +94,20 @@ def test_bench_regression_guard():
     # 0.25s lower clamp (b: x3 but only +0.2s).
     assert find_regressions(new, old, hist) == ["a x2.5"]
 
+    # Load-aware guards (VERDICT r10 task 5): a run under co-tenant
+    # load never flags — identical code at loadavg 7.3 produced five
+    # phantom flags in r10 and each cost an adjudication.
+    assert find_regressions(new, old, hist, loadavg_1m=7.3) == []
+    assert find_regressions(new, old, hist, loadavg_1m=1.2) == ["a x2.5"]
+    # And a flag must beat the committed history's MEDIAN by the factor
+    # too: one fluke-fast committed row (prev=1.0 in a history that
+    # typically runs 2.0s) can't manufacture a flag against a normal
+    # 2.6s re-run...
+    infl = {"a": [2.0, 2.1, 2.0, 2.05, 1.0]}
+    assert find_regressions({"a": 2.6}, {"a": 1.0}, infl) == []
+    # ...but a genuine regression beats the typical time and still flags.
+    assert find_regressions({"a": 3.5}, {"a": 1.0}, infl) == ["a x3.5"]
+
 
 def test_driver_window_is_fully_oracle_backed():
     """The grading driver records correctness for only the FIRST 50
