@@ -1746,3 +1746,202 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal duplicate clusters: one identity across text, image, audio.
+# ---------------------------------------------------------------------------
+# A document duplicated as TEXT (paraphrase-level copy), as IMAGE
+# (re-encoded PNG of the same pixels), or as AUDIO (re-encoded
+# recording) is the same training example three times; deduping each
+# modality separately leaves cross-modal chains (A~B by text, B~C by
+# image) as two clusters. The union of the three PROVEN pair graphs
+# under one connected-components run collapses the chain — the
+# composition a multimodal curation pipeline actually ships.
+_MM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _multimodal_pairs_oracle() -> str:
+    """UNION ALL of the three closed-form pair chains, each wrapped as
+    a derived table so its private CTE names (the image and audio
+    chains both use p/d) stay scoped. Reusing the registered oracles
+    VERBATIM means a hash match here re-proves the exact chains the
+    per-modality queries prove — no fourth spec to drift."""
+    return f"""
+    SELECT left_id, right_id, modality FROM (
+      SELECT left_id, right_id, 'text' AS modality FROM ({_JACCARD_ORACLE})
+      UNION ALL
+      SELECT left_id, right_id, 'image' AS modality FROM ({_image_dhash_oracle()})
+      UNION ALL
+      SELECT left_id, right_id, 'audio' AS modality FROM ({_audio_pairs_oracle()})
+    )
+    """
+
+
+@query("dedup_multimodal_pairs", oracle=_multimodal_pairs_oracle())
+def dedup_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(left_id, right_id, modality) — every near-dup pair any modality
+    detector found, tagged with the evidence channel: 'text' (exact
+    n-gram Jaccard >= 0.5), 'image' (PNG dHash Hamming <= 3), 'audio'
+    (WAV energy-contour dHash Hamming <= 3). A pair duplicated in two
+    modalities keeps one row per modality — the tag is the evidence
+    record survivorship reports break down by.
+
+    Scale: a union of three duplicate-rate-sized edge lists (16-byte
+    rows + a tag), each produced by its own blocked detector — no new
+    shuffle beyond the detectors themselves. Memoized per (app,
+    sf_dir): the clusters and survivorship queries both drain it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MM_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    tag = lambda df, m: df.select(  # noqa: E731
+        "left_id", "right_id", F.lit(m).alias("modality")
+    )
+    out = (
+        tag(dedup_ngram_jaccard_pairs(spark, sf_dir), "text")
+        .unionByName(tag(dedup_image_phash_pairs(spark, sf_dir), "image"))
+        .unionByName(tag(dedup_audio_fingerprint_pairs(spark, sf_dir), "audio"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return memo_put(_MM_PAIRS_CACHE, key, out)
+
+
+def _multimodal_clusters_oracle() -> str:
+    """Min-label reachability over the UNION of the three pair chains
+    — the same recursion as ``_CLUSTER_ORACLE``, fed by the merged
+    edge list."""
+    return f"""
+    WITH RECURSIVE mpairs AS (
+      SELECT left_id, right_id FROM ({_JACCARD_ORACLE})
+      UNION
+      SELECT left_id, right_id FROM ({_image_dhash_oracle()})
+      UNION
+      SELECT left_id, right_id FROM ({_audio_pairs_oracle()})
+    ),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM mpairs
+      UNION ALL
+      SELECT right_id, left_id FROM mpairs
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+
+_MM_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+@query("dedup_multimodal_clusters", oracle=_multimodal_clusters_oracle())
+def dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the UNIFIED text+image+audio pair
+    graph (VERDICT r10 #2): a document duplicated as text AND as a
+    re-encoded image/recording collapses to ONE cluster even when no
+    single modality sees the whole chain. cluster_id = min reachable
+    doc_id, singletons keep their own id — the same contract as the
+    per-modality cluster queries, so downstream keep-rules compose
+    unchanged.
+
+    Scale: the merged edge list stays duplicate-rate-sized (three
+    blocked detectors, no all-pairs anywhere), and the propagation's
+    working set is edge-endpoint-bounded exactly as in
+    ``min_label_components``'s per-modality uses."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MM_CLUSTERS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    pairs = (
+        dedup_multimodal_pairs(spark, sf_dir)
+        .select("left_id", "right_id")
+        .distinct()  # a two-modality pair is one edge
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = min_label_components(spark, pairs, docs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return memo_put(_MM_CLUSTERS_CACHE, key, out)
+
+
+def _multimodal_survivorship_oracle() -> str:
+    return f"""
+    WITH RECURSIVE mpairs AS ({_multimodal_pairs_oracle()}),
+    upairs AS (SELECT DISTINCT left_id, right_id FROM mpairs),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM upairs
+      UNION ALL
+      SELECT right_id, left_id FROM upairs
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    ends AS (
+      SELECT modality, left_id AS doc_id FROM mpairs
+      UNION ALL
+      SELECT modality, right_id FROM mpairs
+    ),
+    agg_pairs AS (
+      SELECT modality, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM mpairs GROUP BY 1
+    ),
+    agg_docs AS (
+      SELECT modality, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_linked
+      FROM ends GROUP BY 1
+    ),
+    agg_clusters AS (
+      SELECT m.modality,
+             CAST(count(DISTINCT c.cluster_id) AS BIGINT) AS n_clusters_touched
+      FROM mpairs m JOIN clusters c ON m.left_id = c.doc_id
+      GROUP BY 1
+    )
+    SELECT p.modality, p.n_pairs, d.n_docs_linked, c.n_clusters_touched
+    FROM agg_pairs p
+    JOIN agg_docs d USING (modality)
+    JOIN agg_clusters c USING (modality)
+    """
+
+
+@query("dedup_multimodal_survivorship", oracle=_multimodal_survivorship_oracle())
+def dedup_multimodal_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality evidence rollup of the unified dedup: how many
+    pairs each detector contributed, how many distinct documents that
+    evidence touches, and how many UNIFIED clusters contain at least
+    one edge of that modality (both endpoints of an edge share a
+    cluster by construction, so the left endpoint's cluster suffices).
+    The table that answers "which modality is actually driving the
+    dedup" before anyone trusts a cross-modal keep-rule.
+
+    Scale: three aggregations over the memoized duplicate-rate-sized
+    pair list (one count, one distinct over its exploded endpoints,
+    one distinct join against the clusters relation keyed by 8-byte
+    ids) joined on a 3-row modality key."""
+    pairs = dedup_multimodal_pairs(spark, sf_dir)
+    clusters = dedup_multimodal_clusters(spark, sf_dir)
+    ends = pairs.select(
+        "modality",
+        F.explode(F.array("left_id", "right_id")).alias("doc_id"),
+    )
+    agg_pairs = pairs.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    agg_docs = ends.groupBy("modality").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_linked")
+    )
+    agg_clusters = (
+        pairs.join(clusters, pairs.left_id == clusters.doc_id)
+        .groupBy("modality")
+        .agg(
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters_touched")
+        )
+    )
+    return agg_pairs.join(agg_docs, "modality").join(agg_clusters, "modality")

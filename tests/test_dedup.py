@@ -213,3 +213,68 @@ def test_min_label_components_empty_pair_graph(spark):
     pairs = spark.createDataFrame([], "left_id long, right_id long")
     out = min_label_components(spark, pairs, docs).collect()
     assert {(r.doc_id, r.cluster_id) for r in out} == {(1, 1), (2, 2), (7, 7)}
+
+
+def test_multimodal_cluster_merges_text_and_image_chains(spark, tmp_path):
+    # VERDICT r10 #2 done-criterion: a chain A~B (text near-dup) +
+    # B~C (image near-dup, text-DISSIMILAR) must collapse into ONE
+    # unified cluster even though no single modality sees it whole.
+    from benchviz_spark.operators.dedup import (
+        dedup_image_phash_pairs,
+        dedup_multimodal_clusters,
+        dedup_ngram_jaccard_pairs,
+    )
+    from benchviz_spark.operators.multimodal import DHASH_GRID
+
+    g = DHASH_GRID
+    b_text = " ".join(f"word{i:03d}" for i in range(150))
+    n = len(b_text.encode())
+    w, h = 16 + n % 64, 16 + (n // 64) % 64
+    # byte positions the dHash grid actually samples (payload tiles
+    # text bytes: pixel p, channel ch -> byte (p*3+ch) % n)
+    sampled = {
+        (((r * h // g) * w + (c * w // g)) * 3 + ch) % n
+        for r in range(g)
+        for c in range(g)
+        for ch in range(3)
+    }
+    # C: same length, same bytes at every sampled position, 'z' at all
+    # other letter positions -> identical dHash (Hamming 0), near-zero
+    # 3-gram Jaccard
+    c_text = "".join(
+        ch if i in sampled or ch == " " else "z"
+        for i, ch in enumerate(b_text)
+    )
+    assert len(c_text) == n
+    a_text = b_text + " word900 word901 word902"  # text near-dup of B
+
+    rows = [
+        (1, a_text),
+        (2, b_text),
+        (3, c_text),
+        # long, differently-sized fillers: short same-length texts can
+        # collide in a 56-bit perceptual ball by chance
+        (4, " ".join(f"volcano{i * 7 % 113}" for i in range(120))),
+        (5, " ".join(f"starship{i * 11 % 97}" for i in range(180))),
+    ]
+    mm_dir = str(tmp_path / "mm")
+    (
+        spark.createDataFrame(
+            [(i, t, "en", f"src{i}", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        .coalesce(1)
+        .write.parquet(f"{mm_dir}/documents.parquet")
+    )
+
+    tp = _pairs(dedup_ngram_jaccard_pairs(spark, mm_dir))
+    ip = _pairs(dedup_image_phash_pairs(spark, mm_dir))
+    assert (1, 2) in tp and (2, 3) not in tp  # text sees A~B only
+    assert (2, 3) in ip  # image sees B~C (identical sampled lumas)
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup_multimodal_clusters(spark, mm_dir).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[4] == 4 and clusters[5] == 5
