@@ -259,18 +259,24 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def leakage_over(
-    spark: SparkSession, sf_dir: str, assignment: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    assignment: DataFrame,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The leakage aggregation over an arbitrary (doc_id, split)
     assignment — shared by the registered audit above (per-doc splits,
     the motivating alarm) and the corpus export sink (cluster splits,
     where the off-diagonal is zero by construction and leakage.json
-    makes that guarantee artifact-visible)."""
+    makes that guarantee artifact-visible). ``pairs`` defaults to the
+    text near-dup relation; the multimodal export passes the unified
+    three-modality pair graph so its zero-leak artifact covers every
+    evidence channel."""
     from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
-        "left_id", "right_id"
-    )
+    if pairs is None:
+        pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = pairs.select("left_id", "right_id")
     a = assignment.select(
         F.col("doc_id").alias("left_id"), F.col("split").alias("split_a")
     )
@@ -344,4 +350,132 @@ def curation_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", hash_bucket(F.col("cluster_id"), "csplit:"))
         .withColumn("split", split)
         .select("doc_id", "lang", "source", "n_chars", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal curation: the flagship chain gated on all three modalities.
+# ---------------------------------------------------------------------------
+_MM_CURATED_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _multimodal_curation_oracle() -> str:
+    """Nested-CTE replay: the text curation chain (``_CURATION_ORACLE``)
+    joined to the unified text+image+audio cluster recursion, one
+    representative kept per cluster, split keyed on the cluster id.
+    The multimodal cluster oracle keeps its own WITH RECURSIVE scoped
+    inside the CTE body — the same composition pattern
+    ``curation_split_leakage`` proved."""
+    from benchviz_spark.operators.dedup import _multimodal_clusters_oracle
+
+    return f"""
+    WITH cur AS ({_CURATION_ORACLE}),
+    mmc AS ({_multimodal_clusters_oracle()}),
+    kept AS (
+      SELECT c.doc_id, c.lang, c.source, c.n_chars, m.cluster_id,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY c.doc_id) AS rn
+      FROM cur c JOIN mmc m ON m.doc_id = c.doc_id
+    )
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, {_bucket_sql('mmsplit:', 'cluster_id')} AS bucket
+          FROM kept WHERE rn = 1)
+    """
+
+
+def curated_multimodal_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multimodal-curated corpus relation — the persist point the
+    multimodal pipeline, its mixture report, and the corpus export all
+    drain (same memo contract as ``curated_documents``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MM_CURATED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    df = _build_curated_multimodal(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return memo_put(_MM_CURATED_CACHE, key, df)
+
+
+def _build_curated_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from benchviz_spark.operators.dedup import dedup_multimodal_clusters
+
+    cur = curated_documents(spark, sf_dir).drop("split")
+    clusters = dedup_multimodal_clusters(spark, sf_dir)
+    rn = F.row_number().over(W.partitionBy("cluster_id").orderBy("doc_id"))
+    split = (
+        F.when(F.col("bucket") < TRAIN_UPTO, "train")
+        .when(F.col("bucket") < VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return (
+        cur.join(clusters, "doc_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .withColumn("bucket", hash_bucket(F.col("cluster_id"), "mmsplit:"))
+        .withColumn("split", split)
+        .select("doc_id", "lang", "source", "n_chars", "split")
+    )
+
+
+@query("curation_pipeline_multimodal", oracle=_multimodal_curation_oracle())
+def curation_pipeline_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship curation chain gated on ALL THREE modalities
+    (VERDICT r10 #3): eval carve -> decontam -> length gate -> exact
+    dedup -> ONE representative per unified text/image/audio near-dup
+    cluster (lowest surviving doc_id — the same winner rule as the
+    exact stage, applied among prior-stage survivors) -> split keyed
+    on the cluster id. A document that survives text curation but is a
+    re-encoded image or recording of a kept document is dropped here —
+    the keep-rule a multimodal training corpus actually needs.
+
+    Because at most one member of ANY near-dup pair survives, the
+    exported train/val/test boundary is leakage-free by construction
+    in every modality — stronger than cluster-consistent splitting,
+    which keeps whole clusters and relies on co-assignment.
+
+    Scale: the persisted curated relation equi-joined on 8-byte
+    doc_ids against the persisted unified clusters (each built once
+    per session by its own stack), one cluster-keyed window (partition
+    size = cluster size, never corpus), and the same narrow md5-bucket
+    projection. No new corpus-scale shuffle."""
+    return curated_multimodal_documents(spark, sf_dir)
+
+
+@query(
+    "curation_mixture_report_multimodal",
+    oracle=f"""
+    WITH mm AS ({_multimodal_curation_oracle()})
+    SELECT lang, source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM mm GROUP BY 1, 2, 3
+    """,
+)
+def curation_mixture_report_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The recipe card over the MULTIMODAL-curated corpus — identical
+    aggregation to ``curation_mixture_report``, reading the multimodal
+    persist point, so a multimodal run's published mixture reflects
+    the cross-modal keep-rule (one map-side-combined aggregation into
+    a (langs x sources x 3)-cell space)."""
+    return (
+        curated_multimodal_documents(spark, sf_dir)
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )

@@ -56,7 +56,7 @@ from benchviz_spark.sources.tables import load_table
 
 
 def write_curated_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, pipeline: str = "cluster"
 ) -> dict:
     """Export the curated corpus; returns the recipe dict that was
     written to ``<out_dir>/recipe.json``. The exported split column is
@@ -65,10 +65,24 @@ def write_curated_corpus(
     train/val/test boundary is leakage-free by construction — the fix
     the per-doc audit (``curation_split_leakage``) motivates is what a
     run should actually train on, and ``leakage.json`` below proves it
-    on disk."""
-    from benchviz_spark.operators.curation import curation_cluster_splits
+    on disk.
 
-    curated = curation_cluster_splits(spark, sf_dir)
+    ``pipeline="multimodal"`` exports ``curation_pipeline_multimodal``
+    instead (VERDICT r10 #3): one representative per unified
+    text/image/audio near-dup cluster, so leakage.json's pair table is
+    EMPTY — at most one member of any near-dup pair survives at all —
+    and the recipe reflects the cross-modal keep-rule."""
+    from benchviz_spark.operators.curation import (
+        curation_cluster_splits,
+        curation_pipeline_multimodal,
+    )
+
+    if pipeline == "multimodal":
+        curated = curation_pipeline_multimodal(spark, sf_dir)
+    elif pipeline == "cluster":
+        curated = curation_cluster_splits(spark, sf_dir)
+    else:
+        raise ValueError(f"unknown export pipeline: {pipeline!r}")
     data_dir = os.path.join(out_dir, "data")
     # payload join at write time (module docstring): survivors' text
     # rides in from the raw corpus on doc_id; the persisted curated
@@ -94,6 +108,7 @@ def write_curated_corpus(
     )
     recipe = {
         "sf_dir": sf_dir,
+        "pipeline": pipeline,
         "mixture": sorted(
             (
                 {
@@ -119,11 +134,21 @@ def write_curated_corpus(
     # tests/test_corpus_export.py).
     from benchviz_spark.operators.curation import leakage_over
 
+    if pipeline == "multimodal":
+        # audit against the UNIFIED pair graph: the multimodal export's
+        # zero-leak claim covers image/audio evidence too (in fact its
+        # pair table is empty — one survivor per unified cluster)
+        from benchviz_spark.operators.dedup import dedup_multimodal_pairs
+
+        audit_pairs = dedup_multimodal_pairs(spark, sf_dir)
+    else:
+        audit_pairs = None
     leak_rows = leakage_over(
-        spark, sf_dir, curated.select("doc_id", "split")
+        spark, sf_dir, curated.select("doc_id", "split"), pairs=audit_pairs
     ).collect()  # <= 9 cells
     leakage = {
         "sf_dir": sf_dir,
+        "pipeline": pipeline,
         "n_cross_split_pairs": int(
             sum(r.n_leaking for r in leak_rows)
         ),

@@ -92,6 +92,10 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "curation_mixture_report": {"documents"},  # same chain + 1 bounded agg
     "curation_split_leakage": {"documents"},  # same chain + dup-rate-sized pairs
     "curation_cluster_splits": {"documents"},  # same chain + cached clusters join
+    # same decontam-chain hint, composed with the unified-clusters join
+    # (the clusters side carries no hint — min-label over blocked pairs)
+    "curation_pipeline_multimodal": {"documents"},
+    "curation_mixture_report_multimodal": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
