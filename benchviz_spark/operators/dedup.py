@@ -1945,3 +1945,144 @@ def dedup_multimodal_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return agg_pairs.join(agg_docs, "modality").join(agg_clusters, "modality")
+
+
+# ---------------------------------------------------------------------------
+# Video-content near-duplicates: per-frame perceptual hashes over the
+# REAL APNG parse (the temporal sibling of the image tier).
+# ---------------------------------------------------------------------------
+VIDEO_FRAME_KEY = 8  # fid = doc_id * 8 + frame_idx (nf <= VIDEO_MAX_FRAMES = 8)
+
+
+def _video_dhash_ctes() -> str:
+    """CTE chain (without ``WITH``) computing every (document, frame)
+    56-bit dHash in closed form from the APNG generator's tiling rule
+    — ``multimodal._video_base_ctes`` + the shared sampled-grid luma
+    extended through the difference-bit packing, exactly as
+    ``_dhash_ctes`` does for the single-image tier."""
+    from benchviz_spark.operators.multimodal import (
+        _video_base_ctes,
+        _video_lum_cte,
+    )
+
+    g = 8
+    return f"""{_video_base_ctes()},
+    {_video_lum_cte()},
+    vfdh AS (
+      SELECT a.doc_id, a.t,
+             CAST(sum(CASE WHEN a.L > b.L
+                           THEN (1::BIGINT << (a.r * {g - 1} + a.c))
+                           ELSE 0 END) AS BIGINT) AS fdh
+      FROM vlum a
+      JOIN vlum b ON a.doc_id = b.doc_id AND a.t = b.t
+                 AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < {g - 1}
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "dedup_video_fingerprints",
+    oracle=f"""WITH {_video_dhash_ctes()}
+    SELECT doc_id, CAST(t AS INT) AS frame_idx, fdh FROM vfdh""",
+)
+def dedup_video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, fdh) — every frame of every document's
+    video decoded by the REAL APNG parser and perceptually hashed:
+    the persisted near-dup key table of a video lake, bit-exact
+    cross-engine (the oracle replays container geometry -> per-frame
+    sampled grid -> difference-bit packing in closed form). 100% of
+    rows value-checked even where the pair ball below is sparse."""
+    from benchviz_spark.operators.multimodal import document_frame_dhashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return document_frame_dhashes(docs)
+
+
+def _video_frame_pairs_oracle() -> str:
+    from benchviz_spark.operators.multimodal import (
+        DHASH_BAND_BITS,
+        DHASH_BANDS,
+        DHASH_HAMMING_MAX,
+    )
+
+    k = VIDEO_FRAME_KEY
+    return f"""
+    WITH {_video_dhash_ctes()},
+    fb AS (SELECT doc_id * {k} + t AS fid, fdh FROM vfdh),
+    bands AS (
+      SELECT fid, fdh, i AS band,
+             (fdh >> ({DHASH_BAND_BITS} * i)) & {(1 << DHASH_BAND_BITS) - 1} AS bkey
+      FROM fb, (SELECT unnest(range(0, {DHASH_BANDS})) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.fid AS lf, b.fid AS rf, a.fdh AS ha, b.fdh AS hb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.fid < b.fid
+    )
+    SELECT CAST(lf // {k} AS BIGINT) AS left_id,
+           CAST(lf % {k} AS INT) AS left_frame,
+           CAST(rf // {k} AS BIGINT) AS right_id,
+           CAST(rf % {k} AS INT) AS right_frame,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {DHASH_HAMMING_MAX}
+    """
+
+
+@query("dedup_video_frame_pairs", oracle=_video_frame_pairs_oracle())
+def dedup_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All frame pairs (across videos AND within one video) whose
+    perceptual hashes differ in at most DHASH_HAMMING_MAX bits. The
+    within-video rows are TEMPORAL self-similarity — still scenes and
+    loops, what a frame-sampling stage deduplicates before feature
+    extraction; the cross-video rows feed the video near-dup rollup
+    below. Same EXACT-ball guarantee as the image tier: the banded
+    equi-join runs on a composite (doc_id * 8 + frame_idx) key, so
+    the shared pigeonhole blocking applies unchanged to (video,
+    frame) granularity — never all-pairs."""
+    hashes = dedup_video_fingerprints(spark, sf_dir).select(
+        (F.col("doc_id") * VIDEO_FRAME_KEY + F.col("frame_idx")).alias("doc_id"),
+        "fdh",
+    )
+    pairs = _banded_hamming_pairs(hashes, "fdh")
+    k = VIDEO_FRAME_KEY
+    # DIV, not "/": integral division stays exact at any id scale
+    # (float division would round-trip through double)
+    return pairs.select(
+        F.expr(f"CAST(left_id DIV {k} AS BIGINT)").alias("left_id"),
+        F.expr(f"CAST(left_id % {k} AS INT)").alias("left_frame"),
+        F.expr(f"CAST(right_id DIV {k} AS BIGINT)").alias("right_id"),
+        F.expr(f"CAST(right_id % {k} AS INT)").alias("right_frame"),
+        "hamming",
+    )
+
+
+@query(
+    "dedup_video_near_dups",
+    oracle=f"""
+    WITH fp AS ({_video_frame_pairs_oracle()})
+    SELECT left_id, right_id,
+           CAST(count(*) AS BIGINT) AS n_frame_matches,
+           CAST(min(hamming) AS INT) AS min_hamming
+    FROM fp WHERE left_id < right_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicates: pairs of DIFFERENT videos sharing
+    at least one perceptually-matching frame, with the match count and
+    the closest frame distance — re-encoded or re-cut copies of the
+    same footage that byte-level dedup can never see. The composite
+    frame key orders (video, frame) lexicographically, so left_id <
+    right_id already holds for every cross-video frame pair and the
+    rollup is one duplicate-rate-sized aggregation."""
+    fp = dedup_video_frame_pairs(spark, sf_dir)
+    return (
+        fp.filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frame_matches"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+    )
