@@ -610,10 +610,34 @@ CMS_WIDTH = 4096  # counters per row; overshoot <= (e/width) * N w.h.p.
 CMS_CANDIDATE_PCT = 4  # doc sample that nominates candidate terms
 
 
-@query("sketch_heavy_hitter_terms")  # rows-only: estimates depend on the
-# sketch's hash family (xxhash64), which no cross-engine oracle shares;
-# the CMS guarantees (never undercount; bounded overcount) are pinned
-# in tests/test_sketches.py
+@query(
+    "sketch_heavy_hitter_terms",
+    # Partial oracle (VERDICT r10 #4): the candidate nomination (md5
+    # doc bucket), the probe term set, and the exact-twin counts all
+    # replay in DuckDB; only est_count — the CMS counters, whose
+    # values depend on the sketch's xxhash64 family no cross-engine
+    # oracle shares — is masked (its never-undercount/bounded-
+    # overcount envelope is pinned in tests/test_sketches.py). Row
+    # membership is deterministic at the parity SF: the top-200
+    # TakeOrdered only binds above ~6x sf0.01's 31 candidates, so the
+    # replica compares the full candidate set; at SFs where the limit
+    # binds the est-ordered membership is honestly sketch-dependent.
+    partial_oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT term FROM terms
+      WHERE (('0x' || substr(md5('cms:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % 100) < {CMS_CANDIDATE_PCT}
+    ),
+    exact AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+              FROM terms GROUP BY term)
+    SELECT c.term, e.exact_count
+    FROM cand c JOIN exact e ON c.term = e.term
+    """,
+)
 def sketch_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated corpus frequencies for candidate heavy-hitter terms
     from a Count-Min sketch built as PLAIN DataFrame ops: the sketch
