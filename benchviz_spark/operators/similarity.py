@@ -831,6 +831,22 @@ _KNN_BITS_SQL = (
     f"CAST(length(bin(greatest(n - 1, 0) // {KNN_TARGET_BUCKET})) AS INT)))"
 )
 
+# Multi-probe width: q = max(2, B // 3) Hamming-1 probes per (vector,
+# table), flipping the LEAST-CONFIDENT bits (smallest |hyperplane
+# margin| — Lv et al.'s multi-probe LSH). Why this exists: adaptive B
+# keeps bucket occupancy (and thus candidate volume) ~linear, but a
+# neighbor's per-table collision probability is p^B — it DECAYS as B
+# grows with the corpus. The r11 10x recall probe measured the
+# single-probe graph at recall@5 = 0.10 on 20k vectors (B=10) vs 0.38
+# at sf0.01 — fast, but increasingly wrong. Probing the q most
+# marginal flips recovers most single-bit misses (those concentrate
+# in low-margin bits by construction) for a (q+1)x candidate factor
+# that stays CONSTANT-per-vector at any scale; q grows with B (B//3)
+# so recovery tracks the decay. Probing is asymmetric (sources probe,
+# neighbors index at their true bucket), so volume is exactly
+# (q+1) * tables * occupancy per source — still linear in n.
+_KNN_PROBES_SQL = "greatest(2, nb.bits // 3)"
+
 
 def _knn_graph_oracle() -> str:
     """Full DuckDB replay of the adaptive-resolution LSH k-NN graph:
@@ -852,18 +868,36 @@ def _knn_graph_oracle() -> str:
       SELECT {_KNN_BITS_SQL} AS bits
       FROM (SELECT count(*) AS n FROM embeddings)
     ),
-    bx AS (
-      SELECT e.vec_id, pl.tbl,
-             CAST(sum(CASE WHEN pl.bit < nb.bits
-                            AND list_sum(list_transform(range(1, {_DIM} + 1),
-                        i -> e.embedding[i]::DOUBLE * pl.p[i])) > 0
-                       THEN (1 << pl.bit) ELSE 0 END) AS INT) AS bucket
+    dotv AS (
+      SELECT e.vec_id, pl.tbl, pl.bit,
+             list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> e.embedding[i]::DOUBLE * pl.p[i])) AS d
       FROM embeddings e CROSS JOIN planes pl CROSS JOIN nb
-      GROUP BY e.vec_id, pl.tbl
+      WHERE pl.bit < nb.bits
+    ),
+    bx AS (
+      SELECT vec_id, tbl,
+             CAST(sum(CASE WHEN d > 0 THEN (1 << bit) ELSE 0 END) AS INT)
+               AS bucket
+      FROM dotv GROUP BY 1, 2
+    ),
+    flips AS (
+      SELECT vec_id, tbl, bit FROM (
+        SELECT vec_id, tbl, bit,
+               row_number() OVER (PARTITION BY vec_id, tbl
+                                  ORDER BY abs(d), bit) AS rn
+        FROM dotv
+      ) CROSS JOIN nb WHERE rn <= {_KNN_PROBES_SQL}
+    ),
+    probes AS (
+      SELECT vec_id, tbl, bucket FROM bx
+      UNION
+      SELECT f.vec_id, f.tbl, CAST(xor(b.bucket, 1 << f.bit) AS INT) AS bucket
+      FROM flips f JOIN bx b ON b.vec_id = f.vec_id AND b.tbl = f.tbl
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
-      FROM bx a JOIN bx b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      FROM probes a JOIN bx b ON a.tbl = b.tbl AND a.bucket = b.bucket
       WHERE a.vec_id <> b.vec_id
     ),
     scored AS (
@@ -904,9 +938,15 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (B = clamp(ceil(log2(n / {KNN_TARGET_BUCKET})), {N_BITS}..{KNN_MAX_BITS}),
     a 1-row broadcast scalar, the same pattern as layout_zorder's
     bounds), so expected bucket occupancy stays ~{KNN_TARGET_BUCKET}
-    and candidate volume stays ~n * tables * target — linear in n. A
-    fixed 5-bit layout measured ~1e9 candidate pairs at the 10x probe;
-    the adaptive layout picks 11 bits there and stays ~linear. NO
+    and candidate volume stays ~n * tables * target * (q+1) — linear
+    in n. A fixed 5-bit layout measured ~1e9 candidate pairs at the
+    10x probe; the adaptive layout picks 11 bits there and stays
+    ~linear. RECALL is held up against the growing bit count by
+    confidence-ordered multi-probe (see ``_KNN_PROBES_SQL``): each
+    source also probes the q = max(2, B//3) buckets flipping its
+    least-confident bits, measured at the 10x tier as recall@5
+    0.10 -> 0.38 (.benchmarks/knn_recall_sf1x.json, asserted by the
+    scale guard) for a (q+1)x constant-factor candidate cost. NO
     broadcast of any corpus-scaled relation (both self-join sides are
     the corpus — the one shape where a hint would be a scale bug); the
     re-rank joins are ordinary shuffle hash joins on vec_id and the
@@ -945,33 +985,80 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb_d = _as_double(F.col("embedding"))
     bit_idx = F.sequence(F.lit(0), F.lit(KNN_MAX_BITS - 1))
-    per_table = F.transform(
-        planes,
-        lambda tbl_planes, t: F.struct(
-            t.cast("int").alias("table"),
-            F.aggregate(
-                F.zip_with(
-                    tbl_planes,
-                    bit_idx,
-                    lambda pl, i: F.when(
-                        (i < F.col("bits")) & (_dot(emb_d, pl) > F.lit(0.0)),
-                        # 2^i exactly (powers of two are exact doubles;
-                        # shiftleft needs a literal bit count)
-                        F.pow(F.lit(2.0), i.cast("double")).cast("int"),
-                    ).otherwise(F.lit(0)),
-                ),
-                F.lit(0),
-                lambda a, v: a + v,
-            ).cast("int").alias("bucket"),
+    n_probes = F.greatest(F.lit(2), F.expr("bits div 3"))
+
+    def pow2(i: Column) -> Column:
+        # 2^i exactly (powers of two are exact doubles; shiftleft
+        # needs a literal bit count)
+        return F.pow(F.lit(2.0), i.cast("double")).cast("int")
+
+    # One row per (vector, table), with the per-bit signed margins for
+    # the live (i < bits) planes materialized ONCE — bucket, and the
+    # probe set, are then cheap reads of that <=16-struct array. (A
+    # single nested transform-over-tables expression re-evaluated the
+    # 16 dot products per consumer — interpreted HOFs don't CSE — and
+    # measured ~8x slower; the lazy localCheckpoint pins the margin
+    # array against projection collapse re-inlining it. The
+    # checkpointed relation is (vec_id, table, 16 structs) — a few
+    # hundred bytes per vector, far smaller than the candidate list.)
+    live = F.filter(
+        F.zip_with(
+            F.col("tplanes"),
+            bit_idx,
+            lambda pl, i: F.struct(
+                _dot(emb_d, pl).alias("d"), i.cast("int").alias("i")
+            ),
         ),
+        lambda x: x["i"] < F.col("bits"),
     )
-    buckets = (
+    dotted = (
         emb.crossJoin(F.broadcast(nb))
-        .select("vec_id", F.explode(per_table).alias("tb"))
-        .select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        .select(
+            "vec_id",
+            "embedding",
+            "bits",
+            F.posexplode(planes).alias("table", "tplanes"),
+        )
+        .select(
+            "vec_id",
+            F.col("table").cast("int").alias("table"),
+            "bits",
+            live.alias("live"),
+        )
+        .localCheckpoint(eager=False)
     )
-    a = buckets.select(F.col("vec_id").alias("src_id"), "table", "bucket")
-    b = buckets.select(F.col("vec_id").alias("nbr_id"), "table", "bucket")
+    bucket = F.aggregate(
+        F.col("live"),
+        F.lit(0),
+        lambda a, x: a
+        + F.when(x["d"] > F.lit(0.0), pow2(x["i"])).otherwise(F.lit(0)),
+    ).cast("int")
+    flips = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("live"),
+                lambda x: F.struct(F.abs(x["d"]).alias("m"), x["i"].alias("i")),
+            )
+        ),
+        F.lit(1),
+        n_probes,
+    )
+    probes = F.concat(
+        F.array(bucket),
+        F.transform(flips, lambda s: bucket.bitwiseXOR(pow2(s["i"]))),
+    )
+    tb = dotted.select(
+        "vec_id", "table", bucket.alias("bucket"), probes.alias("probes")
+    )
+    # asymmetric probing: sources expand to their probe set, neighbors
+    # index at their true bucket — candidate volume is exactly
+    # (q+1) * tables * occupancy per source
+    a = tb.select(
+        F.col("vec_id").alias("src_id"),
+        "table",
+        F.explode("probes").alias("bucket"),
+    )
+    b = tb.select(F.col("vec_id").alias("nbr_id"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("src_id") != F.col("nbr_id"))

@@ -59,88 +59,79 @@ _QUERY_MODULES = (
 # names already driver-green in a prior round's CORRECTNESS_r{N}.json
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
-# Round-10 window (delivering exactly the rotation the r09 registry
-# promised): the three round-10 additions lead (dedup_image_phash_pairs,
-# the perceptual-hash Hamming ball over the real PNG codec;
-# dedup_image_dhash_fingerprints, the bit-exact hash column it joins
-# on — 100% of rows value-checked where the ball itself is honestly
-# empty below sf0.1; text_pack_sequences_trained, packing denominated
-# in trained-tokenizer counts), then curation_split_leakage, whose
-# registered helper chain was refactored this round (the aggregation
-# now lives in the shared leakage_over() the corpus export also
-# drains into leakage.json — result-identical, so the driver re-proof
-# is the regression check), then ALL 34 remaining r06 rows — after
-# this round no registered query's latest driver row is older than
-# r07 — then the family representatives the contract requires
-# (similarity/events/skew/bench_log_pipeline/asof/compare — each the
-# OLDEST oracle-paired member, r07 where one exists), and the last
-# slots go to the next-oldest tier: r07 rows, operator-style code
-# first (including dedup_simhash_fingerprints, one of the two
-# driver-flagged drift rows from BENCH_r09 — a fresh driver timing
-# doubles as the cross-session control for its pinned same-session
-# ratio). Every name here carries a DuckDB oracle so no slot is
-# wasted on a weaker rows-only check; the only rows-only queries
-# (decode mean-luma, the PCA eigensolve, the sketch estimators — the
-# daily-profile estimator now carries a PARTIAL oracle hashing its
-# deterministic day grid + exact counts in the local replica) are
-# honestly non-SQL-expressible and pytest-bounded. Queries outside
-# the window remain registered and guarded by the committed local
-# replica (PARITY_LOCAL.json + tests/test_oracle_parity.py). The r11
-# window should rotate to the remaining r07 rows (the registry
-# comment is the standing commitment): asof_purchase_next_click and
-# the five reps below re-check this round (graph_pagerank and
-# json_props_extraction yielded their fill slots to the mid-round
-# audio additions and join the r11 list); still-r07 after r10 =
-# graph_pagerank_trade_nations, json_props_extraction,
-# dedup_levenshtein_pairs, dedup_minhash_lsh_pairs,
-# decontam_clean_corpus,
-# decontam_clean_corpus_strict, decontam_fuzzy_eval_pairs,
-# events_daily_delta, events_enriched_user_segment,
-# events_funnel_view_click_purchase, events_gap_filled_hourly,
-# events_latest_user_state, events_multires_rollup,
-# events_purchase_view_pairs, events_retention_cohorts,
-# events_rolling_median_daily, events_sliding_hourly_halfhour,
-# events_tumbling_hourly, events_type_transitions,
-# events_value_anomalies, explode_user_type_matrix,
-# full_outer_join_daily_type_counts, multimodal_decode_dims,
-# multimodal_frame_sample, quality_length_histogram,
-# quality_table_fingerprints, sample_weighted_mix,
-# skew_salted_type_totals, stats_ks_purchase_vs_click,
-# stats_moments_by_returnflag, stats_source_term_divergence,
-# stats_winsorized_prices, text_boilerplate_ngrams,
-# text_chunk_documents, text_fingerprints, text_pack_sequences,
-# text_quality_scores, text_term_frequency, text_token_stats,
-# text_unigram_logprob, window_price_quartiles.
+#
+# Round-11 window. CORRECTNESS_r10 was never emitted (driver-side
+# artifact gap — VERDICT r10 "what's missing" #1), so the r10 window
+# never produced hashes: the r10 additions remain never-checked and
+# the 34 r06 rows remain the oldest evidence. This window therefore
+# leads with (a) the ten r11 additions/changes — the cross-modal
+# dedup trio, the multimodal curation pair, the four video-tier
+# queries, and similarity_knn_graph, whose RESULTS changed this round
+# (confidence-ordered multi-probe; a fresh driver hash is the
+# regression proof) — then (b) the eleven never-driver-checked r10
+# queries (image/audio fingerprints and pairs, audio clusters, the
+# decode quarantine, trained-token packing, the refactored
+# split-leakage chain, and the streamed image gate), then (c) the
+# contract's family representatives (events/skew/bench_log/asof/
+# compare — dedup, similarity, text, sample and multimodal are
+# already covered by earlier slots), and (d) 24 of the 34 r06 rows.
+# The ten r06 rows deferred to r12 are the static TPC-H shapes
+# (q1/q3/q5/q8/q9/q11/q21, cube/rollup/grouping-sets): single-module
+# Catalyst plans untouched since r06 with no helper-chain refactors,
+# re-proven in the committed local replica every round — the lowest-
+# drift-risk tier in the registry. r12 commitment: those ten lead,
+# followed by the r07 tier (graph_pagerank_trade_nations,
+# json_props_extraction, dedup_levenshtein_pairs,
+# dedup_minhash_lsh_pairs, the decontam trio, the sixteen-query
+# events family, the stats quartet, the text septet,
+# multimodal_decode_dims/frame_sample, quality rows, skew/sample
+# reps). Every name below carries a full DuckDB oracle (the window
+# contract test enforces it), so no slot is spent on a weaker
+# rows-only check; queries outside the window remain guarded by the
+# committed local replica (PARITY_LOCAL.json + tests/test_oracle_parity.py).
 _WINDOW = (
-    # Oracle-paired, added THIS round (never driver-checked) ---------------
+    # (a) added or result-changed THIS round ------------------------------
+    "dedup_multimodal_pairs",
+    "dedup_multimodal_clusters",
+    "dedup_multimodal_survivorship",
+    "curation_pipeline_multimodal",
+    "curation_mixture_report_multimodal",
+    "multimodal_video_features",
+    "dedup_video_fingerprints",
+    "dedup_video_frame_pairs",
+    "dedup_video_near_dups",
+    "similarity_knn_graph",
+    # (b) r10 tier, never driver-checked (r10 gate never ran) -------------
     "dedup_image_phash_pairs",
     "dedup_image_dhash_fingerprints",
     "text_pack_sequences_trained",
-    # Registered helper chain changed this round (shared leakage_over) -----
     "curation_split_leakage",
-    # Last green in r06 — the oldest evidence, all 34 -----------------------
+    "multimodal_audio_features",
+    "multimodal_audio_envelope",
+    "multimodal_decode_quarantine",
+    "dedup_audio_fingerprints",
+    "dedup_audio_fingerprint_pairs",
+    "dedup_audio_duplicate_clusters",
+    "stream_image_dedup_gate",
+    # (c) family representatives (contract: every family, every window) ---
+    "events_session_stats",
+    "skew_salted_distinct_users",
+    "bench_log_pipeline",
+    "asof_purchase_next_click",
+    "compare_event_type_series",
+    # (d) oldest driver evidence (r06), 24 of 34 --------------------------
     "anti_join_idle_customers",
     "basket_part_pair_lift",
     "count_distinct_exact",
-    "cube_part_brand_type",
     "date_functions_projection",
     "dedup_embedding_blocked_pairs",
     "distinct_order_channels",
-    "groupingsets_order_stats",
     "having_rich_segments",
     "left_join_nation_customer_counts",
     "multimodal_embedding_normalized_checksum",
     "pivot_status_by_returnflag",
-    "q11_nation_balance_concentration",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q3_top_unshipped_orders",
-    "q5_region_revenue",
-    "q8_nation_market_share",
-    "q9_product_profit_by_nation_year",
     "quality_profile_documents",
     "range_join_price_bands",
-    "rollup_lineitem_status",
     "sample_stratified_documents",
     "scalar_functions_projection",
     "setop_active_nations",
@@ -153,27 +144,6 @@ _WINDOW = (
     "topk_expensive_orders",
     "unpivot_order_metrics",
     "window_top3_orders_per_customer",
-    # Family representatives (contract: every family in every window;
-    # each the family's oldest oracle-paired row, r07 where one exists) ----
-    "similarity_exact_topk",
-    "events_session_stats",
-    "skew_salted_distinct_users",
-    "bench_log_pipeline",
-    "asof_purchase_next_click",
-    "compare_event_type_series",
-    # Oldest next tier (r07), operator-style code first --------------------
-    "dedup_simhash_fingerprints",
-    # Oracle-paired, added mid-round (new > oldest: the audio tier and
-    # the fault-injected decode quarantine, and the audio-fingerprint
-    # dedup pair; dedup_levenshtein_pairs, dedup_minhash_lsh_pairs and
-    # decontam_clean_corpus yielded their fill slots and join the r11
-    # list); dedup_audio_duplicate_clusters, registered after the window
-    # froze, is PARITY_LOCAL-guarded and leads the r11 never-checked tier -------------------------
-    "multimodal_audio_features",
-    "multimodal_audio_envelope",
-    "multimodal_decode_quarantine",
-    "dedup_audio_fingerprints",
-    "dedup_audio_fingerprint_pairs",
 )
 
 
