@@ -1790,7 +1790,17 @@ def dedup_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a union of three duplicate-rate-sized edge lists (16-byte
     rows + a tag), each produced by its own blocked detector — no new
     shuffle beyond the detectors themselves. Memoized per (app,
-    sf_dir): the clusters and survivorship queries both drain it."""
+    sf_dir): the clusters and survivorship queries both drain it.
+
+    The video tier composes the same way when a corpus wants it — one
+    more unionByName arm over ``dedup_video_near_dups`` filtered to
+    n_frame_matches >= 2 (shared-footage evidence, not one common
+    title card). It is not in the default union because at every test
+    SF the cross-video ball is empty (the committed 10x record shows
+    the pairs tracking the scan), so the default would pay the full
+    per-frame decode in five consumer chains for a provably identical
+    result; the composition point is this function and the oracle
+    extends with a fourth scoped subquery."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MM_PAIRS_CACHE.get(key)
     if cached is not None:

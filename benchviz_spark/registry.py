@@ -75,8 +75,11 @@ _QUERY_MODULES = (
 # contract's family representatives (events/skew/bench_log/asof/
 # compare — dedup, similarity, text, sample and multimodal are
 # already covered by earlier slots), and (d) 24 of the 34 r06 rows.
-# The ten r06 rows deferred to r12 are the static TPC-H shapes
-# (q1/q3/q5/q8/q9/q11/q21, cube/rollup/grouping-sets): single-module
+# The eleven r06 rows deferred to r12 are the static TPC-H shapes
+# (q1/q3/q5/q8/q9/q11/q21, cube/rollup/grouping-sets) plus
+# distinct_order_channels (a plain DISTINCT, the lowest-novelty row —
+# its slot went to the late-registered multimodal_video_quarantine):
+# single-module
 # Catalyst plans untouched since r06 with no helper-chain refactors,
 # re-proven in the committed local replica every round — the lowest-
 # drift-risk tier in the registry. r12 commitment: those ten lead,
@@ -100,6 +103,7 @@ _WINDOW = (
     "dedup_video_fingerprints",
     "dedup_video_frame_pairs",
     "dedup_video_near_dups",
+    "multimodal_video_quarantine",
     "similarity_knn_graph",
     # (b) r10 tier, never driver-checked (r10 gate never ran) -------------
     "dedup_image_phash_pairs",
@@ -125,7 +129,6 @@ _WINDOW = (
     "count_distinct_exact",
     "date_functions_projection",
     "dedup_embedding_blocked_pairs",
-    "distinct_order_channels",
     "having_rich_segments",
     "left_join_nation_customer_counts",
     "multimodal_embedding_normalized_checksum",

@@ -117,3 +117,26 @@ def test_cross_video_near_dup_detected(spark, tmp_path):
     matches, min_h = nd[(1, 2)]
     assert matches >= nf and min_h == 0  # every frame matches its twin
     assert not any(3 in k for k in nd)
+
+
+def test_video_quarantine_taxonomy_and_good_rows(spark, sf_smoke_dir):
+    from benchviz_spark.operators.multimodal import (
+        VIDEO_CRCFLIP_MOD,
+        VIDEO_TRUNCATE_MOD,
+        multimodal_video_quarantine,
+    )
+
+    rows = {r.doc_id: r for r in multimodal_video_quarantine(spark, sf_smoke_dir).collect()}
+    assert rows
+    n_trunc = n_crc = 0
+    for doc_id, r in rows.items():
+        if doc_id % VIDEO_TRUNCATE_MOD == 0:
+            assert r.status == "truncated" and r.n_frames is None
+            n_trunc += 1
+        elif doc_id % VIDEO_CRCFLIP_MOD == 0:
+            assert r.status == "bad_crc" and r.n_frames is None
+            n_crc += 1
+        else:
+            assert r.status == "ok" and r.n_frames is not None
+    # both fault classes actually fired on the corpus
+    assert n_trunc and n_crc
