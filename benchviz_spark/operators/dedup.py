@@ -2096,3 +2096,86 @@ def dedup_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hamming").cast("int").alias("min_hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: connected components over the k-NN graph's strong edges.
+# ---------------------------------------------------------------------------
+# SemDeDup-style embedding-space dedup (public recipe: cluster the
+# corpus in embedding space, keep one representative per semantic
+# cluster): the corpus-wide ANN graph already computes every vector's
+# strongest neighbors, so semantic clusters are one threshold + one
+# connected-components pass on top of it — no new candidate
+# generation, no new shuffle shape.
+SEMANTIC_COS_MIN = 0.45  # strong-similarity floor (~3.6 sigma for 64-dim).
+# 0.3 (the range-search floor) was measured to PERCOLATE on the synthetic
+# corpus: one 483-member component at sf0.01 — random near-orthogonal
+# embeddings have no cluster structure, so a low floor chains weak edges
+# into a blob (and deep components make min-label propagation pay many
+# rounds). 0.45 keeps only same-content-strength edges; on real
+# embeddings the floor is a corpus-calibrated knob, and the percolation
+# failure mode is exactly why production SemDeDup thresholds are tuned
+# against a held-out duplicate-rate estimate.
+
+
+def _semantic_clusters_oracle() -> str:
+    from benchviz_spark.operators.similarity import _knn_graph_oracle
+
+    return f"""
+    WITH RECURSIVE g AS ({_knn_graph_oracle()}),
+    spairs AS (
+      SELECT least(src_id, nbr_id) AS left_id,
+             greatest(src_id, nbr_id) AS right_id
+      FROM g WHERE cosine >= {SEMANTIC_COS_MIN}
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM spairs
+      UNION ALL
+      SELECT right_id, left_id FROM spairs
+    ),
+    reach AS (
+      SELECT vec_id AS a, vec_id AS b FROM embeddings
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_clusters_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters over the embedding corpus: vectors
+    whose k-NN-graph edge carries cosine >= {SEMANTIC_COS_MIN} are the
+    same content said differently (the SemDeDup recipe's cluster
+    stage); connected components group them and cluster_id = min
+    reachable vec_id, singletons keep their own id — the same contract
+    as every other cluster query, so keep-rules compose unchanged.
+
+    Exactness note: this is exact over the GRAPH (threshold + min-label
+    on the oracle-replayed ANN edges), and the graph itself is the
+    multi-probe LSH approximation whose measured recall rides in
+    .benchmarks/knn_recall_sf1x.json — the honest structure of every
+    production semantic-dedup pipeline (candidates approximate,
+    grouping exact).
+
+    Scale: the edge list is (strong-edge-rate)-sized — at most
+    K_GRAPH * n directed edges enter the threshold — and the
+    propagation working set is edge-endpoint-bounded; the expensive
+    part (the graph) is the already-recorded ~linear adaptive
+    multi-probe chain."""
+    from benchviz_spark.operators.similarity import similarity_knn_graph
+
+    strong = similarity_knn_graph(spark, sf_dir).filter(
+        F.col("cosine") >= SEMANTIC_COS_MIN
+    )
+    pairs = strong.select(
+        F.least("src_id", "nbr_id").alias("left_id"),
+        F.greatest("src_id", "nbr_id").alias("right_id"),
+    ).distinct()
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return min_label_components(spark, pairs, vecs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )

@@ -185,3 +185,21 @@ def stream_image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         sw.stream_image_dhash(spark, sf_dir), spark, "image_dhash", "append"
     )
+
+
+@query("stream_video_dedup_gate", oracle=_ORACLES["dedup_video_fingerprints"])
+def stream_video_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-dedup admission hash running ON THE STREAM: every
+    arriving document's APNG container is parsed frame by frame by the
+    real codec and each frame perceptually hashed
+    (streaming/windows.py stream_video_frame_dhash), drained in append
+    mode, and hash-checked against the SAME closed-form oracle as the
+    batch fingerprint scan — stream == batch == DuckDB, bit-exact on
+    every per-frame 56-bit hash. The band probe downstream is the
+    already-proven dedup_video_frame_pairs shuffle shape."""
+    return _drain(
+        sw.stream_video_frame_dhash(spark, sf_dir),
+        spark,
+        "video_dhash",
+        "append",
+    )

@@ -302,3 +302,19 @@ def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_dhashes(
         read_documents_stream(spark, sf_dir).select("doc_id", "text")
     )
+
+
+def stream_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_video_fingerprints: arriving documents
+    are APNG-encoded and every FRAME perceptually hashed by the real
+    container parser inside the same Arrow-batched ``mapInPandas``
+    stages the batch path uses — the admission-control front of a
+    video-lake dedup pipeline. Stateless (one input row fans out to
+    its nf fingerprint rows immediately), so the drain runs in append
+    mode; proves the multi-row-per-input mapInPandas shape composes
+    with Structured Streaming."""
+    from benchviz_spark.operators.multimodal import document_frame_dhashes
+
+    return document_frame_dhashes(
+        read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    )

@@ -76,6 +76,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "similarity_ann_ivf_topk": {"embeddings"},  # query probes + fixed k centroids
     "similarity_ann_ivf_topk_iter2": {"embeddings"},  # same shape, 2 Lloyd iters
     "similarity_knn_graph": {"embeddings"},  # 1-row adaptive-bit-count scalar
+    "dedup_semantic_clusters": {"embeddings"},  # same 1-row scalar via the knn chain
     # eval-side shingle postings / flagged-id sets. The bound is
     # STRUCTURAL: the eval carve is doc_id % EVAL_MOD == 0 AND
     # doc_id < EVAL_CAP (decontam.eval_split), so the broadcast side

@@ -298,3 +298,32 @@ def test_knn_graph_coverage_and_recall(spark, sf_dir):
     total = sum(len(v) for v in true_sets.values())
     recall = hits / total
     assert recall > 0.3, recall
+
+
+def test_semantic_clusters_group_planted_near_identical_vectors(spark, tmp_path):
+    """SemDeDup composition: two near-identical embeddings must land in
+    one semantic cluster; unrelated random vectors stay singletons."""
+    import numpy as np
+
+    from benchviz_spark.operators.dedup import dedup_semantic_clusters
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    twin = np.array(rows[7][1]) + 0.01 * rng.standard_normal(64)
+    rows.append((100, (twin / np.linalg.norm(twin)).tolist()))
+    d = str(tmp_path / "sem")
+    (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .coalesce(1)
+        .write.parquet(f"{d}/embeddings.parquet")
+    )
+    clusters = {
+        r.vec_id: r.cluster_id
+        for r in dedup_semantic_clusters(spark, d).collect()
+    }
+    assert clusters[100] == clusters[7] == 7
+    # the planted twin is the only non-singleton structure
+    assert sum(1 for v, c in clusters.items() if v != c) == 1
