@@ -2179,3 +2179,182 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(spark, pairs, vecs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (span) dedup: remove REPEATED SPANS, not whole docs —
+# the Lee et al. ("Deduplicating Training Data Makes Language Models
+# Better") recipe, where boilerplate repeated across documents is
+# dropped at every occurrence but its first while the surrounding
+# unique text survives. Segments are non-overlapping SEG_K-token
+# windows of the normalized token stream, so the span key is exact and
+# the whole chain is engine-neutral (md5 keys, integer windows).
+# ---------------------------------------------------------------------------
+SEG_K = 8  # tokens per non-overlapping segment
+
+_SEG_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SEG_BASE_SQL = f"""
+    t AS (
+      SELECT doc_id, string_split({_SEG_NORM_SQL}, ' ') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, u.s AS seg_idx,
+             array_to_string(
+               toks[u.s * {SEG_K} + 1 : u.s * {SEG_K} + {SEG_K}], ' '
+             ) AS seg
+      FROM t, unnest(range(CAST(ceil(len(toks) / {SEG_K}.0) AS BIGINT)))
+             AS u(s)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg, md5(seg) AS seg_hash,
+             row_number() OVER (
+               PARTITION BY md5(seg) ORDER BY doc_id, seg_idx
+             ) AS rn
+      FROM seg
+    )
+"""
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seg_idx, seg, seg_hash, rn): the ranked segment table
+    both span-dedup consumers share. rn = 1 marks the global first
+    occurrence of a span, ordered by (doc_id, seg_idx).
+
+    The token array is PROJECTED before the segment lambda so the
+    lambda body references a bound attribute, not the normalize+split
+    expression tree — the free-expression-in-lambda re-evaluation trap
+    documented at ``_shingles`` (each slice() reads the materialized
+    array, O(doc_len) total per row). One shuffle on the 32-byte md5
+    span key serves both the first-occurrence window and the
+    occurrence count; text bodies never shuffle — only (hash, doc_id,
+    seg_idx, seg) segment rows sized by the corpus token count / SEG_K."""
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
+    withtoks = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    nseg = F.ceil(F.size("toks") / F.lit(float(SEG_K))).cast("int")
+    seg = withtoks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda s: F.array_join(
+                    F.slice("toks", s * SEG_K + 1, SEG_K), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("seg_hash", F.md5("seg"))
+    w = W.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    return seg.withColumn("rn", F.row_number().over(w))
+
+
+@query(
+    "dedup_segment_spans",
+    oracle=f"""
+    WITH {_SEG_BASE_SQL}
+    SELECT seg_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) FILTER (rn = 1) AS BIGINT) AS first_doc,
+           CAST(min(seg_idx) FILTER (rn = 1) AS BIGINT) AS first_seg_idx
+    FROM ranked
+    GROUP BY seg_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_segment_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated spans: every SEG_K-token segment that
+    occurs more than once, with its occurrence count and the (doc,
+    position) of the occurrence that survives span dedup. This is the
+    monitoring artifact of span-level dedup — the "what boilerplate
+    dominates my corpus" report.
+
+    Scale: segments shuffle once on the md5 span key; the window and
+    the count share that partitioning (one Exchange in the plan), and
+    the output is duplicate-span-sized, not corpus-sized."""
+    ranked = _doc_segments(spark, sf_dir)
+    cw = W.partitionBy("seg_hash")
+    return (
+        ranked.withColumn("n_occ", F.count("*").over(cw))
+        .filter((F.col("rn") == 1) & (F.col("n_occ") > 1))
+        .select(
+            "seg_hash",
+            F.col("n_occ").cast("long").alias("n_occurrences"),
+            F.col("doc_id").cast("long").alias("first_doc"),
+            F.col("seg_idx").cast("long").alias("first_seg_idx"),
+        )
+    )
+
+
+@query(
+    "curation_segment_dedup_corpus",
+    oracle=f"""
+    WITH {_SEG_BASE_SQL},
+    kept AS (SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1),
+    reb AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_segments AS BIGINT) AS n_segments,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b.n_segments - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           md5(coalesce(r.kept_text, '')) AS kept_text_hash,
+           CAST(CASE WHEN coalesce(r.kept_text, '') = '' THEN 0
+                     ELSE len(string_split(r.kept_text, ' ')) END
+                AS BIGINT) AS n_tokens_kept
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def curation_segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document result of span-level dedup: each document
+    reconstructed with every non-first span occurrence removed, as
+    (kept/dropped segment counts, md5 of the rebuilt text, surviving
+    token count). Unlike whole-doc dedup, a document here can lose its
+    boilerplate and keep its unique content — the artifact a curation
+    pipeline feeds to the tokenizer.
+
+    Scale: the ranked segment table's one hash-key shuffle, then one
+    doc_id-keyed aggregation whose payload is the kept segments (the
+    only place segment text re-aggregates, bounded by the original
+    corpus size); the rebuild is an array_sort over each doc's own
+    segments — no window over the corpus. A doc whose every span is a
+    duplicate survives as an empty reconstruction (n_kept = 0,
+    md5('') sentinel), so downstream keep-rules can drop it
+    explicitly rather than losing the row."""
+    ranked = _doc_segments(spark, sf_dir)
+    reb = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    base = ranked.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    kept_text = F.coalesce(F.col("kept_text"), F.lit(""))
+    return (
+        base.join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(kept_text).alias("kept_text_hash"),
+            F.when(kept_text == "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("kept_text"), " ")))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )

@@ -1407,3 +1407,123 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: top-k documents for a fixed query set — the lexical
+# ranking primitive of a RAG / search layer over the corpus, one level
+# up from TF-IDF (length-normalized saturation tf, Robertson idf).
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+BM25_QUERIES = {
+    "hash_join_tuning": ("hash", "join", "merge"),
+    "scan_filter_pushdown": ("scan", "filter", "table"),
+    "stream_windowing": ("stream", "window", "batch"),
+}
+
+
+def _bm25_oracle() -> str:
+    values = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES.items() for t in terms
+    )
+    return f"""
+    WITH qt AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT tok.doc_id, tok.term, count(*) AS tf
+      FROM tok JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOPK}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} documents per query for a fixed keyword query
+    set under Okapi BM25 (k1={BM25_K1}, b={BM25_B}, Robertson idf
+    ln(1 + (N - df + .5)/(df + .5))) — lexical retrieval over the
+    corpus, the search-side sibling of ``similarity_exact_topk``'s
+    dense retrieval. Ranking ties break on ROUNDED score then doc_id
+    so both engines cut identical top-k sets.
+
+    Scale design: the inverted-index probe shape — the token stream is
+    semi-joined to the (broadcast, constant-size) query-term list
+    BEFORE any per-term aggregation, so tf/df/scoring touch only
+    postings of queried terms (query-result-sized, not corpus-sized);
+    the only corpus-sized aggregations are the per-doc length count
+    and its 1-row avgdl reduction, both map-side combinable. The df
+    relation is query-term-bounded (broadcast), and the final top-k
+    lowers to a per-query WindowGroupLimit, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(q, t) for q, terms in BM25_QUERIES.items() for t in terms],
+        "query_id string, term string",
+    )
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        tok.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_score = (
+        F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
