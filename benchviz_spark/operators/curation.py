@@ -479,3 +479,80 @@ def curation_mixture_report_multimodal(
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: the deterministic file-layout plan of a corpus export.
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+@query(
+    "curation_shard_manifest",
+    oracle=f"""
+    WITH cur AS ({_CURATION_ORACLE}),
+    sh AS (
+      SELECT split,
+             {_bucket_sql('shard:', n_buckets=N_SHARDS)} AS shard,
+             doc_id, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS ck
+      FROM cur
+    )
+    SELECT split, CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(sum(ck) AS BIGINT) AS docs_checksum
+    FROM sh GROUP BY 1, 2
+    """,
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard plan of the curated corpus: every surviving
+    document is assigned to one of {N_SHARDS} shards per split by a
+    salted md5 bucket (the same pure-function assignment the split
+    stage uses, so re-runs and incremental appends land docs in the
+    same shard with zero coordination), and the manifest row per
+    (split, shard) carries the doc count, char payload, id range, and
+    an order-independent content checksum (integer sum of 32-bit
+    md5(doc_id) prefixes — exact in int64 up to ~2^31 docs/shard).
+    This is the artifact a training loader validates shards against
+    before streaming them — the catalog side of corpus_export.
+
+    Scale design: one narrow projection over the shared curated
+    persist point (no text bodies; the chain cost is paid once per
+    session by ``curated_documents``), then a single map-side-combined
+    aggregation into a fixed 3 x {N_SHARDS}-row space. The checksum is
+    an integer SUM, so it partial-aggregates and is independent of
+    row order and partitioning — the property that makes it usable as
+    a cross-run shard-integrity probe at any scale."""
+    cur = curated_documents(spark, sf_dir)
+    ck = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        cur.select(
+            "split",
+            hash_bucket(F.col("doc_id"), "shard:", N_SHARDS).alias("shard"),
+            "doc_id",
+            "n_chars",
+            ck.alias("ck"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum("ck").cast("long").alias("docs_checksum"),
+        )
+        .select(
+            "split",
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "total_chars",
+            "min_doc",
+            "max_doc",
+            "docs_checksum",
+        )
+    )

@@ -504,3 +504,97 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 6
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring via the hashing trick: the fasttext-style
+# linear classifier shape (token -> hashed feature bucket -> weight ->
+# sigmoid of the mean activation), with deterministic pseudo-weights so
+# both engines replay the exact same model.
+# ---------------------------------------------------------------------------
+HASH_FEAT_BUCKETS = 256
+
+
+def _feat_weight_sql(tok_expr: str) -> str:
+    """DuckDB spelling of the token -> bucket -> weight lookup."""
+    bucket = (
+        f"(('0x' || substr(md5({tok_expr}), 1, 8))::BIGINT"
+        f" % {HASH_FEAT_BUCKETS})"
+    )
+    return (
+        f"((('0x' || substr(md5('w=' || CAST({bucket} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 2001) - 1000) / 1000.0"
+    )
+
+
+@query(
+    "quality_hashed_classifier_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    act AS (
+      SELECT doc_id,
+             list_sum(list_transform(toks, tok -> {_feat_weight_sql('tok')}))
+               / len(toks) AS raw
+      FROM t
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-raw)), 6) AS quality_score,
+           (1.0 / (1.0 + exp(-raw))) >= 0.5 AS keep
+    FROM act
+    """,
+)
+def quality_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from a HASHING-TRICK linear model:
+    each token maps to one of {HASH_FEAT_BUCKETS} feature buckets by a
+    salted md5 hash, each bucket carries a deterministic pseudo-weight
+    in [-1, 1] (derived from md5 of the bucket id — a stand-in for
+    trained fasttext/logistic weights, chosen so the oracle can replay
+    the identical model), and the document score is the sigmoid of the
+    mean activation. The keep flag thresholds at 0.5 — the shape of
+    every model-based quality filter (CCNet/Gopher wiki-classifier
+    stage) with the training left out.
+
+    Scale design: ZERO shuffles and zero Python — the whole
+    token->bucket->weight->mean chain is one Catalyst higher-order
+    ``aggregate`` over the in-row token array (the lambda touches only
+    its element variable, so nothing re-evaluates per element — the
+    ``_shingles`` discipline), and the sigmoid is a per-row
+    projection. A trained-weights deployment swaps the md5-derived
+    weight expression for a {HASH_FEAT_BUCKETS}-entry broadcast map
+    lookup; the plan shape is unchanged. Per-row sums fold
+    sequentially over the same list order in both engines, and the
+    score is rounded to 6 before hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(_norm_text(F.col("text")), " ")
+    withtoks = docs.select("doc_id", toks.alias("toks"))
+
+    def weight(tok: F.Column) -> F.Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint"),
+            F.lit(HASH_FEAT_BUCKETS),
+        )
+        wh = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w="), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (F.pmod(wh, F.lit(2001)) - 1000) / F.lit(1000.0)
+
+    raw = F.aggregate(
+        "toks", F.lit(0.0), lambda acc, tok: acc + weight(tok)
+    ) / F.size("toks")
+    score = 1.0 / (1.0 + F.exp(-F.col("raw")))
+    return (
+        withtoks.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.round(score, 6).alias("quality_score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )

@@ -74,7 +74,7 @@ _QUERY_MODULES = (
 # split-leakage chain, and the streamed image gate), then (c) the
 # contract's family representatives (events/skew/bench_log/asof/
 # compare — dedup, similarity, text, sample and multimodal are
-# already covered by earlier slots), and (d) 24 of the 34 r06 rows.
+# already covered by earlier slots), and (d) 17 of the 34 r06 rows.
 # The eleven r06 rows deferred to r12 are the static TPC-H shapes
 # (q1/q3/q5/q8/q9/q11/q21, cube/rollup/grouping-sets) plus
 # distinct_order_channels (a plain DISTINCT, the lowest-novelty row —
@@ -93,6 +93,18 @@ _QUERY_MODULES = (
 # rows-only check; queries outside the window remain guarded by the
 # committed local replica (PARITY_LOCAL.json + tests/test_oracle_parity.py).
 _WINDOW = (
+    # (a0) added in the r11 build session AFTER the list below was
+    # first committed — never driver-checked, all full-oracle, so they
+    # take the window's head. Their seven slots come out of tier (d):
+    # the seven r06 rows deferred join the r12 commitment alongside
+    # the eleven already listed there.
+    "sketch_user_overlap_closed",
+    "embedding_pca_power_iteration",
+    "dedup_segment_spans",
+    "curation_segment_dedup_corpus",
+    "text_bm25_topk",
+    "curation_shard_manifest",
+    "quality_hashed_classifier_score",
     # (a) added or result-changed THIS round ------------------------------
     "dedup_multimodal_pairs",
     "dedup_multimodal_clusters",
@@ -123,7 +135,9 @@ _WINDOW = (
     "bench_log_pipeline",
     "asof_purchase_next_click",
     "compare_event_type_series",
-    # (d) oldest driver evidence (r06), 24 of 34 --------------------------
+    # (d) oldest driver evidence (r06), 17 of 34 — seven more rows
+    # (the three setops, stats_orders_exact, topk/unpivot/window_top3)
+    # deferred to the r12 commitment to make room for tier (a0) -----------
     "anti_join_idle_customers",
     "basket_part_pair_lift",
     "count_distinct_exact",
@@ -137,16 +151,9 @@ _WINDOW = (
     "range_join_price_bands",
     "sample_stratified_documents",
     "scalar_functions_projection",
-    "setop_active_nations",
-    "setop_idle_building_customers",
-    "setop_union_all_parties",
-    "stats_orders_exact",
     "stream_user_profiles",
     "text_bpe_token_counts",
     "text_language_id",
-    "topk_expensive_orders",
-    "unpivot_order_metrics",
-    "window_top3_orders_per_customer",
 )
 
 

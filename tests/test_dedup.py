@@ -278,3 +278,33 @@ def test_multimodal_cluster_merges_text_and_image_chains(spark, tmp_path):
     }
     assert clusters[1] == clusters[2] == clusters[3] == 1
     assert clusters[4] == 4 and clusters[5] == 5
+
+
+def test_segment_dedup_reconciliation(spark, sf_dir):
+    """Span-dedup bookkeeping must reconcile ACROSS queries: the total
+    segments dropped in the per-doc reconstruction equals the sum of
+    (occurrences - 1) over all repeated spans, and kept token counts
+    never exceed the original segment budget."""
+    from pyspark.sql import functions as F
+
+    from benchviz_spark.operators.dedup import (
+        SEG_K,
+        curation_segment_dedup_corpus,
+        dedup_segment_spans,
+    )
+
+    spans = dedup_segment_spans(spark, sf_dir)
+    corpus = curation_segment_dedup_corpus(spark, sf_dir)
+    dropped_from_spans = spans.agg(
+        F.sum(F.col("n_occurrences") - 1)
+    ).first()[0]
+    agg = corpus.agg(
+        F.sum("n_dropped").alias("nd"),
+        F.sum("n_kept").alias("nk"),
+        F.sum("n_segments").alias("ns"),
+        F.max(F.col("n_tokens_kept") - F.col("n_kept") * SEG_K).alias("over"),
+    ).first()
+    assert spans.count() > 0  # the planted near-dups must surface
+    assert agg.nd == dropped_from_spans
+    assert agg.nk + agg.nd == agg.ns
+    assert agg.over <= 0  # a kept segment carries at most SEG_K tokens

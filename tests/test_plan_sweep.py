@@ -66,6 +66,11 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "sketch_heavy_hitter_terms": {"documents"},  # depth x width CMS counters
     "sketch_user_overlap": {"events"},  # 1-row HLL-estimate scalars
     "stats_value_psi": {"events"},  # 1-row midpoint-epoch scalar
+    # BM25: the broadcast sides are the per-QUERY-TERM df relation
+    # (<= |BM25_QUERIES| * terms rows — bounded by the fixed query
+    # set, not the corpus; it aggregates postings already semi-joined
+    # to the broadcast term list) and the 1-row avgdl/n_docs scalar.
+    "text_bm25_topk": {"documents"},
     # fixed query-vector samples (bounded by query count, not corpus).
     # For the LSH path the bound is STRUCTURAL: both broadcast sides
     # carry an explicit vec_id < N_QUERIES filter (asserted with
@@ -97,6 +102,8 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # (the clusters side carries no hint — min-label over blocked pairs)
     "curation_pipeline_multimodal": {"documents"},
     "curation_mixture_report_multimodal": {"documents"},
+    # same curated-chain hint + one fixed 3 x N_SHARDS-row aggregation
+    "curation_shard_manifest": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).

@@ -172,3 +172,27 @@ def test_cache_registry_prunes_dead_apps_and_clears(spark):
     assert set(cache) == {("live-app", "/x"), ("live-app", "/y")}
     assert clear_caches() >= 2
     assert not cache
+
+
+def test_closed_form_hll_tracks_exact_overlap(spark):
+    """The md5-register HLL (p=12, rsd ~1.625%) must land within a
+    5-sigma envelope of the exact inclusion-exclusion counts — same
+    contract as the hll_sketch_agg twin, now over registers the
+    oracle replays bit-exactly."""
+    from benchviz_spark.operators.analytics import (
+        sketch_user_overlap_closed,
+        sketch_user_overlap_exact,
+    )
+
+    a = sketch_user_overlap_closed(spark, SF_DIR).collect()[0]
+    e = sketch_user_overlap_exact(spark, SF_DIR).collect()[0]
+    for ax, ex in (
+        (a.approx_a_users, e.exact_a_users),
+        (a.approx_b_users, e.exact_b_users),
+        (a.approx_union_users, e.exact_union_users),
+    ):
+        assert abs(ax - ex) <= max(5, 0.09 * ex), (ax, ex)
+    # overlap inherits three envelopes; bound it loosely but finitely
+    assert abs(a.approx_overlap_users - e.exact_overlap_users) <= max(
+        10, 0.25 * max(e.exact_overlap_users, 1)
+    )

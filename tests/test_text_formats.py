@@ -85,3 +85,48 @@ def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
     assert good.filter(F.col("doc_id") == 99999).count() == 1
     # nothing silently dropped: 5 originals + 3 appended lines
     assert back.count() == 8
+
+
+def test_bm25_rank_contract(spark, sf_dir):
+    """BM25 output: exactly the query set, ranks dense from 1, scores
+    non-increasing within a query, and every score positive (Robertson
+    idf is positive for df < N)."""
+    from collections import defaultdict
+
+    from benchviz_spark.operators.text_analysis import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    rows = text_bm25_topk(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    assert set(by_q) == set(BM25_QUERIES)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+        assert all(r.score > 0 for r in rs)
+
+
+def test_hashed_classifier_is_pure_function(spark, sf_dir):
+    """Same text => same score (the model is a pure function of the
+    token stream), scores sit in (0, 1), and the keep flag is exactly
+    score >= 0.5."""
+    from benchviz_spark.operators.quality import (
+        quality_hashed_classifier_score,
+    )
+
+    rows = quality_hashed_classifier_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.quality_score < 1.0
+        assert r.keep == (r.quality_score >= 0.5)
+    again = {
+        r.doc_id: r.quality_score
+        for r in quality_hashed_classifier_score(spark, sf_dir).collect()
+    }
+    assert all(again[r.doc_id] == r.quality_score for r in rows)
