@@ -556,3 +556,54 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_checksum",
         )
     )
+
+
+@query(
+    "curation_training_order",
+    oracle=f"""
+    WITH cur AS ({_CURATION_ORACLE}),
+    tr AS (
+      SELECT doc_id,
+             {_bucket_sql('shard:', n_buckets=N_SHARDS)} AS shard,
+             md5('order:' || doc_id::VARCHAR) AS ok
+      FROM cur WHERE split = 'train'
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY ok, doc_id
+           ) AS BIGINT) AS position
+    FROM tr
+    """,
+)
+def curation_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order as (shard, position): every
+    train-split document lands in the same shard the manifest assigns
+    it, and within a shard documents are ordered by a salted md5 sort
+    key — the two-level pseudo-random shuffle a data loader actually
+    consumes (read shards in parallel, stream each in stored order),
+    reproducible across re-runs and engines with zero coordination or
+    stored RNG state.
+
+    Scale design: a GLOBAL pseudo-random order would be one
+    unpartitioned sort of the corpus — the exact shape the plan sweep
+    bans. The two-level factorization replaces it with a window
+    PARTITIONED by shard (parallelism = shard count; a production
+    export raises {N_SHARDS} to thousands, this constant is the
+    demo-sized value), ordering only within shards, which is also what
+    preserves loader-side streaming: position is dense per shard, so
+    byte-ranges and resumption offsets stay per-file. Reads the shared
+    curated persist point; one shuffle on the shard key."""
+    cur = curated_documents(spark, sf_dir)
+    tr = cur.filter(F.col("split") == "train").select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "shard:", N_SHARDS).alias("shard"),
+        F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
+            "ok"
+        ),
+    )
+    w = W.partitionBy("shard").orderBy("ok", "doc_id")
+    return tr.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )

@@ -568,7 +568,14 @@ def quality_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFra
     lookup; the plan shape is unchanged. Per-row sums fold
     sequentially over the same list order in both engines, and the
     score is rounded to 6 before hashing."""
-    docs = load_table(spark, sf_dir, "documents")
+    return classifier_projection(load_table(spark, sf_dir, "documents"))
+
+
+def classifier_projection(docs: DataFrame) -> DataFrame:
+    """The pure classifier projection over any (doc_id, text) relation
+    — shared by the batch query above and the streaming admission gate
+    (streaming/windows.py stream_classifier_gate), so stream == batch
+    == oracle is a single definition."""
     toks = F.split(_norm_text(F.col("text")), " ")
     withtoks = docs.select("doc_id", toks.alias("toks"))
 

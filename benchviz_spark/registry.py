@@ -105,6 +105,7 @@ _WINDOW = (
     "text_bm25_topk",
     "curation_shard_manifest",
     "quality_hashed_classifier_score",
+    "curation_training_order",
     # (a) added or result-changed THIS round ------------------------------
     "dedup_multimodal_pairs",
     "dedup_multimodal_clusters",
@@ -135,9 +136,10 @@ _WINDOW = (
     "bench_log_pipeline",
     "asof_purchase_next_click",
     "compare_event_type_series",
-    # (d) oldest driver evidence (r06), 17 of 34 — seven more rows
-    # (the three setops, stats_orders_exact, topk/unpivot/window_top3)
-    # deferred to the r12 commitment to make room for tier (a0) -----------
+    # (d) oldest driver evidence (r06), 15 of 34 — eight more rows
+    # (the three setops, stats_orders_exact, topk/unpivot/window_top3,
+    # scalar_functions_projection) deferred to the r12 commitment to
+    # make room for tier (a0) ---------------------------------------------
     "anti_join_idle_customers",
     "basket_part_pair_lift",
     "count_distinct_exact",
@@ -150,7 +152,6 @@ _WINDOW = (
     "quality_profile_documents",
     "range_join_price_bands",
     "sample_stratified_documents",
-    "scalar_functions_projection",
     "stream_user_profiles",
     "text_bpe_token_counts",
     "text_language_id",

@@ -203,3 +203,22 @@ def stream_video_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_dhash",
         "append",
     )
+
+
+@query(
+    "stream_classifier_gate",
+    oracle=_ORACLES["quality_hashed_classifier_score"],
+)
+def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-linear-classifier quality gate running ON THE STREAM
+    (streaming/windows.py stream_classifier_gate), drained in append
+    mode and hash-checked against the SAME oracle as the batch scorer:
+    stream == batch == DuckDB on every score. Completes the streamed
+    admission-control trio (rules: gopher gate; perceptual: image /
+    video hashes; model-based: this)."""
+    return _drain(
+        sw.stream_classifier_gate(spark, sf_dir),
+        spark,
+        "classifier_gate",
+        "append",
+    )

@@ -318,3 +318,18 @@ def stream_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_frame_dhashes(
         read_documents_stream(spark, sf_dir).select("doc_id", "text")
     )
+
+
+def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality_hashed_classifier_score: the
+    hashing-trick linear model scoring every arriving document — the
+    model-based admission filter of a streaming ingest (score on
+    arrival, quarantine below threshold). Stateless pure projection
+    (the model is a deterministic function of the token stream), so
+    each micro-batch emits its scores immediately and the drain runs
+    in append mode against the SAME oracle as the batch query."""
+    from benchviz_spark.operators.quality import classifier_projection
+
+    return classifier_projection(
+        read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    )

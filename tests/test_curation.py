@@ -68,3 +68,38 @@ def test_cluster_splits_match_pipeline_except_split(spark):
         for r in curation_cluster_splits(spark, SF_DIR).collect()
     }
     assert base == clus
+
+
+def test_shard_manifest_reconciles_with_training_order(spark, sf_dir):
+    """The manifest and the training order must describe the same
+    export: per train shard, manifest n_docs == order row count ==
+    max(position), and positions are dense from 1 (a loader resumes
+    by offset; a gap means silent data loss)."""
+    from pyspark.sql import functions as F
+
+    from benchviz_spark.operators.curation import (
+        curation_shard_manifest,
+        curation_training_order,
+    )
+
+    man = {
+        r.shard: r.n_docs
+        for r in curation_shard_manifest(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    order = (
+        curation_training_order(spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("position").alias("maxp"),
+            F.min("position").alias("minp"),
+            F.count_distinct("position").alias("np"),
+        )
+        .collect()
+    )
+    assert man and order
+    assert {r.shard for r in order} == set(man)
+    for r in order:
+        assert (r.n, r.maxp, r.minp, r.np) == (man[r.shard], man[r.shard], 1, man[r.shard])

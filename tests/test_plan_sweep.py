@@ -104,6 +104,8 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "curation_mixture_report_multimodal": {"documents"},
     # same curated-chain hint + one fixed 3 x N_SHARDS-row aggregation
     "curation_shard_manifest": {"documents"},
+    # same chain; the order window is PARTITIONED by shard
+    "curation_training_order": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
