@@ -433,3 +433,150 @@ def sample_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("pick") <= QUALITY_TOP_K)
         .select("source", "doc_id", "distinct_ratio", "n_tokens", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by how target-like its hashed-n-gram feature distribution
+# is, then Gumbel-top-K sample proportionally to the importance weight.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 64  # hashed unigram feature space (paper uses 10k; 64 keeps
+#                    the oracle replay readable — the plan is bucket-count
+#                    independent: the lr table is always a tiny broadcast)
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the "target domain" slice
+DSIR_K = 80  # resampled corpus size
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             {_bucket_sql('dsir:', 'term', DSIR_BUCKETS)} AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split(
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '
+               )) AS term
+        FROM documents
+      )
+    ),
+    raw AS (SELECT b, count(*) AS rc FROM tok GROUP BY b),
+    tgt AS (
+      SELECT b, count(*) AS tc FROM tok
+      WHERE source IN {DSIR_TARGET_SOURCES} GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT sum(rc) FROM raw) AS rn,
+             (SELECT sum(tc) FROM tgt) AS tn
+    ),
+    lr AS (
+      SELECT raw.b,
+             ln((coalesce(tgt.tc, 0) + 0.5) / (tot.tn + 0.5 * {DSIR_BUCKETS}))
+           - ln((raw.rc + 0.5) / (tot.rn + 0.5 * {DSIR_BUCKETS})) AS lr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+    ),
+    dw AS (
+      SELECT tok.doc_id, sum(lr.lr) AS logw
+      FROM tok JOIN lr USING (b)
+      GROUP BY 1
+    ),
+    keyed AS (
+      SELECT dw.doc_id, d.source, dw.logw,
+             dw.logw - ln(-ln(
+               (('0x' || substr(md5('dsirg:' || dw.doc_id::VARCHAR), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0
+             )) AS sk
+      FROM dw JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source,
+           round(logw, 6) AS log_weight,
+           round(sk, 6) AS sample_key
+    FROM keyed
+    ORDER BY sk DESC, doc_id
+    LIMIT {DSIR_K}
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: estimate target and raw unigram
+    distributions over a HASHED feature space (hash-bucketed tokens,
+    the paper's hashed n-gram estimator), weight every raw document by
+    its log likelihood-ratio sum, and draw a K-document sample with
+    probability proportional to exp(weight) via the Gumbel-top-K
+    trick — the md5-derived uniform replaces the RNG, so the sample is
+    a pure function of doc_id (this module's determinism contract) and
+    replays exactly in DuckDB.
+
+    Scale design: the learned artifact is the {DSIR_BUCKETS}-row
+    log-ratio table — two map-side-combinable bucket aggregations
+    (target slice + full corpus) reduced to a broadcast that never
+    grows with the corpus (at 10k buckets it is still ~80 KB). Scoring
+    is then one broadcast join on the token stream and one partial-agg
+    sum per doc_id — a single shuffle keyed by doc_id. Selection is
+    Gumbel-top-K, which Catalyst plans as TakeOrdered: per-partition
+    K winners, a K*partitions driver merge, never a global sort. No
+    RNG, no driver-side model state, no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.operators.dedup import _norm_text
+
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("term"),
+    ).select(
+        "doc_id", "source", hash_bucket(F.col("term"), "dsir:", DSIR_BUCKETS).alias("b")
+    )
+    # Both distributions from ONE tokenize pass: the target count is a
+    # conditional sum inside the same bucket aggregation, so the
+    # estimator costs one corpus scan + one 64-key shuffle, not two
+    # scans per distribution. Totals reduce the 64-row result again —
+    # off the corpus path entirely.
+    is_tgt = F.col("source").isin(list(DSIR_TARGET_SOURCES))
+    bt = tok.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tc"),
+    )
+    nb = float(DSIR_BUCKETS)
+    lr = bt.crossJoin(
+        F.broadcast(bt.agg(F.sum("rc").alias("rn"), F.sum("tc").alias("tn")))
+    ).select(
+        "b",
+        (
+            F.log((F.col("tc") + 0.5) / (F.col("tn") + 0.5 * nb))
+            - F.log((F.col("rc") + 0.5) / (F.col("rn") + 0.5 * nb))
+        ).alias("lr"),
+    )
+    # source rides the doc_id grouping key (functionally dependent on
+    # it) instead of a second corpus-sized join back to documents.
+    dw = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsirg:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = dw.select(
+        "doc_id",
+        "source",
+        "logw",
+        (F.col("logw") - F.log(-F.log(u))).alias("sk"),
+    )
+    return (
+        keyed.orderBy(F.col("sk").desc(), "doc_id")
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "source",
+            F.round("logw", 6).alias("log_weight"),
+            F.round("sk", 6).alias("sample_key"),
+        )
+    )

@@ -1078,3 +1078,420 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K_GRAPH)
         .select("src_id", "nbr_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + cosine (dense) fused by reciprocal
+# rank — the standard two-tower search stack (Cormack et al. 2009 RRF;
+# every production RAG retriever ships this exact fusion).
+# ---------------------------------------------------------------------------
+RRF_K = 60  # the fusion constant from the RRF paper
+RRF_POOL = 20  # per-ranker candidate pool depth
+RRF_TOPK = 5
+
+
+def _hybrid_rrf_oracle() -> str:
+    from benchviz_spark.operators.text_analysis import _NORM_SQL, BM25_B, BM25_K1
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM tok
+      WHERE doc_id < {N_QUERIES}
+    ),
+    cand AS (SELECT doc_id, term FROM tok WHERE doc_id >= {N_QUERIES}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM cand GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT cand.doc_id, cand.term, count(*) AS tf
+      FROM cand JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    lex AS (
+      SELECT qt.query_id, tf.doc_id AS neighbor_id,
+             round(sum(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl))
+             ), 6) AS lex_score
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    lexp AS (
+      SELECT query_id, neighbor_id, lex_rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY lex_score DESC, neighbor_id
+               ) AS lex_rank
+        FROM lex
+      ) WHERE lex_rank <= {RRF_POOL}
+    ),
+    sem AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, len(q.embedding)+1),
+                 i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}) c
+    ),
+    semp AS (
+      SELECT query_id, neighbor_id, sem_rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS sem_rank
+        FROM sem
+      ) WHERE sem_rank <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(coalesce(sem_rank, 0) AS BIGINT) AS sem_rank,
+             round(
+               (CASE WHEN lex_rank IS NULL THEN 0
+                     ELSE 1.0 / ({RRF_K} + lex_rank) END)
+             + (CASE WHEN sem_rank IS NULL THEN 0
+                     ELSE 1.0 / ({RRF_K} + sem_rank) END), 6) AS rrf_score
+      FROM lexp FULL OUTER JOIN semp USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id, rrf_score, lex_rank, sem_rank, fused_rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id
+             ) AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RRF_TOPK}
+    """
+
+
+@query("similarity_hybrid_rrf_topk", oracle=_hybrid_rrf_oracle())
+def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this hybrid retrieval: for each query document
+    (doc_id < {N_QUERIES}, whose embedding row shares the id) rank the
+    candidate corpus TWICE — BM25 over the query doc's distinct terms
+    (lexical tower) and cosine over the embedding column (dense tower)
+    — truncate each ranking to a {RRF_POOL}-deep pool, and fuse by
+    reciprocal rank: score = sum over towers of 1/({RRF_K} + rank).
+    Rank fusion needs no score calibration between towers, which is
+    why RRF is the default hybrid combiner in production retrieval.
+    Absent ranks contribute 0 and surface as rank 0 in the output.
+
+    Scale design: the lexical tower is text_bm25_topk's inverted-index
+    probe shape — postings semi-joined to the (structurally bounded:
+    doc_id < {N_QUERIES}) broadcast query-term list before any
+    aggregation, 1-row avgdl/n_docs scalar, per-query WindowGroupLimit.
+    The dense tower is similarity_exact_topk's broadcast-query scan.
+    Both pools are (queries x {RRF_POOL})-sized, so the fusion join and
+    final top-{RRF_TOPK} window touch a constant-size relation — the
+    corpus is scanned twice (token stream, vector scan) and shuffled
+    only at the per-doc aggregations, never joined to itself."""
+    from benchviz_spark.operators.text_analysis import BM25_B, BM25_K1, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    qt = (
+        tok.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    cand = tok.filter(F.col("doc_id") >= N_QUERIES)
+    dl = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        cand.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_score = (
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    lex = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.round(F.sum(term_score), 6).alias("lex_score"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.col("lex_score").desc(), "neighbor_id")
+    lexp = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("ce")
+    )
+    sem = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    semp = (
+        sem.withColumn("sem_rank", F.row_number().over(ws))
+        .filter(F.col("sem_rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "sem_rank")
+    )
+
+    def _contrib(rank: Column) -> Column:
+        return F.when(rank.isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(RRF_K) + rank)
+        )
+
+    fused = lexp.join(semp, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+        F.round(
+            _contrib(F.col("lex_rank")) + _contrib(F.col("sem_rank")), 6
+        ).alias("rrf_score"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "query_id", "neighbor_id", "rrf_score", "lex_rank", "sem_rank", "fused_rank"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): compress every vector to M
+# subspace codes, answer top-k by asymmetric distance (ADC) — the
+# memory-side scale path that complements IVF's compute-side one.
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_SUBDIM = _DIM // PQ_M  # 8 dims per subspace
+PQ_K = 16  # codewords per subspace -> 4 bits/code, 4 bytes/vector
+PQ_TOPK = 10
+
+
+def _pq_codebook_ctes() -> str:
+    """CTE chain replaying PQ training: seed codewords are the PQ_K
+    vectors with the smallest md5(vec_id) (the IVF seed rule), sliced
+    per subspace; one Lloyd step refines them (argmin by (d2, cid),
+    per-element means rounded to 6 — the ivf_assignment_ctes
+    determinism argument, per subspace)."""
+    return f"""
+    x AS (
+      SELECT vec_id, (generate_subscripts(embedding, 1) - 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, i // {PQ_SUBDIM} AS m, i % {PQ_SUBDIM} AS j, v FROM x
+    ),
+    seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS BIGINT) AS cid
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {PQ_K}
+    ),
+    c0 AS (
+      SELECT s.cid, sub.m, sub.j, sub.v AS cv
+      FROM seeds s JOIN sub ON sub.vec_id = s.vec_id
+    ),
+    a1 AS (
+      SELECT sub.vec_id, sub.m, c0.cid
+      FROM sub JOIN c0 ON sub.m = c0.m AND sub.j = c0.j
+      GROUP BY sub.vec_id, sub.m, c0.cid
+      QUALIFY row_number() OVER (
+        PARTITION BY sub.vec_id, sub.m
+        ORDER BY sum((sub.v - c0.cv) * (sub.v - c0.cv)), c0.cid
+      ) = 1
+    ),
+    cb AS (
+      SELECT a1.m, a1.cid, sub.j, round(avg(sub.v), 6) AS cv
+      FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m = sub.m
+      GROUP BY 1, 2, 3
+    )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_codebook_ctes()},
+    code AS (
+      SELECT sub.vec_id, sub.m, cb.cid
+      FROM sub JOIN cb ON sub.m = cb.m AND sub.j = cb.j
+      WHERE sub.vec_id >= {N_QUERIES}
+      GROUP BY sub.vec_id, sub.m, cb.cid
+      QUALIFY row_number() OVER (
+        PARTITION BY sub.vec_id, sub.m
+        ORDER BY sum((sub.v - cb.cv) * (sub.v - cb.cv)), cb.cid
+      ) = 1
+    ),
+    qtab AS (
+      SELECT sub.vec_id AS query_id, cb.m, cb.cid,
+             sum((sub.v - cb.cv) * (sub.v - cb.cv)) AS qd2
+      FROM sub JOIN cb ON sub.m = cb.m AND sub.j = cb.j
+      WHERE sub.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT qtab.query_id, code.vec_id AS neighbor_id,
+             round(sum(qtab.qd2), 6) AS adc_dist
+      FROM code JOIN qtab ON code.m = qtab.m AND code.cid = qtab.cid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= {PQ_TOPK}
+    """
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, int, list[float]]]:
+    """Train the PQ codebook: (m, cid, cvec[PQ_SUBDIM]) rows. Seeds are
+    the PQ_K smallest-md5 vectors' subspace slices; ONE Lloyd step
+    refines each subspace independently (argmin by (d2, cid), means
+    rounded to 6 so the DuckDB replay feeds identical literals forward
+    — the kmeans_train contract, factored per subspace).
+
+    Scale: training is one corpus pass — the M x PQ_K seed table is a
+    ~{PQ_M * PQ_K}-row broadcast, the E-step argmin is map-side
+    (min_by under partial agg keyed by vec_id), and the M-step reduces
+    to M x PQ_K x {PQ_SUBDIM} = {PQ_M * PQ_K * PQ_SUBDIM} scalar means
+    collected driver-side. In production PQ trains on a bounded sample
+    (the FAISS convention, as with IVF); the corpus is never
+    collected."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    seed_key = F.md5(F.col("vec_id").cast("string"))
+    seed_w = W.orderBy(seed_key)
+    sub_m = F.explode(
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), "
+            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+        )
+    )
+    seeds = (
+        emb.orderBy(seed_key)
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(seed_w) - 1).cast("long").alias("cid"), "v"
+        )
+        .select("cid", sub_m.alias("s"))
+        .select("cid", F.col("s.m").alias("m"), F.col("s.sv").alias("cv"))
+    )
+    subs = emb.select("vec_id", sub_m.alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        subs.join(F.broadcast(seeds), "m")
+        .select("vec_id", "m", "sv", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(F.col("cid"), F.struct("d2", "cid")).alias("cid"),
+            F.first("sv").alias("sv"),
+        )
+    )
+    means = (
+        assigned.select("m", "cid", F.posexplode("sv").alias("j", "x"))
+        .groupBy("m", "cid", "j")
+        .agg(F.round(F.avg("x"), 6).alias("cv"))
+    )
+    by_key: dict[tuple[int, int], dict[int, float]] = {}
+    for r in means.collect():  # M x PQ_K x PQ_SUBDIM bounded scalars
+        by_key.setdefault((int(r.m), int(r.cid)), {})[int(r.j)] = float(r.cv)
+    return sorted(
+        (m, cid, [elems[j] for j in sorted(elems)])
+        for (m, cid), elems in by_key.items()
+    )
+
+
+@query("similarity_pq_adc_topk", oracle=_pq_oracle())
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train an M={PQ_M} x K={PQ_K} codebook
+    (one replayed Lloyd step per subspace), encode every candidate
+    vector as {PQ_M} 4-bit codes, and answer each query by asymmetric
+    distance — build the query's {PQ_M} x {PQ_K} lookup table of exact
+    subspace distances, then a candidate's distance estimate is just
+    {PQ_M} table lookups summed. The whole pipeline (training means,
+    code assignment, ADC sums) replays closed-form in DuckDB.
+
+    Scale design: PQ is the MEMORY scale path — 64 floats become 4
+    bytes/vector, so a 100-TB embedding corpus's codes fit a three-node
+    cache. The codebook (~{PQ_M * PQ_K} rows) and the per-query lookup
+    tables (queries x {PQ_M} x {PQ_K} rows, query-bounded) are both
+    broadcasts; encoding is one corpus pass with a map-side min_by; the
+    ADC join fans each candidate's {PQ_M} code rows against the
+    broadcast table and sums under partial aggregation keyed by
+    (query_id, neighbor_id) — no shuffle ever carries vectors, only
+    codes. Top-k lowers to a per-query WindowGroupLimit."""
+    cb_rows = pq_codebook(spark, sf_dir)
+    cb = spark.createDataFrame(cb_rows, "m long, cid long, cv array<double>")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    sub_m = F.explode(
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), "
+            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+        )
+    )
+    subs = emb.select("vec_id", sub_m.alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    code = (
+        subs.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.col("cid"), F.struct("d2", "cid")).alias("cid"))
+    )
+    qtab = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"), "m", "cid", d2.alias("qd2")
+        )
+    )
+    adc = (
+        code.join(F.broadcast(qtab), ["m", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -106,6 +106,9 @@ _WINDOW = (
     "curation_shard_manifest",
     "quality_hashed_classifier_score",
     "curation_training_order",
+    "sample_importance_dsir",
+    "similarity_hybrid_rrf_topk",
+    "similarity_pq_adc_topk",
     # (a) added or result-changed THIS round ------------------------------
     "dedup_multimodal_pairs",
     "dedup_multimodal_clusters",

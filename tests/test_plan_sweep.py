@@ -106,6 +106,19 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "curation_shard_manifest": {"documents"},
     # same chain; the order window is PARTITIONED by shard
     "curation_training_order": {"documents"},
+    # the broadcast sides are the DSIR_BUCKETS-row log-ratio table and
+    # its 1-row totals — fixed-size aggregates, never the corpus
+    "sample_importance_dsir": {"documents"},
+    # hybrid fusion: lexical tower broadcasts the query-term list
+    # (structurally bounded: doc_id < N_QUERIES) + query-term-bounded
+    # df + 1-row avgdl scalar; dense tower broadcasts the fixed query
+    # vectors (vec_id < N_QUERIES) — text_bm25_topk's and
+    # similarity_exact_topk's argued shapes composed
+    "similarity_hybrid_rrf_topk": {"documents", "embeddings"},
+    # PQ: broadcast sides are the M x PQ_K codebook (fixed-size trained
+    # artifact) and the query ADC tables (vec_id < N_QUERIES structural
+    # bound x M x PQ_K rows) — never the corpus
+    "similarity_pq_adc_topk": {"embeddings"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
