@@ -559,3 +559,90 @@ def decontam_substring_hits_strided(
     the counts here are over SAMPLED corpus windows, a detection
     signal, not the exact shared-window count."""
     return decontam_substring_hits(spark, sf_dir, stride=SUB_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: the embedding-space tier. N-gram and
+# substring checks miss paraphrased eval leakage; cosine against the
+# eval carve's embeddings catches near-semantic duplicates the lexical
+# tiers can't see.
+# ---------------------------------------------------------------------------
+SEM_THRESHOLD = 0.38  # flags the ~top-2% most eval-like docs at sf0.01
+#                       (per-doc max-cos p99 ~ 0.40 on the synthetic
+#                       near-orthogonal vectors; a real corpus tunes
+#                       this against a held-out contamination audit)
+
+
+@query(
+    "decontam_semantic_overlap",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    ev AS (SELECT vec_id, v FROM e WHERE {_eval_sql('vec_id')}),
+    co AS (SELECT vec_id, v FROM e WHERE {_corpus_sql('vec_id')}),
+    sc AS (
+      SELECT co.vec_id AS doc_id, ev.vec_id AS eval_id,
+             round(
+               list_sum(list_transform(range(1, len(co.v) + 1),
+                 i -> co.v[i] * ev.v[i]))
+               / (sqrt(list_sum(list_transform(co.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ev.v, x -> x * x)))),
+               6) AS cos
+      FROM co CROSS JOIN ev
+    )
+    SELECT doc_id, eval_id, cos AS max_cosine FROM (
+      SELECT doc_id, eval_id, cos,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY cos DESC, eval_id
+             ) AS rn
+      FROM sc
+    ) WHERE rn = 1 AND cos >= {SEM_THRESHOLD}
+    """,
+)
+def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus documents whose embedding is suspiciously close to ANY
+    eval-carve document — (doc_id, nearest eval_id, max cosine >=
+    {SEM_THRESHOLD}). The semantic tier of the decontamination stack:
+    the 4-gram overlap / substring tiers catch verbatim and near-
+    verbatim leakage, this one catches paraphrases and translations
+    that share no surface n-grams. Cosine rounds to 6 BEFORE the
+    per-doc argmax so both engines pick the same nearest eval doc.
+
+    Scale design: the same structural bound as every decontam tier —
+    the eval side is carved by ``doc_id % {EVAL_MOD} == 0 AND doc_id <
+    {EVAL_CAP}``, so the broadcast holds at most {EVAL_CAP}/{EVAL_MOD}
+    (~91k) vectors at ANY corpus scale, and the corpus side is one
+    scan with a map-side min_by per doc — no shuffle carries vectors.
+    A production variant drops in the IVF/PQ index for the eval side
+    (similarity.py) when the carve outgrows broadcast range; the
+    flagging semantics stay identical."""
+    from benchviz_spark.operators.similarity import _as_double, _cosine
+    from benchviz_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    ev = emb.filter(eval_split(F.col("vec_id"))).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+    )
+    co = emb.filter(~eval_split(F.col("vec_id"))).select(
+        F.col("vec_id").alias("doc_id"), "v"
+    )
+    sc = co.join(F.broadcast(ev)).select(
+        "doc_id", "eval_id", _cosine(F.col("v"), F.col("ev")).alias("cos")
+    )
+    # argmax by (cos DESC, eval_id ASC) as a map-side min_by over the
+    # key struct (-cos, eval_id) — no per-doc window, no extra shuffle
+    best = sc.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("eval_id", "cos"),
+            F.struct((-F.col("cos")).alias("neg"), F.col("eval_id")),
+        ).alias("b")
+    )
+    return (
+        best.filter(F.col("b.cos") >= SEM_THRESHOLD)
+        .select("doc_id", F.col("b.eval_id").alias("eval_id"),
+                F.col("b.cos").alias("max_cosine"))
+    )

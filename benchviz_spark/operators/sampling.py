@@ -448,10 +448,13 @@ DSIR_TARGET_SOURCES = ("src1", "src2", "src3")  # the "target domain" slice
 DSIR_K = 80  # resampled corpus size
 
 
-@query(
-    "sample_importance_dsir",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE chain: tokenize -> hashed-bucket counts for both
+# distributions -> log-ratio table -> per-(doc, source) weight. Used by
+# the batch resampler below AND the streamed admission gate
+# (streaming/queries.py stream_dsir_gate), so batch == stream == oracle
+# is a single SQL definition of the score.
+_DSIR_SCORE_CTES = f"""
+    tok AS (
       SELECT doc_id, source,
              {_bucket_sql('dsir:', 'term', DSIR_BUCKETS)} AS b
       FROM (
@@ -478,17 +481,23 @@ DSIR_K = 80  # resampled corpus size
       FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
     ),
     dw AS (
-      SELECT tok.doc_id, sum(lr.lr) AS logw
+      SELECT tok.doc_id, tok.source, sum(lr.lr) AS logw
       FROM tok JOIN lr USING (b)
-      GROUP BY 1
-    ),
+      GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH {_DSIR_SCORE_CTES},
     keyed AS (
-      SELECT dw.doc_id, d.source, dw.logw,
-             dw.logw - ln(-ln(
-               (('0x' || substr(md5('dsirg:' || dw.doc_id::VARCHAR), 1, 8))::BIGINT
+      SELECT doc_id, source, logw,
+             logw - ln(-ln(
+               (('0x' || substr(md5('dsirg:' || doc_id::VARCHAR), 1, 8))::BIGINT
                 + 0.5) / 4294967296.0
              )) AS sk
-      FROM dw JOIN documents d USING (doc_id)
+      FROM dw
     )
     SELECT doc_id, source,
            round(logw, 6) AS log_weight,
@@ -580,3 +589,39 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sk", 6).alias("sample_key"),
         )
     )
+
+
+def dsir_log_ratio_rows(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The FROZEN DSIR model: the dense {DSIR_BUCKETS}-entry log-ratio
+    array, trained batch-side (one tokenize pass, identical math to the
+    resampler above) and collected driver-side — bounded by the bucket
+    count, never the corpus. Buckets no token hashed to take the
+    all-smoothing value ln(rn + 0.5*B) - ln(tn + 0.5*B) (rc = tc = 0 in
+    the estimator), so the array is total: a stream token can never
+    miss. This is the artifact a streaming admission gate ships to
+    executors as a literal (streaming/windows.py stream_dsir_gate)."""
+    from benchviz_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("term"),
+    ).select("source", hash_bucket(F.col("term"), "dsir:", DSIR_BUCKETS).alias("b"))
+    is_tgt = F.col("source").isin(list(DSIR_TARGET_SOURCES))
+    bt = tok.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tc"),
+    )
+    rows = bt.collect()  # <= DSIR_BUCKETS rows
+    rn = float(sum(r.rc for r in rows))
+    tn = float(sum(r.tc for r in rows))
+    import math
+
+    half = 0.5 * DSIR_BUCKETS
+    fill = math.log(0.5 / (tn + half)) - math.log(0.5 / (rn + half))
+    out = [fill] * DSIR_BUCKETS
+    for r in rows:
+        out[int(r.b)] = math.log((r.tc + 0.5) / (tn + half)) - math.log(
+            (r.rc + 0.5) / (rn + half)
+        )
+    return out

@@ -1495,3 +1495,80 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOPK)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+@query(
+    "similarity_pq_reconstruction_error",
+    oracle=f"""
+    WITH {_pq_codebook_ctes()},
+    d AS (
+      SELECT sub.vec_id, sub.m, cb.cid,
+             sum((sub.v - cb.cv) * (sub.v - cb.cv)) AS d2
+      FROM sub JOIN cb ON sub.m = cb.m AND sub.j = cb.j
+      GROUP BY 1, 2, 3
+    ),
+    a AS (
+      SELECT vec_id, m, d2 FROM (
+        SELECT vec_id, m, d2,
+               row_number() OVER (
+                 PARTITION BY vec_id, m ORDER BY d2, cid
+               ) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(d2), 6) AS mse
+    FROM a GROUP BY m ORDER BY m
+    """,
+)
+def similarity_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction MSE — the codebook-quality
+    monitor an ANN serving stack alarms on: a subspace whose MSE drifts
+    up after a corpus append means the codebook was trained on a stale
+    distribution and recall is silently decaying. Replays the full
+    training chain, assigns EVERY vector (queries included — this
+    audits the codebook, not the search split), and reduces to
+    {PQ_M} rows.
+
+    Scale: one corpus pass against the broadcast codebook with a
+    map-side min_by per (vec_id, m), then a {PQ_M}-key partial-agg
+    average — strictly cheaper than the search query it monitors."""
+    cb_rows = pq_codebook(spark, sf_dir)
+    cb = spark.createDataFrame(cb_rows, "m long, cid long, cv array<double>")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    sub_m = F.explode(
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), "
+            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+        )
+    )
+    subs = emb.select("vec_id", sub_m.alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+    )
+    return (
+        assigned.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.col("b.d2")), 6).alias("mse"),
+        )
+        .select(
+            F.col("m").cast("long").alias("m"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            "mse",
+        )
+        .orderBy("m")
+    )

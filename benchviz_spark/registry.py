@@ -109,6 +109,9 @@ _WINDOW = (
     "sample_importance_dsir",
     "similarity_hybrid_rrf_topk",
     "similarity_pq_adc_topk",
+    "similarity_pq_reconstruction_error",
+    "decontam_semantic_overlap",
+    "stream_dsir_gate",
     # (a) added or result-changed THIS round ------------------------------
     "dedup_multimodal_pairs",
     "dedup_multimodal_clusters",
@@ -139,19 +142,16 @@ _WINDOW = (
     "bench_log_pipeline",
     "asof_purchase_next_click",
     "compare_event_type_series",
-    # (d) oldest driver evidence (r06), 15 of 34 — eight more rows
+    # (d) oldest driver evidence (r06), 9 of 34 — fourteen more rows
     # (the three setops, stats_orders_exact, topk/unpivot/window_top3,
-    # scalar_functions_projection) deferred to the r12 commitment to
-    # make room for tier (a0) ---------------------------------------------
-    "anti_join_idle_customers",
+    # scalar_functions_projection, date_functions_projection,
+    # having_rich_segments, pivot_status_by_returnflag,
+    # count_distinct_exact, left_join_nation_customer_counts,
+    # anti_join_idle_customers) deferred
+    # to the r12 commitment to make room for tier (a0) --------------------
     "basket_part_pair_lift",
-    "count_distinct_exact",
-    "date_functions_projection",
     "dedup_embedding_blocked_pairs",
-    "having_rich_segments",
-    "left_join_nation_customer_counts",
     "multimodal_embedding_normalized_checksum",
-    "pivot_status_by_returnflag",
     "quality_profile_documents",
     "range_join_price_bands",
     "sample_stratified_documents",

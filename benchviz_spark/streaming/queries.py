@@ -222,3 +222,28 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "classifier_gate",
         "append",
     )
+
+
+from benchviz_spark.operators.sampling import _DSIR_SCORE_CTES
+
+
+@query(
+    "stream_dsir_gate",
+    oracle=f"""
+    WITH {_DSIR_SCORE_CTES}
+    SELECT doc_id, source, round(logw, 6) AS log_weight FROM dw
+    """,
+)
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR importance score running ON THE STREAM against the
+    frozen batch-trained log-ratio model (streaming/windows.py
+    stream_dsir_gate), drained in append mode and hash-checked against
+    the shared score CTE chain — the same SQL definition the batch
+    resampler's oracle extends with Gumbel-top-K selection, so
+    stream == batch == DuckDB on every document's weight."""
+    return _drain(
+        sw.stream_dsir_gate(spark, sf_dir),
+        spark,
+        "dsir_gate",
+        "append",
+    )

@@ -333,3 +333,38 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_projection(
         read_documents_stream(spark, sf_dir).select("doc_id", "text")
     )
+
+
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sample_importance_dsir's SCORING stage: the
+    frozen hashed-n-gram log-ratio model (trained batch-side, shipped
+    as a DSIR_BUCKETS-entry array literal) scores every arriving
+    document — the distribution-matching admission filter of a
+    streaming ingest (keep/boost target-like documents on arrival).
+    Completes the streamed admission-control quartet: rules (gopher),
+    perceptual (image/video hashes), model-based (classifier), and
+    distribution-matching (this). Stateless per-row fold over the
+    token array — no explode, no aggregation state — so each
+    micro-batch emits immediately in append mode, and the per-doc sum
+    matches the batch groupBy to 1e-13 (both round to 6)."""
+    from benchviz_spark.operators.dedup import _norm_text
+    from benchviz_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        dsir_log_ratio_rows,
+        hash_bucket,
+    )
+
+    lrs = dsir_log_ratio_rows(spark, sf_dir)
+    arr = F.array(*[F.lit(float(v)) for v in lrs])
+    toks = F.split(_norm_text(F.col("text")), " ")
+    logw = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(arr, (hash_bucket(t, "dsir:", DSIR_BUCKETS) + 1).cast("int")),
+    )
+    return (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .select("doc_id", "source", F.round(logw, 6).alias("log_weight"))
+    )

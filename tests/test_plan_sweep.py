@@ -119,6 +119,13 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # artifact) and the query ADC tables (vec_id < N_QUERIES structural
     # bound x M x PQ_K rows) — never the corpus
     "similarity_pq_adc_topk": {"embeddings"},
+    # training fans the corpus against the broadcast SEED codebook
+    # (PQ_K smallest-md5 rows, TakeOrdered-bounded); the monitor then
+    # broadcasts only the trained M x PQ_K literal
+    "similarity_pq_reconstruction_error": {"embeddings"},
+    # the broadcast side is the eval-carve vector set — the decontam
+    # tier's structural bound (vec_id % EVAL_MOD == 0 AND < EVAL_CAP)
+    "decontam_semantic_overlap": {"embeddings"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
