@@ -1527,3 +1527,68 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOPK)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH {_bpe_trained_wn_cte()},
+    tok AS (
+      SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS w
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT)         AS n_words,
+             CAST(sum(n_sym) AS BIGINT)       AS n_tokens,
+             CAST(sum(length(w)) AS BIGINT)   AS n_chars
+      FROM tok JOIN wn USING (w)
+      GROUP BY lang
+    )
+    SELECT lang, n_words, n_tokens,
+           round(n_tokens::DOUBLE / n_words, 6) AS fertility,
+           round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token
+    FROM agg
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the TRAINED BPE merges:
+    tokens-per-word and chars-per-token by lang. THE multilingual
+    tokenizer-efficiency audit — a language whose fertility runs high
+    is under-served by the learned vocab (its text costs more tokens
+    per word), which silently skews any token-denominated mixture or
+    budget; this query is what a pipeline alarms on before committing
+    a vocab, and pairs with curation_token_budget (which plans in
+    trained tokens) and sample_temperature_mix (which rebalances by
+    doc counts).
+
+    Scale: identical shape to text_bpe_tokenize_docs — merge
+    application on the vocab-sized word table, one corpus explode
+    joined to it on the word key (AQE-broadcast build side), then a
+    languages-bounded final aggregation instead of a per-doc one."""
+    _, trained = _bpe_train(spark, sf_dir)
+    wn = trained.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("w"))
+    agg = (
+        tok.join(wn, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )

@@ -112,6 +112,7 @@ _WINDOW = (
     "similarity_pq_reconstruction_error",
     "decontam_semantic_overlap",
     "stream_dsir_gate",
+    "text_tokenizer_fertility",
     # (a) added or result-changed THIS round ------------------------------
     "dedup_multimodal_pairs",
     "dedup_multimodal_clusters",
@@ -142,14 +143,13 @@ _WINDOW = (
     "bench_log_pipeline",
     "asof_purchase_next_click",
     "compare_event_type_series",
-    # (d) oldest driver evidence (r06), 9 of 34 — fourteen more rows
+    # (d) oldest driver evidence (r06), 8 of 34 — fifteen more rows
     # (the three setops, stats_orders_exact, topk/unpivot/window_top3,
     # scalar_functions_projection, date_functions_projection,
     # having_rich_segments, pivot_status_by_returnflag,
     # count_distinct_exact, left_join_nation_customer_counts,
-    # anti_join_idle_customers) deferred
+    # anti_join_idle_customers, basket_part_pair_lift) deferred
     # to the r12 commitment to make room for tier (a0) --------------------
-    "basket_part_pair_lift",
     "dedup_embedding_blocked_pairs",
     "multimodal_embedding_normalized_checksum",
     "quality_profile_documents",
