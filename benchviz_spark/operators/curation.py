@@ -607,3 +607,180 @@ def curation_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("int").alias("shard"),
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet (Gebru et al. 2021, "Datasheets for Datasets"): the
+# one-artifact summary a dataset release ships — volume, composition,
+# length distribution, duplication, split shares — in tidy long form.
+# ---------------------------------------------------------------------------
+_DS_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "curation_corpus_datasheet",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split({_DS_NORM}, ' ')) AS n_toks,
+             md5({_DS_NORM}) AS fp,
+             {_bucket_sql('split:')} AS bucket
+      FROM documents
+    ),
+    vol AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+             CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+             CAST(sum(n_toks) AS DOUBLE) AS total_tokens,
+             round(avg(n_chars), 6) AS mean_chars,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+             round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+             round(1.0 - count(DISTINCT fp) / count(*), 6) AS exact_dup_rate
+      FROM base
+    ),
+    srcs AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM base GROUP BY source),
+    srcstats AS (
+      SELECT round(sum((c / t) * (c / t)), 6) AS hhi,
+             round(max(c) / max(t), 6) AS top_share
+      FROM srcs CROSS JOIN (SELECT sum(c) AS t FROM srcs)
+    )
+    SELECT section, metric, value FROM (
+      SELECT 'volume' AS section, 'n_docs' AS metric, n_docs AS value FROM vol
+      UNION ALL SELECT 'volume', 'n_sources', n_sources FROM vol
+      UNION ALL SELECT 'volume', 'n_langs', n_langs FROM vol
+      UNION ALL SELECT 'volume', 'total_chars', total_chars FROM vol
+      UNION ALL SELECT 'volume', 'total_tokens', total_tokens FROM vol
+      UNION ALL SELECT 'length', 'mean_chars', mean_chars FROM vol
+      UNION ALL SELECT 'length', 'p50_chars', p50_chars FROM vol
+      UNION ALL SELECT 'length', 'p90_chars', p90_chars FROM vol
+      UNION ALL SELECT 'length', 'p99_chars', p99_chars FROM vol
+      UNION ALL SELECT 'duplication', 'exact_dup_rate', exact_dup_rate FROM vol
+      UNION ALL SELECT 'source', 'hhi', hhi FROM srcstats
+      UNION ALL SELECT 'source', 'top_share', top_share FROM srcstats
+      UNION ALL
+      SELECT 'language', lang,
+             round(count(*) / (SELECT count(*)::DOUBLE FROM base), 6)
+      FROM base GROUP BY lang
+      UNION ALL
+      SELECT 'split',
+             CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+                  WHEN bucket < {VAL_UPTO} THEN 'val'
+                  ELSE 'test' END,
+             round(count(*) / (SELECT count(*)::DOUBLE FROM base), 6)
+      FROM base GROUP BY 2
+    )
+    """,
+)
+def curation_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release datasheet in tidy (section, metric, value) form:
+    corpus volume (docs/sources/langs/chars/whitespace tokens), length
+    distribution (mean + exact interpolated p50/p90/p99), exact
+    duplication rate, source concentration (Herfindahl index + top
+    share), per-language shares, and hash-split shares — the numbers a
+    "Datasheets for Datasets" release card publishes, as ONE query any
+    run can regenerate and diff against the previous release.
+
+    Scale: one narrow per-doc projection feeds four bounded
+    aggregations (a 1-row profile, a sources-bounded concentration
+    table, a langs-bounded share table, a 3-row split table) unioned
+    into ~25 rows. The exact percentiles are the one genuinely
+    corpus-ranked piece — Spark's ``percentile`` runs as a two-stage
+    distributed rank, and a 100-TB deployment would swap in
+    ``percentile_approx`` (one pass, mergeable sketch) at the cost of
+    leaving this oracle — the same exact-vs-sketch twin trade the
+    analytics module documents on its quantile queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(norm, " ")).alias("n_toks"),
+        F.md5(norm).alias("fp"),
+        hash_bucket(F.col("doc_id"), "split:").alias("bucket"),
+    )
+    vol = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count_distinct(F.col("source")).cast("double").alias("n_sources"),
+        F.count_distinct(F.col("lang")).cast("double").alias("n_langs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum("n_toks").cast("double").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99D)"), 6).alias("p99_chars"),
+        F.round(
+            1.0 - F.count_distinct(F.col("fp")) / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
+
+    def _vrow(section: str, metric: str, col: str):
+        return vol.select(
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            F.col(col).alias("value"),
+        )
+
+    srcs = base.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    srcstats = srcs.crossJoin(F.broadcast(srcs.agg(F.sum("c").alias("t")))).agg(
+        F.round(F.sum((F.col("c") / F.col("t")) * (F.col("c") / F.col("t"))), 6).alias(
+            "hhi"
+        ),
+        F.round(F.max("c") / F.first("t"), 6).alias("top_share"),
+    )
+    n_total = vol.select(F.col("n_docs").alias("nt"))
+    langs = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.lit("language").alias("section"),
+            F.col("lang").alias("metric"),
+            F.round(F.col("c") / F.col("nt"), 6).alias("value"),
+        )
+    )
+    split_name = (
+        F.when(F.col("bucket") < TRAIN_UPTO, "train")
+        .when(F.col("bucket") < VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    splits = (
+        base.groupBy(split_name.alias("metric"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.lit("split").alias("section"),
+            "metric",
+            F.round(F.col("c") / F.col("nt"), 6).alias("value"),
+        )
+    )
+    rows = [
+        _vrow("volume", "n_docs", "n_docs"),
+        _vrow("volume", "n_sources", "n_sources"),
+        _vrow("volume", "n_langs", "n_langs"),
+        _vrow("volume", "total_chars", "total_chars"),
+        _vrow("volume", "total_tokens", "total_tokens"),
+        _vrow("length", "mean_chars", "mean_chars"),
+        _vrow("length", "p50_chars", "p50_chars"),
+        _vrow("length", "p90_chars", "p90_chars"),
+        _vrow("length", "p99_chars", "p99_chars"),
+        _vrow("duplication", "exact_dup_rate", "exact_dup_rate"),
+        srcstats.select(
+            F.lit("source").alias("section"),
+            F.lit("hhi").alias("metric"),
+            F.col("hhi").alias("value"),
+        ),
+        srcstats.select(
+            F.lit("source").alias("section"),
+            F.lit("top_share").alias("metric"),
+            F.col("top_share").alias("value"),
+        ),
+        langs,
+        splits,
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

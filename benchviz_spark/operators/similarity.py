@@ -1572,3 +1572,51 @@ def similarity_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("m")
     )
+
+
+@query(
+    "similarity_ivf_cell_occupancy",
+    oracle=f"""
+    WITH {ivf_assignment_ctes()},
+    acell AS (
+      SELECT vec_id, cell_id FROM cellscore
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ),
+    occ AS (
+      SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM acell GROUP BY cell_id
+    ),
+    tot AS (SELECT sum(n_vectors) AS n FROM occ)
+    SELECT cell_id, n_vectors,
+           round(n_vectors / tot.n, 6) AS share,
+           round(n_vectors * {N_CENTROIDS} / tot.n, 6) AS imbalance
+    FROM occ CROSS JOIN tot
+    """,
+)
+def similarity_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy of the trained IVF quantizer — count, corpus
+    share, and imbalance factor (observed / ideal n/k). THE index-skew
+    monitor for an ANN serving stack: a cell at imbalance 5 makes every
+    query probing it pay 5x the re-rank cost, and a crowd of near-empty
+    cells means the quantizer wasted its k on outliers — the signal to
+    retrain or split cells. Sibling of dedup_band_occupancy_report (the
+    LSH-side monitor); the oracle replays training + assignment via the
+    shared ``ivf_assignment_ctes`` chain.
+
+    Scale: assignment is the same narrow literal-centroid argmax
+    projection as the ANN query (zero shuffle), followed by a k-key
+    partial aggregation and a 1-row total broadcast — strictly cheaper
+    than one probe query."""
+    occ = (
+        ivf_cells(spark, sf_dir)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    tot = occ.agg(F.sum("n_vectors").alias("n"))
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("n"), 6).alias("share"),
+        F.round(F.col("n_vectors") * N_CENTROIDS / F.col("n"), 6).alias("imbalance"),
+    )

@@ -126,6 +126,11 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # the broadcast side is the eval-carve vector set — the decontam
     # tier's structural bound (vec_id % EVAL_MOD == 0 AND < EVAL_CAP)
     "decontam_semantic_overlap": {"embeddings"},
+    # 1-row occupancy total (k-bounded aggregate of the assignment)
+    "similarity_ivf_cell_occupancy": {"embeddings"},
+    # broadcast sides are the 1-row corpus profile and the
+    # sources-bounded concentration table — fixed-size aggregates
+    "curation_corpus_datasheet": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
