@@ -646,3 +646,105 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.eval_id").alias("eval_id"),
                 F.col("b.cos").alias("max_cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Four-tier flag matrix: the audit view of the whole decontamination
+# stack — WHICH detector(s) flagged each document.
+# ---------------------------------------------------------------------------
+def _flag_matrix_oracle() -> str:
+    from benchviz_spark.registry import _ORACLES
+
+    return f"""
+    WITH ng AS ({_ORACLES['decontam_eval_overlap']}),
+    fz AS ({_ORACLES['decontam_fuzzy_eval_pairs']}),
+    sb AS ({_ORACLES['decontam_substring_hits']}),
+    sm AS ({_ORACLES['decontam_semantic_overlap']}),
+    f1 AS (SELECT DISTINCT doc_id FROM ng WHERE contamination >= {THRESHOLD}),
+    f2 AS (SELECT DISTINCT doc_id FROM fz),
+    f3 AS (SELECT DISTINCT doc_id FROM sb),
+    f4 AS (SELECT DISTINCT doc_id FROM sm),
+    ids AS (
+      SELECT doc_id FROM f1 UNION SELECT doc_id FROM f2
+      UNION SELECT doc_id FROM f3 UNION SELECT doc_id FROM f4
+    )
+    SELECT ids.doc_id,
+           CAST(CASE WHEN f1.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS ngram_flag,
+           CAST(CASE WHEN f2.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS fuzzy_flag,
+           CAST(CASE WHEN f3.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS substring_flag,
+           CAST(CASE WHEN f4.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS semantic_flag,
+           CAST((CASE WHEN f1.doc_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN f2.doc_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN f3.doc_id IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN f4.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_tiers
+    FROM ids
+    LEFT JOIN f1 ON ids.doc_id = f1.doc_id
+    LEFT JOIN f2 ON ids.doc_id = f2.doc_id
+    LEFT JOIN f3 ON ids.doc_id = f3.doc_id
+    LEFT JOIN f4 ON ids.doc_id = f4.doc_id
+    """
+
+
+@query("decontam_flag_matrix", oracle=_flag_matrix_oracle())
+def decontam_flag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per flagged corpus document, WHICH decontamination tier(s)
+    caught it — n-gram overlap ratio (>= {THRESHOLD}), fuzzy shingle
+    near-dup, verbatim substring, embedding cosine — plus the tier
+    count. The audit a release review reads: a doc flagged by all four
+    is certain contamination; flagged by semantic alone is a
+    paraphrase candidate for human review; the per-tier marginals
+    measure what each detector adds over the others (the reason to run
+    four tiers at all). The oracle composes the four tiers' own
+    oracle SQL verbatim, so this query can never drift from the
+    detectors it audits.
+
+    Scale: each tier keeps its own argued shape (eval-carve-bounded
+    broadcasts); the matrix adds four flagged-set DISTINCTs
+    (contamination-rate-sized, far below corpus scale) and three
+    hash joins on doc_id over those small sets."""
+    ng = (
+        decontam_eval_overlap(spark, sf_dir)
+        .filter(F.col("contamination") >= THRESHOLD)
+        .select("doc_id")
+        .distinct()
+        .withColumn("ngram_flag", F.lit(1).cast("long"))
+    )
+    fz = (
+        decontam_fuzzy_eval_pairs(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("fuzzy_flag", F.lit(1).cast("long"))
+    )
+    sb = (
+        decontam_substring_hits(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("substring_flag", F.lit(1).cast("long"))
+    )
+    sm = (
+        decontam_semantic_overlap(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("semantic_flag", F.lit(1).cast("long"))
+    )
+    out = (
+        ng.join(fz, "doc_id", "full_outer")
+        .join(sb, "doc_id", "full_outer")
+        .join(sm, "doc_id", "full_outer")
+    )
+    flags = [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        for c in ("ngram_flag", "fuzzy_flag", "substring_flag", "semantic_flag")
+    ]
+    return out.select(
+        "doc_id",
+        *flags,
+    ).withColumn(
+        "n_tiers",
+        (
+            F.col("ngram_flag")
+            + F.col("fuzzy_flag")
+            + F.col("substring_flag")
+            + F.col("semantic_flag")
+        ).cast("long"),
+    )

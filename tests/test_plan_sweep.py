@@ -128,6 +128,10 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_semantic_overlap": {"embeddings"},
     # 1-row occupancy total (k-bounded aggregate of the assignment)
     "similarity_ivf_cell_occupancy": {"embeddings"},
+    # composes the four detector chains verbatim, inheriting their
+    # eval-carve-bounded broadcast hints (documents tiers + the
+    # semantic tier's eval vector set)
+    "decontam_flag_matrix": {"documents", "embeddings"},
     # broadcast sides are the 1-row corpus profile and the
     # sources-bounded concentration table — fixed-size aggregates
     "curation_corpus_datasheet": {"documents"},
