@@ -784,3 +784,127 @@ def curation_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Release-over-release drift: PSI of the corpus composition between the
+# previous snapshot and the current one.
+# ---------------------------------------------------------------------------
+DRIFT_MOD = 5  # previous snapshot = doc_id % DRIFT_MOD != 0 (~80% carve).
+#                Self-contained stand-in for reading last release's
+#                manifest — swapping in a real previous-snapshot table
+#                changes one predicate (the decontam eval-carve pattern).
+DRIFT_LEN_BUCKET = 100  # n_chars bucket width for the length dimension
+DRIFT_LEN_MAX_BUCKET = 9
+
+
+@query(
+    "curation_corpus_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             least({DRIFT_LEN_MAX_BUCKET}, n_chars // {DRIFT_LEN_BUCKET}) AS len_b
+      FROM documents
+    ),
+    cat AS (
+      SELECT 'source' AS dimension, source AS cat,
+             CASE WHEN doc_id % {DRIFT_MOD} <> 0 THEN 1 ELSE 0 END AS is_old
+      FROM d
+      UNION ALL
+      SELECT 'lang', lang, CASE WHEN doc_id % {DRIFT_MOD} <> 0 THEN 1 ELSE 0 END
+      FROM d
+      UNION ALL
+      SELECT 'length_bucket', CAST(len_b AS VARCHAR),
+             CASE WHEN doc_id % {DRIFT_MOD} <> 0 THEN 1 ELSE 0 END
+      FROM d
+    ),
+    counts AS (
+      SELECT dimension, cat, sum(is_old) AS o, count(*) AS n
+      FROM cat GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT dimension, sum(o) AS ot, sum(n) AS nt, count(*) AS k
+      FROM counts GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.dimension,
+             (c.o + 1.0) / (t.ot + t.k) AS po,
+             (c.n + 1.0) / (t.nt + t.k) AS pn,
+             t.ot, t.nt, t.k
+      FROM counts c JOIN tot t USING (dimension)
+    )
+    SELECT dimension,
+           round(sum((pn - po) * ln(pn / po)), 6) AS psi,
+           CAST(max(k) AS BIGINT)  AS n_categories,
+           CAST(max(ot) AS BIGINT) AS n_old,
+           CAST(max(nt) AS BIGINT) AS n_new
+    FROM terms GROUP BY dimension
+    """,
+)
+def curation_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition drift between the previous corpus snapshot and the
+    current one: Laplace-smoothed Population Stability Index of the
+    source, language, and length-bucket distributions (psi < 0.1
+    stable, > 0.25 drifted — the release gate a dataset CI runs before
+    a new snapshot ships, next to the datasheet diff). The previous
+    snapshot is the deterministic doc_id % {DRIFT_MOD} != 0 carve so
+    the operator is self-contained and oracle-checkable; a production
+    run points the "old" side at last release's manifest instead.
+
+    Scale: one narrow projection fans each doc into its three
+    dimension categories (3x corpus rows, map-side combined
+    immediately); everything after the (dimension, category) count —
+    totals, smoothing, PSI terms — runs on a categories-bounded
+    relation. Three rows out."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_old = F.when(F.col("doc_id") % DRIFT_MOD != 0, 1).otherwise(0)
+    len_b = F.least(
+        F.lit(DRIFT_LEN_MAX_BUCKET),
+        F.floor(F.col("n_chars") / DRIFT_LEN_BUCKET),
+    )
+    base = docs.select(
+        "source", "lang", len_b.alias("len_b"), is_old.alias("is_old")
+    )
+    cat = (
+        base.select(
+            F.lit("source").alias("dimension"),
+            F.col("source").alias("cat"),
+            "is_old",
+        )
+        .unionByName(
+            base.select(
+                F.lit("lang").alias("dimension"),
+                F.col("lang").alias("cat"),
+                "is_old",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("length_bucket").alias("dimension"),
+                F.col("len_b").cast("string").alias("cat"),
+                "is_old",
+            )
+        )
+    )
+    counts = cat.groupBy("dimension", "cat").agg(
+        F.sum("is_old").alias("o"), F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("dimension").agg(
+        F.sum("o").alias("ot"), F.sum("n").alias("nt"), F.count(F.lit(1)).alias("k")
+    )
+    terms = counts.join(F.broadcast(tot), "dimension").select(
+        "dimension",
+        ((F.col("o") + 1.0) / (F.col("ot") + F.col("k"))).alias("po"),
+        ((F.col("n") + 1.0) / (F.col("nt") + F.col("k"))).alias("pn"),
+        "ot",
+        "nt",
+        "k",
+    )
+    return terms.groupBy("dimension").agg(
+        F.round(
+            F.sum((F.col("pn") - F.col("po")) * F.log(F.col("pn") / F.col("po"))), 6
+        ).alias("psi"),
+        F.max("k").cast("long").alias("n_categories"),
+        F.max("ot").cast("long").alias("n_old"),
+        F.max("nt").cast("long").alias("n_new"),
+    )

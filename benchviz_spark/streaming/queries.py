@@ -247,3 +247,23 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_gate",
         "append",
     )
+
+
+@query(
+    "stream_decontam_gate",
+    oracle=_ORACLES["decontam_eval_overlap"],
+)
+def stream_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram contamination check running ON THE STREAM against the
+    frozen eval-shingle blocklist (streaming/windows.py
+    stream_decontam_gate), drained append-mode and hash-checked against
+    the SAME oracle as the batch detector: stream == batch == DuckDB on
+    every (doc, shingle-count, contamination) row. Extends the streamed
+    admission-control set with the hygiene tier: rules, perceptual,
+    model-based, distribution-matching, and now contamination."""
+    return _drain(
+        sw.stream_decontam_gate(spark, sf_dir),
+        spark,
+        "decontam_gate",
+        "append",
+    )

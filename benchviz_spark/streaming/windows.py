@@ -368,3 +368,80 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .select("doc_id", "source", F.round(logw, 6).alias("log_weight"))
     )
+
+
+def stream_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of decontam_eval_overlap: arriving documents
+    checked against the FROZEN eval-shingle blocklist — the
+    contamination admission filter of a streaming ingest (an eval
+    question pasted into an arriving page is caught before it ever
+    lands in the lake). The blocklist is built batch-side from the
+    eval carve (structurally bounded at EVAL_CAP/EVAL_MOD documents'
+    shingles — the decontam module's broadcast argument) and shipped
+    to executors as a Spark broadcast variable; each micro-batch then
+    needs only a stateless per-row set probe inside mapInPandas, so
+    the drain runs append-mode. Counting happens Python-side; the
+    contamination ratio itself is computed by Catalyst F.round after
+    the UDF so rounding semantics (HALF_UP) match the batch query and
+    the DuckDB oracle exactly (Python's round() is banker's and WOULD
+    drift on 7-digit-exact ratios like 1/128)."""
+    from benchviz_spark.operators.decontam import NGRAM, eval_split
+    from benchviz_spark.operators.dedup import _norm_text, _shingles
+
+    from pyspark.sql import functions as F
+
+    ev_rows = (
+        sw_shingled_eval(spark, sf_dir, NGRAM)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+        .collect()
+    )  # eval-carve bounded (MBs at any corpus scale), the frozen blocklist
+    bc = spark.sparkContext.broadcast(frozenset(r.g for r in ev_rows))
+
+    toks = F.split(_norm_text(F.col("text")), " ")
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(~eval_split(F.col("doc_id")))
+        .select("doc_id", _shingles(toks, NGRAM).alias("shingles"))
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        ev = bc.value
+        for pdf in batches:
+            n_sh = pdf["shingles"].map(len)
+            n_cont = pdf["shingles"].map(
+                lambda shs: sum(1 for g in shs if g in ev)
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_shingles": n_sh.astype("int64"),
+                    "n_contaminated": n_cont.astype("int64"),
+                }
+            )
+            yield out[(out["n_shingles"] > 0) & (out["n_contaminated"] > 0)]
+
+    counted = stream.mapInPandas(
+        probe, "doc_id long, n_shingles long, n_contaminated long"
+    )
+    return counted.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+def sw_shingled_eval(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Eval-carve documents shingled batch-side (the static side of the
+    streamed decontamination gate)."""
+    from benchviz_spark.operators.decontam import eval_split
+    from benchviz_spark.operators.dedup import shingled_documents
+
+    return shingled_documents(spark, sf_dir, n=n).filter(
+        eval_split(F.col("doc_id"))
+    )

@@ -135,6 +135,8 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # broadcast sides are the 1-row corpus profile and the
     # sources-bounded concentration table — fixed-size aggregates
     "curation_corpus_datasheet": {"documents"},
+    # the broadcast is the 3-row per-dimension totals table
+    "curation_corpus_drift": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
