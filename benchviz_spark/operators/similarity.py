@@ -1367,6 +1367,29 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_subspaces(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): every vector sliced into its PQ_M subvectors —
+    one narrow explode, shared by training, encoding, and the monitor."""
+    sub_m = F.explode(
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), "
+            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+        )
+    )
+    return emb.select("vec_id", sub_m.alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_d2() -> Column:
+    """Squared distance between the row's subvector and a codeword."""
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, int, list[float]]]:
     """Train the PQ codebook: (m, cid, cvec[PQ_SUBDIM]) rows. Seeds are
     the PQ_K smallest-md5 vectors' subspace slices; ONE Lloyd step
@@ -1386,29 +1409,18 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, int, list[f
     )
     seed_key = F.md5(F.col("vec_id").cast("string"))
     seed_w = W.orderBy(seed_key)
-    sub_m = F.explode(
-        F.expr(
-            f"transform(sequence(0, {PQ_M - 1}), "
-            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
-        )
-    )
     seeds = (
-        emb.orderBy(seed_key)
-        .limit(PQ_K)
-        .select(
-            (F.row_number().over(seed_w) - 1).cast("long").alias("cid"), "v"
+        _pq_subspaces(
+            emb.orderBy(seed_key)
+            .limit(PQ_K)
+            .select(
+                (F.row_number().over(seed_w) - 1).cast("long").alias("vec_id"), "v"
+            )
         )
-        .select("cid", sub_m.alias("s"))
-        .select("cid", F.col("s.m").alias("m"), F.col("s.sv").alias("cv"))
+        .withColumnsRenamed({"vec_id": "cid", "sv": "cv"})
     )
-    subs = emb.select("vec_id", sub_m.alias("s")).select(
-        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    subs = _pq_subspaces(emb)
+    d2 = _pq_d2()
     assigned = (
         subs.join(F.broadcast(seeds), "m")
         .select("vec_id", "m", "sv", "cid", d2.alias("d2"))
@@ -1456,20 +1468,8 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    sub_m = F.explode(
-        F.expr(
-            f"transform(sequence(0, {PQ_M - 1}), "
-            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
-        )
-    )
-    subs = emb.select("vec_id", sub_m.alias("s")).select(
-        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    subs = _pq_subspaces(emb)
+    d2 = _pq_d2()
     code = (
         subs.filter(F.col("vec_id") >= N_QUERIES)
         .join(F.broadcast(cb), "m")
@@ -1539,20 +1539,8 @@ def similarity_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> Data
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    sub_m = F.explode(
-        F.expr(
-            f"transform(sequence(0, {PQ_M - 1}), "
-            f"m -> struct(m AS m, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
-        )
-    )
-    subs = emb.select("vec_id", sub_m.alias("s")).select(
-        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    subs = _pq_subspaces(emb)
+    d2 = _pq_d2()
     assigned = (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "cid", d2.alias("d2"))
