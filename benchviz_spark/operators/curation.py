@@ -908,3 +908,147 @@ def curation_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ot").cast("long").alias("n_old"),
         F.max("nt").cast("long").alias("n_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-stratified mixture: corpus quartiles by model score — the
+# lever behind "N epochs of the top quality bucket, 1 of the rest".
+# ---------------------------------------------------------------------------
+def _quality_tiers_oracle() -> str:
+    from benchviz_spark.registry import _ORACLES
+
+    return f"""
+    WITH sc AS ({_ORACLES['quality_hashed_classifier_score']}),
+    d AS (
+      SELECT sc.doc_id, sc.quality_score, docs.source, docs.n_chars
+      FROM sc JOIN documents docs USING (doc_id)
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(quality_score, 0.25), 6) AS c1,
+             round(quantile_cont(quality_score, 0.50), 6) AS c2,
+             round(quantile_cont(quality_score, 0.75), 6) AS c3
+      FROM d
+    ),
+    tiers AS (
+      SELECT CASE WHEN quality_score <= c1 THEN 'q1'
+                  WHEN quality_score <= c2 THEN 'q2'
+                  WHEN quality_score <= c3 THEN 'q3'
+                  ELSE 'q4' END AS tier,
+             source, quality_score, n_chars
+      FROM d CROSS JOIN cuts
+    )
+    SELECT tier, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           round(avg(quality_score), 6) AS avg_score
+    FROM tiers GROUP BY tier, source
+    """
+
+
+@query("curation_quality_tiers", oracle=_quality_tiers_oracle())
+def curation_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quartiled by the model quality score, crossed with
+    source: per (tier, source) doc count, char volume, and mean score.
+    The table behind quality-stratified mixtures ("repeat the q4
+    bucket three epochs, q1 once" — the quality-curriculum lever
+    documented for modern pretraining runs) and the audit of WHERE
+    each source's mass sits on the quality axis. Quartile cuts are
+    exact interpolated percentiles rounded to 6 (both engines), so
+    tier assignment is engine-stable; scores were already rounded by
+    the classifier.
+
+    Scale: score is the classifier's zero-shuffle per-row fold; the
+    cuts are one 3-value distributed-rank reduction broadcast back as
+    a 1-row literal; assignment is a CASE projection and the output
+    aggregation is (4 x sources)-bounded. The one corpus-ranked piece
+    is the percentile — at 100 TB swap in percentile_approx exactly as
+    the datasheet documents."""
+    from benchviz_spark.operators.quality import quality_hashed_classifier_score
+
+    sc = quality_hashed_classifier_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    d = sc.join(docs, "doc_id")
+    cuts = d.agg(
+        F.round(F.expr("percentile(quality_score, 0.25D)"), 6).alias("c1"),
+        F.round(F.expr("percentile(quality_score, 0.50D)"), 6).alias("c2"),
+        F.round(F.expr("percentile(quality_score, 0.75D)"), 6).alias("c3"),
+    )
+    tier = (
+        F.when(F.col("quality_score") <= F.col("c1"), "q1")
+        .when(F.col("quality_score") <= F.col("c2"), "q2")
+        .when(F.col("quality_score") <= F.col("c3"), "q3")
+        .otherwise("q4")
+    )
+    return (
+        d.crossJoin(F.broadcast(cuts))
+        .select(tier.alias("tier"), "source", "quality_score", "n_chars")
+        .groupBy("tier", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(F.avg("quality_score"), 6).alias("avg_score"),
+        )
+    )
+
+
+def _curriculum_oracle() -> str:
+    from benchviz_spark.registry import _ORACLES
+
+    return f"""
+    WITH cur AS ({_CURATION_ORACLE}),
+    sc AS ({_ORACLES['quality_hashed_classifier_score']}),
+    tr AS (
+      SELECT cur.doc_id,
+             {_bucket_sql('shard:', 'cur.doc_id', n_buckets=N_SHARDS)} AS shard,
+             sc.quality_score
+      FROM cur JOIN sc ON cur.doc_id = sc.doc_id
+      WHERE cur.split = 'train'
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard, quality_score,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY quality_score, doc_id
+           ) AS BIGINT) AS position
+    FROM tr
+    """
+
+
+@query("curation_curriculum_order", oracle=_curriculum_oracle())
+def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum order for the train split: within
+    each shard, documents are positioned by ascending model quality
+    score (doc_id tiebreak), so a loader streaming shards front to
+    back finishes every epoch on its highest-quality data — the
+    quality-annealing curriculum, as the deterministic sibling of
+    curation_training_order's uniform shuffle (same shard assignment,
+    same dense per-shard positions, only the order key differs; both
+    reconcile against curation_shard_manifest).
+
+    Scale: identical plan shape to the uniform order — the window is
+    PARTITIONED by shard, never global — plus the classifier's
+    zero-shuffle score fold and one doc_id equi-join between the two
+    persisted/narrow chains. Scores were rounded to 6 by the
+    classifier, so the order is engine-exact."""
+    from benchviz_spark.operators.quality import quality_hashed_classifier_score
+
+    cur = curated_documents(spark, sf_dir)
+    sc = quality_hashed_classifier_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    tr = (
+        cur.filter(F.col("split") == "train")
+        .select(
+            "doc_id", hash_bucket(F.col("doc_id"), "shard:", N_SHARDS).alias("shard")
+        )
+        .join(sc, "doc_id")
+    )
+    w = W.partitionBy("shard").orderBy("quality_score", "doc_id")
+    return tr.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "quality_score",
+        F.row_number().over(w).cast("long").alias("position"),
+    )

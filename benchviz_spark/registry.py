@@ -118,6 +118,9 @@ _WINDOW = (
     "decontam_flag_matrix",
     "curation_corpus_drift",
     "stream_decontam_gate",
+    "multimodal_alignment_audit",
+    "curation_quality_tiers",
+    "curation_curriculum_order",
     # (a) added or result-changed THIS round ------------------------------
     "dedup_multimodal_pairs",
     "dedup_multimodal_clusters",
@@ -148,19 +151,17 @@ _WINDOW = (
     "bench_log_pipeline",
     "asof_purchase_next_click",
     "compare_event_type_series",
-    # (d) oldest driver evidence (r06), 3 of 34 — twenty more rows
-    # (the three setops, stats_orders_exact, topk/unpivot/window_top3,
+    # (d) oldest driver evidence (r06): tier emptied this round — all
+    # remaining r06 rows (the three setops, stats_orders_exact, topk/unpivot/window_top3,
     # scalar_functions_projection, date_functions_projection,
     # having_rich_segments, pivot_status_by_returnflag,
     # count_distinct_exact, left_join_nation_customer_counts,
     # anti_join_idle_customers, basket_part_pair_lift,
     # range_join_price_bands, sample_stratified_documents,
     # quality_profile_documents, multimodal_embedding_normalized_checksum,
-    # text_bpe_token_counts) deferred
+    # text_bpe_token_counts, dedup_embedding_blocked_pairs,
+    # stream_user_profiles, text_language_id) deferred
     # to the r12 commitment to make room for tier (a0) --------------------
-    "dedup_embedding_blocked_pairs",
-    "stream_user_profiles",
-    "text_language_id",
 )
 
 

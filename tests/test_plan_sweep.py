@@ -137,6 +137,11 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "curation_corpus_datasheet": {"documents"},
     # the broadcast is the 3-row per-dimension totals table
     "curation_corpus_drift": {"documents"},
+    # the broadcast is the 1-row quartile-cuts reduction
+    "curation_quality_tiers": {"documents"},
+    # curated-chain hint (the flagged-set anti-join) as in every
+    # curation consumer; the order window is PARTITIONED by shard
+    "curation_curriculum_order": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
