@@ -915,6 +915,9 @@ def curation_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lever behind "N epochs of the top quality bucket, 1 of the rest".
 # ---------------------------------------------------------------------------
 def _quality_tiers_oracle() -> str:
+    # Direct imports of this module (tests) bypass registry._load_all's
+    # module ordering — make sure the classifier oracle is registered.
+    import benchviz_spark.operators.quality  # noqa: F401
     from benchviz_spark.registry import _ORACLES
 
     return f"""
@@ -996,6 +999,7 @@ def curation_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curriculum_oracle() -> str:
+    import benchviz_spark.operators.quality  # noqa: F401
     from benchviz_spark.registry import _ORACLES
 
     return f"""

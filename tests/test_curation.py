@@ -103,3 +103,32 @@ def test_shard_manifest_reconciles_with_training_order(spark, sf_dir):
     assert {r.shard for r in order} == set(man)
     for r in order:
         assert (r.n, r.maxp, r.minp, r.np) == (man[r.shard], man[r.shard], 1, man[r.shard])
+
+
+def test_curriculum_order_reconciles_with_uniform_order(spark, sf_dir):
+    """Curriculum and uniform order must be permutations of each other
+    per shard: same doc set, same dense 1..n positions, only the order
+    key differs — and within a shard the curriculum positions must be
+    monotone in quality_score."""
+    from collections import defaultdict
+
+    from benchviz_spark.operators.curation import (
+        curation_curriculum_order,
+        curation_training_order,
+    )
+
+    uni = defaultdict(set)
+    for r in curation_training_order(spark, sf_dir).collect():
+        uni[r.shard].add(r.doc_id)
+    cur_rows = curation_curriculum_order(spark, sf_dir).collect()
+    cur = defaultdict(set)
+    by_shard = defaultdict(list)
+    for r in cur_rows:
+        cur[r.shard].add(r.doc_id)
+        by_shard[r.shard].append((r.position, r.quality_score, r.doc_id))
+    assert dict(cur) == dict(uni)
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        keys = [(s, d) for _, s, d in rows]
+        assert keys == sorted(keys), f"shard {shard} not quality-ordered"
