@@ -2358,3 +2358,52 @@ def curation_segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_tokens_kept"),
         )
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTER_ORACLE}),
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN sz > 1 THEN (sz - 1) * count(*) ELSE 0 END AS BIGINT)
+             AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes: per size, how many
+    clusters, how many documents they hold, and how many a keep-one
+    policy removes. THE dedup health metric — a fat tail (one giant
+    cluster) means the similarity threshold or blocking resolution
+    collapsed (the failure mode the semantic-dedup threshold sweep
+    measured and the band-occupancy monitor alarms on), while the
+    n_removable column totals to the corpus-level dedup yield a
+    capacity plan needs.
+
+    Scale: two k-bounded hash aggregations over the persisted 16-byte
+    (doc_id, cluster_id) relation — size-of-cluster then
+    count-per-size; output rows are bounded by the largest cluster
+    size, not the corpus."""
+    sizes = (
+        dedup_duplicate_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.when(F.col("sz") > 1, (F.col("sz") - 1) * F.col("n_clusters"))
+            .otherwise(0)
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )

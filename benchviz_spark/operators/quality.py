@@ -605,3 +605,48 @@ def classifier_projection(docs: DataFrame) -> DataFrame:
             (score >= 0.5).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release audit over quasi-identifier combinations.
+# ---------------------------------------------------------------------------
+K_ANON = 5  # release gate: every quasi-identifier combo needs >= K members
+K_ANON_LEN_BUCKET = 100  # n_chars bucket width in the quasi-identifier
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // {K_ANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY lang, source, len_bucket
+    HAVING count(*) < {K_ANON}
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier combinations (lang x source x length bucket)
+    with fewer than {K_ANON} members — the k-anonymity audit a dataset
+    release runs beside PII redaction: a document whose metadata combo
+    is near-unique is re-identifiable even after its text is scrubbed,
+    so these groups are the release blocker list (suppress, generalize
+    the bucket, or drop). Complements quality_redact_pii (content
+    privacy) with structural privacy.
+
+    Scale: one map-side-combinable aggregation on a bounded key space
+    (langs x sources x buckets); the HAVING filter keeps only the
+    violating combos, which shrink as the corpus grows — at 100 TB
+    this is among the cheapest queries in the registry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / K_ANON_LEN_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+    )
