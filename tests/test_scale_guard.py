@@ -109,7 +109,8 @@ def _sf3x_records():
 def test_sf3x_records_exist_for_probed_families():
     """Every family that has earned a 30x record keeps it: dedup/knn
     (r7), decontam/curation/text (r8-r9), events/multimodal and the
-    relational+graph core (r10)."""
+    relational+graph core (r10), the retrieval/sampling additions
+    (PQ, hybrid RRF, DSIR — r11)."""
     names = {name for name, _ in _sf3x_records()}
     for fname in (
         "bench_sf3x_dedup.json",
@@ -120,6 +121,7 @@ def test_sf3x_records_exist_for_probed_families():
         "bench_sf3x_events.json",
         "bench_sf3x_multimodal.json",
         "bench_sf3x_relational.json",
+        "bench_sf3x_retrieval.json",
     ):
         assert fname in names, fname
 
