@@ -2407,3 +2407,39 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removable"),
         )
     )
+
+
+@query(
+    "dedup_pair_similarity_histogram",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE})
+    SELECT CAST(floor(least(jaccard, 0.999999) * 10) AS BIGINT) AS sim_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(jaccard), 6) AS min_jaccard,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM pairs GROUP BY sim_bucket
+    """,
+)
+def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup pair similarities in 0.1-wide Jaccard
+    buckets (exact 1.0 folds into the top bucket) — the
+    threshold-tuning table: where the detected pair mass sits tells a
+    pipeline whether raising the keep threshold from 0.5 to, say, 0.8
+    sheds noise pairs or real duplicates, BEFORE paying a re-clustering
+    at the new threshold. Reads the shared persisted pair relation, so
+    in a curation session this histogram is one duplicate-rate-sized
+    aggregation over already-cached 20-byte rows.
+
+    Scale: pair volume is duplicate-rate-sized by the prefix-filter
+    argument the pair detector carries; the histogram adds one
+    10-bucket map-side-combinable aggregation on top."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    bucket = F.floor(F.least(F.col("jaccard"), F.lit(0.999999)) * 10).cast("long")
+    return (
+        pairs.groupBy(bucket.alias("sim_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
