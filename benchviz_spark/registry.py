@@ -95,9 +95,12 @@ _QUERY_MODULES = (
 _WINDOW = (
     # (a0) added in the r11 build session AFTER the list below was
     # first committed — never driver-checked, all full-oracle, so they
-    # take the window's head. Their seven slots come out of tier (d):
-    # the seven r06 rows deferred join the r12 commitment alongside
-    # the eleven already listed there.
+    # take the window's head. Their slots come out of tier (d), which
+    # this round fully empties: all remaining r06 rows join the r12
+    # commitment (see the tier-(d) note below). Queries added after
+    # the window filled (cluster-size/pair-similarity histograms,
+    # k-anonymity, scene cuts) queue ENTIRELY for r12, covered
+    # meanwhile by PARITY_LOCAL.json + tests/test_oracle_parity.py.
     "sketch_user_overlap_closed",
     "embedding_pca_power_iteration",
     "dedup_segment_spans",
