@@ -1608,3 +1608,150 @@ def similarity_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("n_vectors") / F.col("n"), 6).alias("share"),
         F.round(F.col("n_vectors") * N_CENTROIDS / F.col("n"), 6).alias("imbalance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed (the FAISS IVFPQ architecture): coarse quantizer
+# prunes the candidate set, product codes rank it — compute-side AND
+# memory-side scale paths in one query.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    # The PQ chain also names a CTE "seeds"; scope it before composing
+    # with the IVF chain (which owns the unqualified name).
+    pq = _pq_codebook_ctes().replace("seeds", "pq_seeds")
+    return f"""
+    WITH {ivf_assignment_ctes()},
+    acell AS (
+      SELECT vec_id, cell_id FROM cellscore
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM cellscore
+      WHERE vec_id < {N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cell_id) <= {N_PROBE}
+    ),
+    {pq},
+    code AS (
+      SELECT sub.vec_id, sub.m, cb.cid
+      FROM sub JOIN cb ON sub.m = cb.m AND sub.j = cb.j
+      WHERE sub.vec_id >= {N_QUERIES}
+      GROUP BY sub.vec_id, sub.m, cb.cid
+      QUALIFY row_number() OVER (
+        PARTITION BY sub.vec_id, sub.m
+        ORDER BY sum((sub.v - cb.cv) * (sub.v - cb.cv)), cb.cid
+      ) = 1
+    ),
+    qtab AS (
+      SELECT sub.vec_id AS query_id, cb.m, cb.cid,
+             sum((sub.v - cb.cv) * (sub.v - cb.cv)) AS qd2
+      FROM sub JOIN cb ON sub.m = cb.m AND sub.j = cb.j
+      WHERE sub.vec_id < {N_QUERIES}
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p
+      JOIN acell a ON a.cell_id = p.cell_id AND a.vec_id >= {N_QUERIES}
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(q.qd2), 6) AS adc_dist
+      FROM cand c
+      JOIN code ON code.vec_id = c.neighbor_id
+      JOIN qtab q ON q.query_id = c.query_id
+                 AND q.m = code.m AND q.cid = code.cid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM adc
+    ) WHERE rank <= {PQ_TOPK}
+    """
+
+
+@query("similarity_ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the production ANN architecture: the Lloyd-trained
+    coarse quantizer assigns every vector to a cell, each query probes
+    its {N_PROBE} nearest cells, and only the probed candidates are
+    ranked — by their {PQ_M}x4-bit product codes through the query's
+    ADC lookup table, never by raw vectors. Composes the two proven
+    chains end to end (both trainings included) and the ENTIRE
+    pipeline replays closed-form in DuckDB.
+
+    Scale design: compute-side pruning x memory-side compression.
+    Cell assignment and probing are the IVF query's narrow
+    literal-centroid projections; candidate volume is
+    (probed-cell occupancy)-bounded — the occupancy monitor above is
+    this query's capacity alarm — and the ranking join moves only
+    4-byte codes against the query-bounded broadcast ADC tables. At
+    100 TB this is the only registered ANN whose per-query cost is
+    sub-scan in BOTH flops and bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, vecs = ivf_centroids(spark, sf_dir)
+
+    # probe list: same construction as the IVF query
+    unit = _unit_rows(vecs)
+    scored_cells = F.zip_with(
+        _const_array(unit, "array<array<double>>"),
+        _const_array([int(i) for i in ids], "array<long>"),
+        lambda c, i: F.struct(
+            F.round(_dotf(F.col("embedding"), c), 6).alias("dot"),
+            i.alias("cell_id"),
+        ),
+    )
+    probe_w = W.partitionBy("query_id").orderBy(
+        F.col("s.dot").desc(), F.col("s.cell_id")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.explode(scored_cells).alias("s"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("s.cell_id").cast("long").alias("cell_id"))
+    )
+    cand = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            _cell_id_col(ids, vecs).alias("cell_id"),
+        )
+        .join(F.broadcast(probes), "cell_id")
+        .select("query_id", "neighbor_id")
+    )
+
+    # PQ codes + query ADC tables: same construction as the PQ query
+    cb = spark.createDataFrame(
+        pq_codebook(spark, sf_dir), "m long, cid long, cv array<double>"
+    )
+    subs = _pq_subspaces(emb.select("vec_id", _as_double("embedding").alias("v")))
+    d2 = _pq_d2()
+    code = (
+        subs.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.col("cid"), F.struct("d2", "cid")).alias("cid"))
+    )
+    qtab = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(F.col("vec_id").alias("query_id"), "m", "cid", d2.alias("qd2"))
+    )
+    adc = (
+        cand.join(code, cand.neighbor_id == code.vec_id)
+        .join(F.broadcast(qtab), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -123,6 +123,10 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # (PQ_K smallest-md5 rows, TakeOrdered-bounded); the monitor then
     # broadcasts only the trained M x PQ_K literal
     "similarity_pq_reconstruction_error": {"embeddings"},
+    # IVFPQ composes the two argued shapes: probe list (queries x
+    # N_PROBE), PQ codebook/seeds, and query ADC tables — all
+    # query- or constant-bounded broadcasts
+    "similarity_ann_ivfpq_topk": {"embeddings"},
     # the broadcast side is the eval-carve vector set — the decontam
     # tier's structural bound (vec_id % EVAL_MOD == 0 AND < EVAL_CAP)
     "decontam_semantic_overlap": {"embeddings"},

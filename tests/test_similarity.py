@@ -366,3 +366,23 @@ def test_pq_codebook_shape(spark):
         (m, c) for m in range(PQ_M) for c in range(PQ_K)
     }
     assert all(len(cv) == PQ_SUBDIM for _, _, cv in rows)
+
+
+def test_ivfpq_recall_and_candidate_pruning(spark, exact):
+    """IVFPQ composes quantization loss (PQ) with probe loss (IVF);
+    measured recall@10 = 0.25 on the adversarial random corpus —
+    bound with margin. Every result must come from a probed cell:
+    its neighbor set is a subset of the IVF query's candidate space
+    restriction is enforced structurally, so here we just pin recall
+    and per-query output shape."""
+    from benchviz_spark.operators.similarity import similarity_ann_ivfpq_topk
+
+    got = {}
+    for r in similarity_ann_ivfpq_topk(spark, SF_DIR).orderBy(
+        "query_id", "rank"
+    ).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert len(got) == 10 and all(len(v) == 10 for v in got.values())
+    hits = sum(len(set(got.get(q, [])) & set(v)) for q, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.12, f"IVFPQ recall@10 = {hits / total}"
