@@ -1963,32 +1963,10 @@ def dedup_multimodal_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 VIDEO_FRAME_KEY = 8  # fid = doc_id * 8 + frame_idx (nf <= VIDEO_MAX_FRAMES = 8)
 
-
-def _video_dhash_ctes() -> str:
-    """CTE chain (without ``WITH``) computing every (document, frame)
-    56-bit dHash in closed form from the APNG generator's tiling rule
-    — ``multimodal._video_base_ctes`` + the shared sampled-grid luma
-    extended through the difference-bit packing, exactly as
-    ``_dhash_ctes`` does for the single-image tier."""
-    from benchviz_spark.operators.multimodal import (
-        _video_base_ctes,
-        _video_lum_cte,
-    )
-
-    g = 8
-    return f"""{_video_base_ctes()},
-    {_video_lum_cte()},
-    vfdh AS (
-      SELECT a.doc_id, a.t,
-             CAST(sum(CASE WHEN a.L > b.L
-                           THEN (1::BIGINT << (a.r * {g - 1} + a.c))
-                           ELSE 0 END) AS BIGINT) AS fdh
-      FROM vlum a
-      JOIN vlum b ON a.doc_id = b.doc_id AND a.t = b.t
-                 AND a.r = b.r AND b.c = a.c + 1
-      WHERE a.c < {g - 1}
-      GROUP BY 1, 2
-    )"""
+# The per-frame dHash CTE chain lives with the video codec + luma CTEs
+# it extends (ADVICE r11: it is multimodal machinery, not dedup's) —
+# module-level import is safe because multimodal never imports dedup.
+from benchviz_spark.operators.multimodal import _video_dhash_ctes  # noqa: E402
 
 
 @query(
@@ -2445,51 +2423,5 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-SCENE_CUT_MIN = 16  # consecutive-frame Hamming >= this = a scene cut
-#                     (measured bimodal at sf0.01: still/loop frames sit
-#                     at 0-15, genuinely different frames at 16+)
-
-
-@query(
-    "multimodal_video_scene_cuts",
-    oracle=f"""WITH {_video_dhash_ctes()},
-    nxt AS (
-      SELECT a.doc_id, b.t AS frame_idx,
-             CAST(bit_count(xor(a.fdh, b.fdh)) AS INT) AS hamming
-      FROM vfdh a JOIN vfdh b ON a.doc_id = b.doc_id AND b.t = a.t + 1
-    )
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, hamming,
-           hamming >= {SCENE_CUT_MIN} AS is_cut
-    FROM nxt
-    """,
-)
-def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per consecutive-frame transition of every video: the perceptual
-    Hamming distance between frame t-1 and t, flagged as a scene cut
-    at >= {SCENE_CUT_MIN} bits. The temporal segmentation primitive of
-    a video curation stage — a frame-sampling budget wants one frame
-    per SCENE, not per fixed stride (still scenes waste budget,
-    fast-cut sections get under-sampled), and the un-flagged
-    transitions are exactly the still/loop segments
-    dedup_video_frame_pairs detects as temporal self-similarity.
-
-    Scale: reads the same per-frame hash relation as the pair
-    detector; the transition join lowers to a per-video lag window
-    (one shuffle keyed by doc_id, frames-per-video rows in each
-    partition — container-bounded, never corpus-wide). Cross-engine
-    exact: the hashes are bit-exact int64s, so the distance and the
-    flag are integer arithmetic."""
-    from benchviz_spark.operators.multimodal import document_frame_dhashes
-
-    fp = document_frame_dhashes(load_table(spark, sf_dir, "documents"))
-    w = W.partitionBy("doc_id").orderBy("frame_idx")
-    d = fp.withColumn("prev", F.lag("fdh").over(w)).filter(
-        F.col("prev").isNotNull()
-    )
-    hamming = F.bit_count(F.col("fdh").bitwiseXOR(F.col("prev"))).cast("int")
-    return d.select(
-        "doc_id",
-        F.col("frame_idx").cast("int").alias("frame_idx"),
-        hamming.alias("hamming"),
-        (hamming >= SCENE_CUT_MIN).alias("is_cut"),
-    )
+# multimodal_video_scene_cuts moved to operators/multimodal.py (ADVICE
+# r11: its name, oracle helper and Spark helper all belong there).

@@ -543,7 +543,7 @@ def _feat_weight_sql(tok_expr: str) -> str:
     )
     SELECT doc_id,
            round(1.0 / (1.0 + exp(-raw)), 6) AS quality_score,
-           (1.0 / (1.0 + exp(-raw))) >= 0.5 AS keep
+           round(1.0 / (1.0 + exp(-raw)), 6) >= 0.5 AS keep
     FROM act
     """,
 )
@@ -602,7 +602,12 @@ def classifier_projection(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.round(score, 6).alias("quality_score"),
-            (score >= 0.5).alias("keep"),
+            # Threshold the ROUNDED score (same rounding the published
+            # quality_score column carries) so keep == (quality_score
+            # >= 0.5) holds row-for-row — a raw score in
+            # [0.4999995, 0.5) must not publish the contradictory pair
+            # (0.5, false). The oracle rounds identically.
+            (F.round(score, 6) >= 0.5).alias("keep"),
         )
     )
 

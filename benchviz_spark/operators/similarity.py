@@ -1289,12 +1289,18 @@ PQ_K = 16  # codewords per subspace -> 4 bits/code, 4 bytes/vector
 PQ_TOPK = 10
 
 
-def _pq_codebook_ctes() -> str:
+def _pq_codebook_ctes(seeds_name: str = "seeds") -> str:
     """CTE chain replaying PQ training: seed codewords are the PQ_K
     vectors with the smallest md5(vec_id) (the IVF seed rule), sliced
     per subspace; one Lloyd step refines them (argmin by (d2, cid),
     per-element means rounded to 6 — the ivf_assignment_ctes
-    determinism argument, per subspace)."""
+    determinism argument, per subspace).
+
+    ``seeds_name`` scopes the seed CTE so the chain can compose with
+    ``ivf_assignment_ctes`` (which owns the unqualified ``seeds``) —
+    a named parameter, not post-hoc string surgery over generated SQL
+    (ADVICE r11: a blind replace would silently rewrite any future
+    'seeds' substring anywhere in the chain)."""
     return f"""
     x AS (
       SELECT vec_id, (generate_subscripts(embedding, 1) - 1) AS i,
@@ -1304,7 +1310,7 @@ def _pq_codebook_ctes() -> str:
     sub AS (
       SELECT vec_id, i // {PQ_SUBDIM} AS m, i % {PQ_SUBDIM} AS j, v FROM x
     ),
-    seeds AS (
+    {seeds_name} AS (
       SELECT vec_id,
              CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                AS BIGINT) AS cid
@@ -1313,7 +1319,7 @@ def _pq_codebook_ctes() -> str:
     ),
     c0 AS (
       SELECT s.cid, sub.m, sub.j, sub.v AS cv
-      FROM seeds s JOIN sub ON sub.vec_id = s.vec_id
+      FROM {seeds_name} s JOIN sub ON sub.vec_id = s.vec_id
     ),
     a1 AS (
       SELECT sub.vec_id, sub.m, c0.cid
@@ -1616,9 +1622,10 @@ def similarity_ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame
 # memory-side scale paths in one query.
 # ---------------------------------------------------------------------------
 def _ivfpq_oracle() -> str:
-    # The PQ chain also names a CTE "seeds"; scope it before composing
-    # with the IVF chain (which owns the unqualified name).
-    pq = _pq_codebook_ctes().replace("seeds", "pq_seeds")
+    # The PQ chain also names a CTE "seeds"; scope it via the named
+    # parameter before composing with the IVF chain (which owns the
+    # unqualified name).
+    pq = _pq_codebook_ctes(seeds_name="pq_seeds")
     return f"""
     WITH {ivf_assignment_ctes()},
     acell AS (

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 # Import the batch twins FIRST so their oracles are registered before we
 # look them up (registry._QUERY_MODULES also orders events before this
 # module, but a direct import must not depend on that).
+import benchviz_spark.operators.decontam  # noqa: F401
 import benchviz_spark.operators.dedup  # noqa: F401
 import benchviz_spark.operators.events  # noqa: F401
 import benchviz_spark.operators.quality  # noqa: F401
