@@ -866,9 +866,23 @@ def _daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_put(_DAILY_SKETCH_CACHE, key, daily)
 
 
-@query("sketch_user_overlap")  # rows-only: HLL register contents are
-# engine-specific; the error envelope vs sketch_user_overlap_exact is
-# pinned in tests/test_sketches.py
+@query(
+    "sketch_user_overlap",
+    # The four estimate columns are HLL estimators (register contents
+    # are engine-specific; the error envelope vs
+    # sketch_user_overlap_exact is pinned in tests/test_sketches.py)
+    # and stay under the declared mask — but the SKETCH-STORE SHAPE the
+    # overlap re-aggregates is deterministic: n_daily_sketches counts
+    # the (day, type) state rows, so a day-truncation or type-filter
+    # drift fails the hash even though the estimates can't be replayed
+    # (VERDICT r11 #5).
+    partial_oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_daily_sketches
+    FROM (SELECT DISTINCT date_trunc('day', ts), event_type
+          FROM events
+          WHERE event_type IN ('{OVERLAP_TYPES[0]}', '{OVERLAP_TYPES[1]}'))
+    """,
+)
 def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate audience overlap between {OVERLAP_TYPES} users via
     MERGEABLE HLL sketches: per-(day, type) sketches are built once at
@@ -900,10 +914,15 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union_users")
     )
+    nrows = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_daily_sketches")
+    )
     return (
         a.crossJoin(F.broadcast(b))  # 1-row x 1-row scalar spread
         .crossJoin(F.broadcast(union))
+        .crossJoin(F.broadcast(nrows))
         .select(
+            "n_daily_sketches",
             "approx_a_users",
             "approx_b_users",
             "approx_union_users",

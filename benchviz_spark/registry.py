@@ -60,111 +60,111 @@ _QUERY_MODULES = (
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
 #
-# Round-11 window. CORRECTNESS_r10 was never emitted (driver-side
-# artifact gap — VERDICT r10 "what's missing" #1), so the r10 window
-# never produced hashes: the r10 additions remain never-checked and
-# the 34 r06 rows remain the oldest evidence. This window therefore
-# leads with (a) the ten r11 additions/changes — the cross-modal
-# dedup trio, the multimodal curation pair, the four video-tier
-# queries, and similarity_knn_graph, whose RESULTS changed this round
-# (confidence-ordered multi-probe; a fresh driver hash is the
-# regression proof) — then (b) the eleven never-driver-checked r10
-# queries (image/audio fingerprints and pairs, audio clusters, the
-# decode quarantine, trained-token packing, the refactored
-# split-leakage chain, and the streamed image gate), then (c) the
-# contract's family representatives (events/skew/bench_log/asof/
-# compare — dedup, similarity, text, sample and multimodal are
-# already covered by earlier slots), and (d) 17 of the 34 r06 rows.
-# The eleven r06 rows deferred to r12 are the static TPC-H shapes
-# (q1/q3/q5/q8/q9/q11/q21, cube/rollup/grouping-sets) plus
-# distinct_order_channels (a plain DISTINCT, the lowest-novelty row —
-# its slot went to the late-registered multimodal_video_quarantine):
-# single-module
-# Catalyst plans untouched since r06 with no helper-chain refactors,
-# re-proven in the committed local replica every round — the lowest-
-# drift-risk tier in the registry. r12 commitment: those ten lead,
-# followed by the r07 tier (graph_pagerank_trade_nations,
+# Round-12 window, honoring the r11 commitment (registry.py@918aa74 +
+# VERDICT r11 #1): (a) every never-driver-checked query leads — the 8
+# full-oracle post-window r11 additions, the 3 partial-oracle
+# estimator queries, and the 2 newly partial-oracled rows (the driver
+# records rows-only for the five partial rows; their replayable
+# columns are hash-checked by the committed local replica, see
+# _WINDOW_ROWS_ONLY) — then (b) ALL 34 r06 rows, emptying the oldest
+# evidence tier entirely, then (c) similarity_knn_graph, whose
+# RESULTS change this round (IVF-routed candidate generation, the
+# recall fix — a fresh driver hash is the regression proof), plus the
+# two heaviest r07 rows. After this window lands, no registered
+# query's newest driver row is older than r07 (the r11 done
+# criterion) and zero never-checked queries remain.
+#
+# The bench_log/asof/compare/events/skew family representatives are
+# NOT re-spent this round: all five were driver-hashed in r11
+# (CORRECTNESS_r11.json), and the family-coverage contract
+# (tests/test_contract.py) exempts families whose newest driver
+# evidence is at most one round old — burning 5 of 50 slots
+# re-proving round-fresh rows would directly contradict the r11
+# verdict's "external proof is the scarcest resource".
+#
+# r13 commitment: the r07 tier (the sixteen-query events family,
 # json_props_extraction, dedup_levenshtein_pairs,
-# dedup_minhash_lsh_pairs, the decontam trio, the sixteen-query
-# events family, the stats quartet, the text septet,
-# multimodal_decode_dims/frame_sample, quality rows, skew/sample
-# reps). Every name below carries a full DuckDB oracle (the window
-# contract test enforces it), so no slot is spent on a weaker
-# rows-only check; queries outside the window remain guarded by the
-# committed local replica (PARITY_LOCAL.json + tests/test_oracle_parity.py).
+# dedup_simhash_fingerprints, the decontam trio, the stats quartet,
+# the text septet, multimodal_decode_dims/frame_sample,
+# explode/full_outer/window_price_quartiles, similarity_exact_topk,
+# skew_salted_type_totals, sample_weighted_mix, quality rows — 40
+# rows) plus any r12 additions (jpeg tier, incremental curation),
+# which queue behind them and are covered meanwhile by
+# PARITY_LOCAL.json + tests/test_oracle_parity.py.
 _WINDOW = (
-    # (a0) added in the r11 build session AFTER the list below was
-    # first committed — never driver-checked, all full-oracle, so they
-    # take the window's head. Their slots come out of tier (d), which
-    # this round fully empties: all remaining r06 rows join the r12
-    # commitment (see the tier-(d) note below). Queries added after
-    # the window filled (cluster-size/pair-similarity histograms,
-    # k-anonymity, scene cuts) queue ENTIRELY for r12, covered
-    # meanwhile by PARITY_LOCAL.json + tests/test_oracle_parity.py.
-    "sketch_user_overlap_closed",
-    "embedding_pca_power_iteration",
-    "dedup_segment_spans",
-    "curation_segment_dedup_corpus",
-    "text_bm25_topk",
-    "curation_shard_manifest",
-    "quality_hashed_classifier_score",
-    "curation_training_order",
-    "sample_importance_dsir",
-    "similarity_hybrid_rrf_topk",
-    "similarity_pq_adc_topk",
-    "similarity_pq_reconstruction_error",
-    "decontam_semantic_overlap",
-    "stream_dsir_gate",
-    "text_tokenizer_fertility",
-    "similarity_ivf_cell_occupancy",
-    "curation_corpus_datasheet",
-    "decontam_flag_matrix",
-    "curation_corpus_drift",
-    "stream_decontam_gate",
-    "multimodal_alignment_audit",
-    "curation_quality_tiers",
-    "curation_curriculum_order",
-    # (a) added or result-changed THIS round ------------------------------
-    "dedup_multimodal_pairs",
-    "dedup_multimodal_clusters",
-    "dedup_multimodal_survivorship",
-    "curation_pipeline_multimodal",
-    "curation_mixture_report_multimodal",
-    "multimodal_video_features",
-    "dedup_video_fingerprints",
-    "dedup_video_frame_pairs",
-    "dedup_video_near_dups",
-    "multimodal_video_quarantine",
+    # (a) never driver-checked: post-window r11 additions ------------------
+    "similarity_ann_ivfpq_topk",
+    "dedup_semantic_clusters",
+    "multimodal_video_scene_cuts",
+    "dedup_cluster_size_histogram",
+    "dedup_pair_similarity_histogram",
+    "quality_k_anonymity",
+    "stream_classifier_gate",
+    "stream_video_dedup_gate",
+    # (a') never driver-checked, partial-oracle (driver rows-only;
+    # declared in _WINDOW_ROWS_ONLY, replayable columns locally hashed)
+    "multimodal_decode_features",
+    "sketch_events_daily",
+    "sketch_heavy_hitter_terms",
+    "embedding_pca_top_component",
+    "sketch_user_overlap",
+    # (b) the 34 r06 rows — oldest evidence tier, emptied ------------------
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "q8_nation_market_share",
+    "q9_product_profit_by_nation_year",
+    "q11_nation_balance_concentration",
+    "q21_waiting_suppliers",
+    "cube_part_brand_type",
+    "rollup_lineitem_status",
+    "groupingsets_order_stats",
+    "setop_active_nations",
+    "setop_idle_building_customers",
+    "setop_union_all_parties",
+    "stats_orders_exact",
+    "topk_expensive_orders",
+    "unpivot_order_metrics",
+    "window_top3_orders_per_customer",
+    "scalar_functions_projection",
+    "date_functions_projection",
+    "having_rich_segments",
+    "pivot_status_by_returnflag",
+    "count_distinct_exact",
+    "distinct_order_channels",
+    "left_join_nation_customer_counts",
+    "anti_join_idle_customers",
+    "basket_part_pair_lift",
+    "range_join_price_bands",
+    "sample_stratified_documents",
+    "quality_profile_documents",
+    "multimodal_embedding_normalized_checksum",
+    "text_bpe_token_counts",
+    "text_language_id",
+    "dedup_embedding_blocked_pairs",
+    "stream_user_profiles",
+    # (c) result-changed this round + the heaviest r07 rows ----------------
     "similarity_knn_graph",
-    # (b) r10 tier, never driver-checked (r10 gate never ran) -------------
-    "dedup_image_phash_pairs",
-    "dedup_image_dhash_fingerprints",
-    "text_pack_sequences_trained",
-    "curation_split_leakage",
-    "multimodal_audio_features",
-    "multimodal_audio_envelope",
-    "multimodal_decode_quarantine",
-    "dedup_audio_fingerprints",
-    "dedup_audio_fingerprint_pairs",
-    "dedup_audio_duplicate_clusters",
-    "stream_image_dedup_gate",
-    # (c) family representatives (contract: every family, every window) ---
-    "events_session_stats",
-    "skew_salted_distinct_users",
-    "bench_log_pipeline",
-    "asof_purchase_next_click",
-    "compare_event_type_series",
-    # (d) oldest driver evidence (r06): tier emptied this round — all
-    # remaining r06 rows (the three setops, stats_orders_exact, topk/unpivot/window_top3,
-    # scalar_functions_projection, date_functions_projection,
-    # having_rich_segments, pivot_status_by_returnflag,
-    # count_distinct_exact, left_join_nation_customer_counts,
-    # anti_join_idle_customers, basket_part_pair_lift,
-    # range_join_price_bands, sample_stratified_documents,
-    # quality_profile_documents, multimodal_embedding_normalized_checksum,
-    # text_bpe_token_counts, dedup_embedding_blocked_pairs,
-    # stream_user_profiles, text_language_id) deferred
-    # to the r12 commitment to make room for tier (a0) --------------------
+    "dedup_minhash_lsh_pairs",
+    "graph_pagerank_trade_nations",
+)
+
+# Window slots whose driver check is rows-only BY DESIGN: their
+# non-replayable columns are estimator output (HLL registers, CMS
+# counters, an eigensolve) that no cross-engine oracle can hash, while
+# their replayable columns carry a partial oracle hash-checked every
+# round by the committed local replica (PARITY_LOCAL.json +
+# tests/test_oracle_parity.py) and their estimate quality is
+# envelope-pinned against exact twins in pytest. VERDICT r11 #1 asked
+# for exactly these honest rows to accumulate driver evidence; the
+# contract test caps this list so rows-only slots stay the declared
+# exception, never the norm.
+_WINDOW_ROWS_ONLY = (
+    "multimodal_decode_features",
+    "sketch_events_daily",
+    "sketch_heavy_hitter_terms",
+    "embedding_pca_top_component",
+    "sketch_user_overlap",
 )
 
 
