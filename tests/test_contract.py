@@ -109,6 +109,31 @@ def test_bench_regression_guard():
     assert find_regressions({"a": 3.5}, {"a": 1.0}, infl) == ["a x3.5"]
 
 
+def test_bench_reproduce_before_flag():
+    """VERDICT r11 #3: the r11 driver run at loadavg 3.75 (just under
+    the 4.0 suppression bound) published 8 phantom flags that each cost
+    a hand adjudication. A provisional flag must now REPRODUCE in a
+    cold same-session re-time before it is published."""
+    from bench import confirm_regressions, find_regressions
+
+    # Synthetic steady history + one injected slow row: the first
+    # measurement provisionally flags...
+    hist = {"q": [2.0, 2.05, 1.95, 2.0, 2.1]}
+    old = {"q": 2.0}
+    provisional = find_regressions({"q": 6.6}, old, hist, loadavg_1m=3.75)
+    assert provisional == ["q x3.3"]
+    # ...a healthy re-time (landing back on the history median — the
+    # exact shape of all 8 r11 phantom flags) exonerates it: on
+    # identical code, regressions come out empty at any loadavg <= 5.
+    assert confirm_regressions(provisional, {"q": 2.05}, old, hist) == []
+    # A reproducing slowdown stays flagged, at the REPRODUCED ratio.
+    assert confirm_regressions(provisional, {"q": 6.2}, old, hist) == ["q x3.1"]
+    # A failed re-time cannot exonerate: the flag survives.
+    assert confirm_regressions(provisional, {"q": None}, old, hist) == ["q x3.3"]
+    # Borderline re-time under the factor -> exonerated.
+    assert confirm_regressions(provisional, {"q": 2.9}, old, hist) == []
+
+
 def test_driver_window_is_fully_oracle_backed():
     """The grading driver records correctness for only the FIRST 50
     entries of queries(). Guard the ordering contract: every window
