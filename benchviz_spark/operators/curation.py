@@ -1056,3 +1056,317 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation: admit ONE new crawl batch against the standing
+# corpus (VERDICT r11 #7). A 100-TB lake does not re-curate the world
+# per crawl — the curated corpus is the durable artifact and each
+# ingest computes only the DELTA that may append to it.
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replay of the whole incremental admission over old∪new:
+    the hygiene gates (eval carve + length + contamination — identical
+    SQL to ``_CURATION_ORACLE``'s, under g-prefixed CTE names so they
+    coexist with the minhash chain's trigram ``sh``), epoch from the
+    ``_INCR_SEEN_RE`` source convention, first-ingested-wins exact
+    dedup (an epoch-1 doc loses to ANY epoch-0 survivor sharing its
+    fingerprint, then lowest-doc_id-wins within the batch), the
+    MinHash-LSH + exact-Jaccard near-dup tier against epoch-0
+    survivors (``_minhash_ctes`` replayed verbatim), and min-label
+    connected components over the verified within-batch pair graph
+    (the ``_CLUSTER_ORACLE`` recursive-CTE formulation restricted to
+    batch survivors). Integer/md5 arithmetic end to end — the same
+    cross-engine-exact argument as the minhash oracle."""
+    from benchviz_spark.operators.dedup import _INCR_SEEN_RE, _minhash_ctes
+
+    return f"""
+    WITH RECURSIVE
+    gtok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    gsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {NGRAM - 2}, 1)),
+               i -> {_NGRAM_CONCAT}
+             )) AS s
+      FROM gtok WHERE len(t) >= {NGRAM}
+    ),
+    gev AS (SELECT DISTINCT unnest(s) AS g FROM gsh WHERE {_eval_sql()}),
+    gposting AS (
+      SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+      FROM gsh WHERE {_corpus_sql()}
+    ),
+    gflagged AS (
+      SELECT doc_id
+      FROM (
+        SELECT p.doc_id, p.n_shingles, count(*) AS n_contaminated
+        FROM gposting p JOIN gev USING (g)
+        GROUP BY 1, 2
+      )
+      WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= {THRESHOLD}
+    ),
+    gated AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CASE WHEN regexp_matches(source, '{_INCR_SEEN_RE}')
+                  THEN 0 ELSE 1 END AS epoch
+      FROM documents
+      WHERE {_corpus_sql()}
+        AND n_chars >= {MIN_CHARS}
+        AND doc_id NOT IN (SELECT doc_id FROM gflagged)
+    ),
+    old_curated AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated WHERE epoch = 0
+      ) WHERE rn = 1
+    ),
+    b2 AS (
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+        WHERE epoch = 1
+          AND fp NOT IN (SELECT fp FROM old_curated)
+      ) WHERE rn = 1
+    ),
+    {_minhash_ctes()},
+    drop_vs_old AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM (
+        SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+        FROM bands nb
+        JOIN b2 ON b2.doc_id = nb.doc_id
+        JOIN bands ob ON nb.band = ob.band AND nb.bucket = ob.bucket
+        JOIN old_curated oc ON oc.doc_id = ob.doc_id
+      ) c
+      JOIN sh x ON x.doc_id = c.new_id
+      JOIN sh y ON y.doc_id = c.old_id
+      WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+              / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)
+            >= 0.5
+    ),
+    b3 AS (
+      SELECT * FROM b2
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_old)
+    ),
+    pairs_nn AS (
+      SELECT c.left_id, c.right_id
+      FROM (
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+        FROM bands a
+        JOIN b3 la ON la.doc_id = a.doc_id
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+        JOIN b3 lb ON lb.doc_id = b.doc_id
+      ) c
+      JOIN sh x ON x.doc_id = c.left_id
+      JOIN sh y ON y.doc_id = c.right_id
+      WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+              / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT left_id AS src, right_id AS dst FROM pairs_nn
+      UNION ALL
+      SELECT right_id, left_id FROM pairs_nn
+    ),
+    reach AS (
+      SELECT doc_id AS a, doc_id AS b FROM b3
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT b3.doc_id, b3.lang, b3.source, b3.n_chars,
+           CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, {_bucket_sql('split:')} AS bucket FROM b3) b3
+    JOIN comp ON comp.doc_id = b3.doc_id
+    WHERE comp.cluster_id = b3.doc_id
+    """
+
+
+def incremental_base_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING corpus of the incremental scenario: the curation
+    gates + exact dedup + split assignment applied to the epoch-0
+    sources only (``_INCR_SEEN_RE``, the same seen/incoming convention
+    ``dedup_incremental_new_docs`` established). This is what a prior
+    run already materialized on disk; ``curation_incremental_batch``
+    admits the next crawl against it."""
+    from benchviz_spark.operators.dedup import _INCR_SEEN_RE
+
+    gated = _incremental_gated(spark, sf_dir).filter(
+        F.col("source").rlike(_INCR_SEEN_RE)
+    )
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return _with_split(deduped).select(
+        "doc_id", "lang", "source", "n_chars", "split"
+    )
+
+
+def _incremental_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene-gated documents (both epochs) with fingerprints — the
+    shared prefix of the base corpus and the batch admission. Identical
+    gates to ``_build_curated``; kept separate so the incremental
+    scenario never perturbs the full-corpus persist point."""
+    flagged = (
+        decontam_eval_overlap(spark, sf_dir)
+        .filter(F.col("contamination") >= THRESHOLD)
+        .select("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (~eval_split(F.col("doc_id"))) & (F.col("n_chars") >= MIN_CHARS)
+        )
+        .join(flagged, "doc_id", "left_anti")
+        .withColumn("fp", F.md5(_norm_text(F.col("text"))))
+    )
+
+
+def _with_split(df: DataFrame) -> DataFrame:
+    split = (
+        F.when(F.col("bucket") < TRAIN_UPTO, "train")
+        .when(F.col("bucket") < VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    return df.withColumn(
+        "bucket", hash_bucket(F.col("doc_id"), "split:")
+    ).withColumn("split", split)
+
+
+@query("curation_incremental_batch", oracle=_incremental_oracle())
+def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPEND DELTA of one incremental ingest: documents of the
+    incoming batch (sources beyond ``_INCR_SEEN_RE``) that survive
+    (1) the standing hygiene gates (eval carve, length, contamination),
+    (2) exact dedup with FIRST-INGESTED-WINS — a batch doc sharing a
+    fingerprint with any standing-corpus survivor is dropped no matter
+    whose doc_id is lower (the standing corpus is immutable; this is
+    what distinguishes incremental admission from a rebuild), then
+    lowest-doc_id-wins among batch-only fingerprint groups,
+    (3) near-dup admission against the standing corpus — MinHash band
+    collision (``band_buckets``) verified by exact shingle Jaccard
+    >= 0.5, first-ingested-wins again, and
+    (4) within-batch near-dup dedup — min-label connected components
+    (``min_label_components``) over the verified batch-batch pair
+    graph, cluster minimum survives.
+    Survivors get the standard deterministic split assignment. The
+    full admission — gates, both dedup tiers, components, splits — is
+    replayed cross-engine by ``_incremental_oracle``.
+
+    Scale design (the reason this exists, VERDICT r11 #7): every
+    corpus-sized structure here is the STANDING INDEX a production
+    lake materializes once — the curated corpus's fingerprint set
+    enters as the fixed ~8 KiB Bloom bitset (only bloom-positive batch
+    rows reach the exact anti join, so that shuffle is sized by the
+    batch dup rate), and the corpus band-posting table is the durable
+    LSH index an ingest equi-joins against (bucketed-on-(band, bucket)
+    parquet in production — co-located, shuffle-free on the corpus
+    side; rebuilt in-session here where the test corpus is small). The
+    per-ingest moving state is batch-sized: batch bands, batch
+    shingle sets for verification, and a pair graph sized by the
+    batch's duplicate rate. The min-label loop iterates over
+    batch-batch edges only — never the standing corpus."""
+    from benchviz_spark.operators.dedup import (
+        _INCR_SEEN_RE,
+        band_buckets,
+        hashed_shingled_documents,
+        min_label_components,
+    )
+    from benchviz_spark.operators.relational_ext import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    gated = _incremental_gated(spark, sf_dir)
+    old_gated = gated.filter(F.col("source").rlike(_INCR_SEEN_RE))
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    old_curated = (
+        old_gated.withColumn("rn", rn).filter(F.col("rn") == 1).select("doc_id", "fp")
+    )
+    batch = gated.filter(~F.col("source").rlike(_INCR_SEEN_RE))
+
+    # (2) exact tier: bloom-gated anti join against standing fps, then
+    # lowest-id-wins within the batch
+    bitmap = bloom_bitmap(
+        old_curated.select(F.xxhash64("fp").alias("pk")), "pk"
+    )
+    probed = batch.crossJoin(F.broadcast(bitmap)).withColumn(
+        "maybe_seen", bloom_might_contain(F.xxhash64("fp"))
+    )
+    old_fps = old_curated.select("fp")
+    new_vs_old = probed.filter(~F.col("maybe_seen")).unionByName(
+        probed.filter(F.col("maybe_seen")).join(old_fps, "fp", "left_anti")
+    )
+    b2 = (
+        new_vs_old.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+    # (3) near-dup tier vs the standing corpus: band collisions
+    # verified by exact shingle Jaccard, batch loser dropped
+    bands = band_buckets(spark, sf_dir)
+    new_b = bands.join(b2.select("doc_id"), "doc_id", "left_semi")
+    old_b = bands.join(old_curated.select("doc_id"), "doc_id", "left_semi")
+    cand_old = (
+        new_b.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+        .join(
+            old_b.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = hashed_shingled_documents(spark, sf_dir)
+    left = sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("sa"))
+    right = sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(
+        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
+    )
+    drop_vs_old = (
+        cand_old.join(left, "new_id")
+        .join(right, "old_id")
+        .filter(jac >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    b3 = b2.join(drop_vs_old, "doc_id", "left_anti")
+
+    # (4) within-batch near-dups: verified pair graph -> components,
+    # cluster minimum survives
+    b3_b = bands.join(b3.select("doc_id"), "doc_id", "left_semi")
+    cand_nn = (
+        b3_b.select(F.col("doc_id").alias("left_id"), "band", "bucket")
+        .join(
+            b3_b.select(F.col("doc_id").alias("right_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    lshj = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
+    rshj = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
+    pairs_nn = (
+        cand_nn.join(lshj, "left_id")
+        .join(rshj, "right_id")
+        .filter(jac >= 0.5)
+        .select("left_id", "right_id")
+    )
+    comp = min_label_components(spark, pairs_nn, b3.select("doc_id"))
+    minima = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    delta = b3.join(minima, "doc_id", "left_semi")
+    return _with_split(delta).select(
+        "doc_id", "lang", "source", "n_chars", "split"
+    )

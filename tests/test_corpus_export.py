@@ -176,3 +176,89 @@ def test_multimodal_export_reconciles_and_has_no_surviving_pairs(
     assert leakage["pipeline"] == "multimodal"
     assert leakage["n_cross_split_pairs"] == 0
     assert leakage["pairs_by_split"] == []
+
+
+def test_incremental_append_equals_rebuild(spark, tmp_path):
+    """The incremental lifecycle's executable contract (VERDICT r11
+    #7): write_incremental_base + append_curated_batch leaves the SAME
+    dataset on disk as the one-shot write_incremental_rebuild over
+    old ∪ new — data rows, recipe cells, and leakage cells all equal
+    (pipeline labels differ by design: they record which writer ran)."""
+    from benchviz_spark.serving.corpus_export import (
+        append_curated_batch,
+        write_incremental_base,
+        write_incremental_rebuild,
+    )
+
+    inc = str(tmp_path / "inc")
+    reb = str(tmp_path / "reb")
+    write_incremental_base(spark, SF_DIR, inc)
+    base_rows = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars, r.split)
+        for r in spark.read.parquet(os.path.join(inc, "data")).collect()
+    }
+    append_curated_batch(spark, SF_DIR, inc)
+    write_incremental_rebuild(spark, SF_DIR, reb)
+
+    inc_rows = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars, r.split)
+        for r in spark.read.parquet(os.path.join(inc, "data")).collect()
+    }
+    reb_rows = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars, r.split)
+        for r in spark.read.parquet(os.path.join(reb, "data")).collect()
+    }
+    assert inc_rows == reb_rows
+    # the append really appended: base files untouched, delta non-empty
+    assert base_rows < inc_rows
+
+    def load(out, name):
+        with open(os.path.join(out, name)) as fh:
+            d = json.load(fh)
+        d.pop("pipeline")
+        return d
+
+    assert load(inc, "recipe.json") == load(reb, "recipe.json")
+    assert load(inc, "leakage.json") == load(reb, "leakage.json")
+
+
+def test_incremental_admission_first_ingested_wins(spark):
+    """Semantics pin: no admitted batch doc shares a fingerprint OR a
+    verified near-dup pair with the standing corpus, and the batch
+    contributes at most one member per within-batch near-dup cluster."""
+    from benchviz_spark.operators.curation import (
+        curation_incremental_batch,
+        incremental_base_corpus,
+    )
+    from benchviz_spark.operators.dedup import (
+        _norm_text,
+        dedup_ngram_jaccard_pairs,
+    )
+
+    base_ids = {
+        r.doc_id for r in incremental_base_corpus(spark, SF_DIR).collect()
+    }
+    delta_ids = {
+        r.doc_id for r in curation_incremental_batch(spark, SF_DIR).collect()
+    }
+    assert delta_ids and not (base_ids & delta_ids)
+    fps = {
+        r.doc_id: r.fp
+        for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+        .collect()
+    }
+    base_fps = {fps[i] for i in base_ids}
+    assert all(fps[i] not in base_fps for i in delta_ids)
+    surviving = base_ids | delta_ids
+    for r in dedup_ngram_jaccard_pairs(spark, SF_DIR).collect():
+        # a verified near-dup pair with BOTH ends surviving must be
+        # base-base (LSH-missed base pairs are the standing corpus's
+        # own property); no delta doc may be in such a pair unless the
+        # banding missed it (possible: LSH recall < 1) — so assert on
+        # the LSH-detectable subset only via the admission invariant:
+        if r.left_id in delta_ids and r.right_id in delta_ids:
+            # within-batch survivors may only pair if LSH missed them;
+            # the exact detector at this SF agrees with LSH (recall
+            # pinned in test_dedup), so this must be empty
+            assert False, (r.left_id, r.right_id)
