@@ -2425,3 +2425,70 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
 
 # multimodal_video_scene_cuts moved to operators/multimodal.py (ADVICE
 # r11: its name, oracle helper and Spark helper all belong there).
+
+
+# ---------------------------------------------------------------------------
+# JPEG perceptual fingerprints: the mainstream-codec image dedup tier
+# (VERDICT r11 #4) — same 56-bit dHash, same banded pair machinery,
+# fed by the REAL baseline-JPEG decoder.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_dhash_oracle() -> str:
+    """Closed-form replay of decode -> 8x8 luma grid -> difference-bit
+    packing for the JPEG payloads: the tiling is 8x8-constant blocks,
+    so grid sample (r, c) of the decoded image is the closed-form
+    roundtrip value (multimodal._jpeg_px_sql) of block
+    ((r*bh)//8, (c*bw)//8) — the sample row r*(8*bh)//8 = r*bh
+    simplifies the ``_dhash_ctes`` pixel algebra to pure block
+    indices. Grayscale luma is 1000*gray, matching ``_luma_grid``."""
+    from benchviz_spark.operators.multimodal import (
+        DHASH_GRID,
+        _jpeg_base_ctes,
+        _jpeg_px_sql,
+    )
+
+    g = DHASH_GRID
+    blk = f"(((gr.r * jd.bh) // {g}) * jd.bw + ((gr.c * jd.bw) // {g}))"
+    byte = f"CAST('0x' || substr(jd.hx, (({blk}) % jd.n) * 2 + 1, 2) AS BIGINT)"
+    return f"""
+    WITH {_jpeg_base_ctes()},
+    jlum AS (
+      SELECT jd.doc_id, gr.r, gr.c, 1000 * {_jpeg_px_sql(byte)} AS L
+      FROM jd, (SELECT k // {g} AS r, k % {g} AS c
+                FROM (SELECT unnest(range(0, {g * g})) AS k)) gr
+    ),
+    jdh AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN a.L > b.L
+                           THEN (1::BIGINT << (a.r * {g - 1} + a.c))
+                           ELSE 0 END) AS BIGINT) AS dh
+      FROM jlum a
+      JOIN jlum b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < {g - 1}
+      GROUP BY 1
+    )
+    SELECT doc_id, dh FROM jdh
+    """
+
+
+@query("dedup_jpeg_dhash_fingerprints", oracle=_jpeg_dhash_oracle())
+def dedup_jpeg_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dh) — every document's 56-bit perceptual hash from the
+    REAL baseline-JPEG decode (full marker/Huffman/IDCT pipeline), the
+    mainstream-codec sibling of ``dedup_image_dhash_fingerprints``.
+    The hash feeds the SAME banded-Hamming pair machinery
+    (``_banded_hamming_pairs`` — exercised over these jpeg hashes in
+    tests/test_image_dedup.py against the brute-force Hamming ball),
+    so the whole image near-dup family is codec-agnostic above the
+    fingerprint column. Bit-exact cross-engine: the oracle replays
+    the LOSSY roundtrip itself in closed form (tie-free by the
+    JPEG_Q/byte-map construction), so a hash match pins the decoder's
+    actual pixels through the entire Huffman + IDCT path.
+
+    Scale: identical shape to the PNG tier — decode+hash is one
+    partition-preserving mapInPandas pass, only 8-byte keys shuffle."""
+    from benchviz_spark.operators.multimodal import document_jpeg_dhashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return document_jpeg_dhashes(docs)
