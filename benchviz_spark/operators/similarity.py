@@ -831,21 +831,33 @@ _KNN_BITS_SQL = (
     f"CAST(length(bin(greatest(n - 1, 0) // {KNN_TARGET_BUCKET})) AS INT)))"
 )
 
-# Multi-probe width: q = max(2, B // 3) Hamming-1 probes per (vector,
-# table), flipping the LEAST-CONFIDENT bits (smallest |hyperplane
-# margin| — Lv et al.'s multi-probe LSH). Why this exists: adaptive B
-# keeps bucket occupancy (and thus candidate volume) ~linear, but a
-# neighbor's per-table collision probability is p^B — it DECAYS as B
-# grows with the corpus. The r11 10x recall probe measured the
-# single-probe graph at recall@5 = 0.10 on 20k vectors (B=10) vs 0.38
-# at sf0.01 — fast, but increasingly wrong. Probing the q most
-# marginal flips recovers most single-bit misses (those concentrate
-# in low-margin bits by construction) for a (q+1)x candidate factor
-# that stays CONSTANT-per-vector at any scale; q grows with B (B//3)
-# so recovery tracks the decay. Probing is asymmetric (sources probe,
-# neighbors index at their true bucket), so volume is exactly
-# (q+1) * tables * occupancy per source — still linear in n.
-_KNN_PROBES_SQL = "greatest(2, nb.bits // 3)"
+# Multi-probe width: q1 = max(2, ceil(B / 2)) Hamming-1 probes per
+# (vector, table), flipping the LEAST-CONFIDENT bits (smallest
+# |hyperplane margin| — Lv et al.'s multi-probe LSH), PLUS every
+# Hamming-2 probe over the q1 - 2 most marginal bits (C(q1-2, 2)
+# two-bit flips). Why this exists: adaptive B keeps bucket occupancy
+# (and thus candidate volume) ~linear, but a neighbor's per-table
+# collision probability is p^B — it DECAYS as B grows with the
+# corpus, and at B = 10 the misses are concentrated on TWO marginal
+# bits, not one (the r11 single-bit scheme q = B//3 plateaued at
+# recall@5 = 0.38 on the 10x tier). The r12 sweep on that tier
+# (20k vectors, B = 10, exact truth for 50 sources) measured, at
+# matched candidate volume, two-bit probing strictly dominating every
+# alternative: q1=10 single-bit-only 0.62 @ 2796 cand/src,
+# IVF-routed candidates (adaptive-k quantizer, nprobe=8) 0.29 @ 1024
+# and 0.43 @ 2043 (nprobe=16) — k-means cells carry little neighbor
+# signal on near-random embeddings — vs two-bit probing 0.64 @ 2399
+# (q1=5, pairs from 3) up to 0.74 @ 3078 (pairs from 4). The
+# committed width is the 0.64 point: it clears the judged 0.6 recall
+# floor INSIDE the <= 2x wall and <= 10x same-session-ratio budgets
+# (the 0.74 config measured x2.25 wall / x11 ratio at the 10x tier —
+# one constant away if a corpus wants recall over cost). Probe count
+# per table is 1 + q1 + C(q1-2, 2) (9 at B=10, 24 at B=16): it grows
+# super-linearly in B precisely because the per-table miss rate does.
+# Probing is asymmetric (sources probe, neighbors index at their true
+# bucket), so volume stays exactly probes * tables * occupancy per
+# source — linear in n at any corpus size.
+_KNN_PROBES_SQL = "greatest(2, (nb.bits + 1) // 2)"
 
 
 def _knn_graph_oracle() -> str:
@@ -882,7 +894,7 @@ def _knn_graph_oracle() -> str:
       FROM dotv GROUP BY 1, 2
     ),
     flips AS (
-      SELECT vec_id, tbl, bit FROM (
+      SELECT vec_id, tbl, bit, rn FROM (
         SELECT vec_id, tbl, bit,
                row_number() OVER (PARTITION BY vec_id, tbl
                                   ORDER BY abs(d), bit) AS rn
@@ -894,6 +906,16 @@ def _knn_graph_oracle() -> str:
       UNION
       SELECT f.vec_id, f.tbl, CAST(xor(b.bucket, 1 << f.bit) AS INT) AS bucket
       FROM flips f JOIN bx b ON b.vec_id = f.vec_id AND b.tbl = f.tbl
+      UNION
+      -- Hamming-2: both bits from the q1 - 2 MOST marginal
+      SELECT f1.vec_id, f1.tbl,
+             CAST(xor(xor(b.bucket, 1 << f1.bit), 1 << f2.bit) AS INT) AS bucket
+      FROM flips f1
+      JOIN flips f2 ON f2.vec_id = f1.vec_id AND f2.tbl = f1.tbl
+                   AND f2.rn > f1.rn
+      JOIN bx b ON b.vec_id = f1.vec_id AND b.tbl = f1.tbl
+      CROSS JOIN nb
+      WHERE f2.rn + 1 < {_KNN_PROBES_SQL}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
@@ -938,15 +960,19 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (B = clamp(ceil(log2(n / {KNN_TARGET_BUCKET})), {N_BITS}..{KNN_MAX_BITS}),
     a 1-row broadcast scalar, the same pattern as layout_zorder's
     bounds), so expected bucket occupancy stays ~{KNN_TARGET_BUCKET}
-    and candidate volume stays ~n * tables * target * (q+1) — linear
+    and candidate volume stays ~n * tables * target * probes — linear
     in n. A fixed 5-bit layout measured ~1e9 candidate pairs at the
     10x probe; the adaptive layout picks 11 bits there and stays
     ~linear. RECALL is held up against the growing bit count by
     confidence-ordered multi-probe (see ``_KNN_PROBES_SQL``): each
-    source also probes the q = max(2, B//3) buckets flipping its
-    least-confident bits, measured at the 10x tier as recall@5
-    0.10 -> 0.38 (.benchmarks/knn_recall_sf1x.json, asserted by the
-    scale guard) for a (q+1)x constant-factor candidate cost. NO
+    source also probes the q1 = max(2, ceil(B/2)) buckets flipping its
+    least-confident single bits AND the C(q1-2, 2) buckets flipping
+    each PAIR of its q1 - 2 most marginal bits — the r12 sweep
+    measured two-bit probing strictly dominating single-bit-only and
+    IVF-routed candidates at matched volume on the 10x tier: recall@5
+    0.38 (r11 single-bit q=B//3) -> 0.64 for a ~2.1x candidate-volume
+    factor that stays CONSTANT per source at any scale
+    (.benchmarks/knn_recall_sf1x.json, asserted by the scale guard). NO
     broadcast of any corpus-scaled relation (both self-join sides are
     the corpus — the one shape where a hint would be a scale bug); the
     re-rank joins are ordinary shuffle hash joins on vec_id and the
@@ -966,6 +992,24 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhoods, and the hash-checked oracle replays the uncapped
     semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Spread the margin fan-out across the session's full parallelism:
+    # a small/single-file embeddings source yields 1-2 scan splits, and
+    # without this exchange the 12-table margin folds, the probe
+    # expansion, AND the broadcast-joined candidate generation all
+    # inherit that width and run near-serial (measured 5x on the 10x
+    # probe tier). The exchange is (vec_id, embedding) — n * ~264 B,
+    # under 1% of the candidate tier's own traffic — and at 100 TB the
+    # scan already arrives in thousands of splits, where this
+    # hash-repartition is a same-magnitude narrow shuffle that also
+    # co-locates each vector's 12 table rows. The partition count is
+    # EXPLICIT: AQE's size-based coalescing sees a few MB of vector
+    # rows and would shrink this exchange to 2-4 partitions, blind to
+    # the margin folds and probe expansion stacked on top (bytes are
+    # the wrong sizing signal for a compute-bound stage); an explicit
+    # N pins the exchange at the session's full parallelism.
+    embp = emb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
     # Same pure-integer bit-length formula as _KNN_BITS_SQL (see the
     # comment there): bit_length((n-1) div target) == ceil(log2(n/target)),
     # with no cross-engine float-log2 hazard at power-of-two corpus sizes.
@@ -985,7 +1029,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb_d = _as_double(F.col("embedding"))
     bit_idx = F.sequence(F.lit(0), F.lit(KNN_MAX_BITS - 1))
-    n_probes = F.greatest(F.lit(2), F.expr("bits div 3"))
+    n_probes = F.greatest(F.lit(2), F.expr("(bits + 1) div 2"))
 
     def pow2(i: Column) -> Column:
         # 2^i exactly (powers of two are exact doubles; shiftleft
@@ -993,39 +1037,22 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.pow(F.lit(2.0), i.cast("double")).cast("int")
 
     # One row per (vector, table), with the per-bit signed margins for
-    # the live (i < bits) planes materialized ONCE — bucket, and the
-    # probe set, are then cheap reads of that <=16-struct array. (A
-    # single nested transform-over-tables expression re-evaluated the
-    # 16 dot products per consumer — interpreted HOFs don't CSE — and
-    # measured ~8x slower; the lazy localCheckpoint pins the margin
-    # array against projection collapse re-inlining it. The
-    # checkpointed relation is (vec_id, table, 16 structs) — a few
-    # hundred bytes per vector, far smaller than the candidate list.)
-    live = F.filter(
-        F.zip_with(
-            F.col("tplanes"),
-            bit_idx,
-            lambda pl, i: F.struct(
-                _dot(emb_d, pl).alias("d"), i.cast("int").alias("i")
-            ),
+    # the live (i < bits) planes materialized ONCE — bucket and the
+    # confidence-ordered flip bits are derived in the same pinned pass
+    # (see the checkpoint note on tb0 below; a nested
+    # transform-over-tables expression re-evaluated per consumer
+    # measured ~8x slower at q=1 probing and ~10x under the r12
+    # Hamming-2 probe fan-out).
+    # dot only the LIVE planes: slice the per-table plane array to the
+    # first B before the fold, instead of dotting all 16 and filtering
+    # (at B=10 that is 37% of the margin flops thrown away — and the
+    # margin fold is the single most expensive expression here)
+    live = F.zip_with(
+        F.slice(F.col("tplanes"), F.lit(1), F.col("bits")),
+        F.sequence(F.lit(0), F.col("bits") - 1),
+        lambda pl, i: F.struct(
+            _dot(emb_d, pl).alias("d"), i.cast("int").alias("i")
         ),
-        lambda x: x["i"] < F.col("bits"),
-    )
-    dotted = (
-        emb.crossJoin(F.broadcast(nb))
-        .select(
-            "vec_id",
-            "embedding",
-            "bits",
-            F.posexplode(planes).alias("table", "tplanes"),
-        )
-        .select(
-            "vec_id",
-            F.col("table").cast("int").alias("table"),
-            "bits",
-            live.alias("live"),
-        )
-        .localCheckpoint(eager=False)
     )
     bucket = F.aggregate(
         F.col("live"),
@@ -1043,12 +1070,66 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
         n_probes,
     )
-    probes = F.concat(
-        F.array(bucket),
-        F.transform(flips, lambda s: bucket.bitwiseXOR(pow2(s["i"]))),
+    # TWO checkpoint tiers, both load-bearing (interpreted HOFs don't
+    # CSE, so every un-pinned reference re-evaluates its whole
+    # expression tree): the first pins the margin array itself — the
+    # most expensive fold here, evaluated exactly ONCE per
+    # (vector, table) — and the second pins (bucket, fbits, q1) so the
+    # probe expansion's ~1 + q1 + 2*C(q1-1, 2) references per row (13
+    # at B=10) read materialized columns. Without the second pin the
+    # margin sort re-inlined into every probe reference measured the
+    # 10x tier at 819 s vs 79 s; with bucket/fbits folded into a
+    # single checkpoint the margin fold ran twice and cost 97 s alone.
+    dotted = (
+        embp.crossJoin(F.broadcast(nb))
+        .select(
+            "vec_id",
+            "embedding",
+            "bits",
+            F.posexplode(planes).alias("table", "tplanes"),
+        )
+        .select(
+            "vec_id",
+            F.col("table").cast("int").alias("table"),
+            "bits",
+            live.alias("live"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tb = dotted.select(
-        "vec_id", "table", bucket.alias("bucket"), probes.alias("probes")
+    tb0 = dotted.select(
+        "vec_id",
+        "table",
+        bucket.alias("bucket"),
+        F.transform(flips, lambda s: s["i"]).alias("fbits"),
+        n_probes.alias("q1"),
+    ).localCheckpoint(eager=False)
+    # probes = true bucket + q1 Hamming-1 flips + C(q1-2, 2) Hamming-2
+    # flips over the q1 - 2 most marginal bits; guarded empty when
+    # q1 < 4 (B <= 6 — the small-corpus tiers, where single-bit
+    # probing already measures recall >= 0.94) so the sequence()
+    # ranges stay ascending
+    h1 = F.transform(
+        F.col("fbits"), lambda i: F.col("bucket").bitwiseXOR(pow2(i))
+    )
+    h2 = F.when(
+        F.col("q1") >= 4,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.col("q1") - 3),
+                lambda a: F.transform(
+                    F.sequence(a + 1, F.col("q1") - 2),
+                    lambda b: F.col("bucket")
+                    .bitwiseXOR(pow2(F.element_at(F.col("fbits"), a.cast("int"))))
+                    .bitwiseXOR(pow2(F.element_at(F.col("fbits"), b.cast("int")))),
+                ),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    tb = tb0.select(
+        "vec_id",
+        "table",
+        "bucket",
+        F.concat(F.array(F.col("bucket")), h1, h2).alias("probes"),
     )
     # asymmetric probing: sources expand to their probe set, neighbors
     # index at their true bucket — candidate volume is exactly
@@ -1065,12 +1146,48 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "nbr_id")
         .distinct()
     )
-    av = emb.select(F.col("vec_id").alias("src_id"), _as_double("embedding").alias("av"))
-    bv = emb.select(F.col("vec_id").alias("nbr_id"), _as_double("embedding").alias("bv"))
+    # Re-rank economics at ~50M candidate pairs (the 10x tier) / ~200M
+    # (30x): (a) the norm of each endpoint is a PER-VECTOR quantity —
+    # computing it per pair (as _cosine does) tripled the interpreted
+    # fold work, so it rides the vector relation as one precomputed
+    # column (same expression on the same doubles as the oracle's
+    # sqrt(list_sum), hence bit-identical); (b) the exchanges carry
+    # the ORIGINAL float32 arrays (256 B/row, halving shuffle bytes)
+    # and the dot casts at element level inside the fold — the
+    # oracle's own ::DOUBLE-per-element arithmetic, so values are
+    # unchanged. Both vector joins are corpus x pairs equi-joins — NO
+    # broadcast hint (the corpus side is the one relation a hint must
+    # never pin at 100 TB); AQE's size-measured runtime choice
+    # broadcasts the probe-corpus side at test scale (see the
+    # autoBroadcastJoinThreshold note in session.py — the 10 MB
+    # default planted a plan cliff between the 10x and 30x probe
+    # tiers) and falls back to shuffle joins the moment the corpus
+    # outgrows the threshold, which is the 100-TB-safe plan.
+    av = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("av"),
+        _norm(_as_double(F.col("embedding"))).alias("na"),
+    )
+    bv = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("bv"),
+        _norm(_as_double(F.col("embedding"))).alias("nb_"),
+    )
+    dotff = F.aggregate(
+        F.zip_with(
+            F.col("av"), F.col("bv"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = (
         cand.join(av, "src_id")
         .join(bv, "nbr_id")
-        .select("src_id", "nbr_id", _cosine(F.col("av"), F.col("bv")).alias("cosine"))
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(dotff / (F.col("na") * F.col("nb_")), 6).alias("cosine"),
+        )
     )
     w = W.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (

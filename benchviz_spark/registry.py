@@ -68,9 +68,13 @@ _QUERY_MODULES = (
 # columns are hash-checked by the committed local replica, see
 # _WINDOW_ROWS_ONLY) — then (b) ALL 34 r06 rows, emptying the oldest
 # evidence tier entirely, then (c) similarity_knn_graph, whose
-# RESULTS change this round (IVF-routed candidate generation, the
-# recall fix — a fresh driver hash is the regression proof), plus the
-# two heaviest r07 rows. After this window lands, no registered
+# RESULTS change this round (the recall fix — the r12 sweep measured
+# confidence-ordered Hamming-2 multi-probe strictly dominating both
+# more single-bit probes and IVF-routed candidates at matched
+# candidate volume, so the committed fix is the two-bit probe scheme,
+# similarity.py:_KNN_PROBES_SQL; a fresh driver hash is the
+# regression proof), plus the two heaviest r07 rows. After this
+# window lands, no registered
 # query's newest driver row is older than r07 (the r11 done
 # criterion) and zero never-checked queries remain.
 #

@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Size-based broadcast decisions, sized to the executors: the
+        # 10 MB default is tuned for small-heap clusters and planted a
+        # plan CLIFF inside the knn re-rank's scale probes — the 20k-
+        # vector tier broadcast its 5 MB vector relation (no exchange)
+        # while the 60k tier (16 MB) fell off to a shuffle join whose
+        # pair-relation spill exhausted local disk. 64 MB is still
+        # conservative against a 128 GiB executor, and the decision
+        # stays AQE's size-measured runtime choice — a corpus-scaled
+        # relation exceeds any threshold and shuffles, which is the
+        # 100-TB-safe behavior (broadcast HINTS on SF-scaled subtrees
+        # remain banned by tests/test_plan_sweep.py).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -31,9 +31,12 @@ KNN10X = os.path.join(REPO, ".scale_probe", "knn10x")
 SF1X = os.path.join(REPO, ".scale_probe", "sf1x")
 SAMPLE_SRC = 50  # knn-graph truth sample: sources vec_id < 50
 
-# the sf0.01-tier pytest bounds the committed record must meet or beat
-# (tests/test_similarity.py::test_knn_graph_coverage_and_recall, ::test_ivf_recall)
-PYTEST_BOUND_KNN = 0.3
+# the floors the committed 10x record must meet or beat — the knn
+# floor is the VERDICT r11 #2 done-criterion (>= 0.6 at the 10x tier
+# under the r12 Hamming-2 multi-probe scheme; sweep measured 0.74),
+# the IVF floor is its sf0.01 pytest bound
+# (tests/test_similarity.py::test_ivf_recall)
+PYTEST_BOUND_KNN = 0.6
 PYTEST_BOUND_IVF = 0.25
 
 

@@ -297,7 +297,10 @@ def test_knn_graph_coverage_and_recall(spark, sf_dir):
     hits = sum(len(true_sets[s] & got_sets.get(s, set())) for s in true_sets)
     total = sum(len(v) for v in true_sets.values())
     recall = hits / total
-    assert recall > 0.3, recall
+    # r12 Hamming-2 multi-probe: measured 0.989 at this tier (was
+    # 0.945 under single-bit probing); bound with margin for the
+    # 6-decimal rounding freedom the oracle argument documents
+    assert recall > 0.85, recall
 
 
 def test_semantic_clusters_group_planted_near_identical_vectors(spark, tmp_path):
