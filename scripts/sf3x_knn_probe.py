@@ -101,11 +101,21 @@ def main() -> None:
             N_BITS,
             min(KNN_MAX_BITS, ((n - 1) // KNN_TARGET_BUCKET).bit_length()),
         )
-        t0 = time.perf_counter()
-        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        wall = round(time.perf_counter() - t0, 2)
-        out[tier] = {"n_vectors": n, "bits": bits, "sec": wall}
-        print(f"{tier}: n={n} bits={bits} {wall}s", file=sys.stderr)
+        # min of two fresh executions per tier: the interpreted-HOF
+        # re-rank allocates heavily and single runs on this host vary
+        # up to 3x on JVM/GC flukes (one session measured the 3x-data
+        # 30x tier FASTER than its own 10x leg — 313 s vs 445 s; CPU
+        # steal and co-tenant load were ruled out via /proc/stat).
+        # Min is the steady-state plan cost; both raw walls stay in
+        # the record so the discard is visible.
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(round(time.perf_counter() - t0, 2))
+        wall = min(walls)
+        out[tier] = {"n_vectors": n, "bits": bits, "sec": wall, "runs": walls}
+        print(f"{tier}: n={n} bits={bits} {wall}s (runs {walls})", file=sys.stderr)
     rec = {
         "heap": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "tiers": out,
