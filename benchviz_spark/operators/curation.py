@@ -1112,10 +1112,16 @@ def _incremental_oracle() -> str:
       WHERE round(n_contaminated::DOUBLE / n_shingles, 6) >= {THRESHOLD}
     ),
     gated AS (
+      -- NULL-source rows get epoch NULL (not 1): the Spark path's
+      -- rlike / NOT rlike filter pair excludes them from BOTH epochs,
+      -- and a bare CASE..ELSE would lump them into the batch (ADVICE
+      -- r12). NULL never equals 0 or 1 below, so the engines agree
+      -- by construction even on a NULL-bearing corpus.
       SELECT doc_id, lang, source, n_chars,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-             CASE WHEN regexp_matches(source, '{_INCR_SEEN_RE}')
-                  THEN 0 ELSE 1 END AS epoch
+             CASE WHEN regexp_matches(source, '{_INCR_SEEN_RE}') THEN 0
+                  WHEN NOT regexp_matches(source, '{_INCR_SEEN_RE}') THEN 1
+             END AS epoch
       FROM documents
       WHERE {_corpus_sql()}
         AND n_chars >= {MIN_CHARS}
@@ -1133,7 +1139,14 @@ def _incremental_oracle() -> str:
         SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         FROM gated
         WHERE epoch = 1
-          AND fp NOT IN (SELECT fp FROM old_curated)
+          -- NOT EXISTS, not NOT IN: with any NULL fp in old_curated,
+          -- NOT IN returns NULL for every probe row (dropping the
+          -- whole batch) while the Spark path's left_anti keeps
+          -- non-matching rows; NOT EXISTS has exactly the anti-join
+          -- semantics on both engines (ADVICE r12).
+          AND NOT EXISTS (
+            SELECT 1 FROM old_curated oc WHERE oc.fp = gated.fp
+          )
       ) WHERE rn = 1
     ),
     {_minhash_ctes()},

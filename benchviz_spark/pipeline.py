@@ -20,6 +20,7 @@ from pyspark.sql.window import Window as W
 from benchviz_spark.registry import query
 from benchviz_spark.serving.json_sink import (
     catalog_json,
+    catalog_json_df,
     package_sort_key,
     per_test_json,
     priority_sort_key,
@@ -175,4 +176,127 @@ def bench_regressions(
         .select(
             "package", "test_name", "run_date", "prev_ns", "ns_per_op", "pct_change"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serving tier as driver-checkable queries (VERDICT r12 #4): the
+# reference's S4/S5 sinks and O3/O4 orderings, rendered as rows over
+# the deterministic demo tree and pinned by golden VALUES oracles —
+# the same pattern bench_log_pipeline uses. These close the last §2
+# operators whose only evidence was pytest.
+# ---------------------------------------------------------------------------
+
+# Reference S4 (file_generator.go:179-190): one byte-stable Go-JSON
+# document per (package, test). Golden strings hand-derived from
+# _DEMO_LINES under the reference semantics: date keys are the RAW
+# dir names sorted lexically (Go json.Marshal sorts map keys), absent
+# metrics render as Go zero values, 12.50 MB/s renders shortest
+# ("12.5"), and "5 MB/s" is 0 via the >=2-digit regex quirk
+# (file_generator.go:84).
+_DOC_BANK = (
+    '{"01-01-2015":{"N":1328086,"A":2317,"B":183965,"M":0},'
+    '"02-01-2015":{"N":1328086,"A":2317,"B":183965,"M":0},'
+    '"15-12-2015":{"N":1328086,"A":2317,"B":183965,"M":0}}'
+)
+_DOC_SCAN = (
+    '{"01-01-2015":{"N":2000000,"A":10,"B":1024,"M":12.5},'
+    '"02-01-2015":{"N":2000000,"A":10,"B":1024,"M":12.5},'
+    '"15-12-2015":{"N":2000000,"A":10,"B":1024,"M":12.5}}'
+)
+_DOC_THROUGHPUT = (
+    '{"01-01-2015":{"N":0,"A":0,"B":0,"M":0},'
+    '"02-01-2015":{"N":0,"A":0,"B":0,"M":0},'
+    '"15-12-2015":{"N":0,"A":0,"B":0,"M":0}}'
+)
+_DOC_PARSE = (
+    '{"01-01-2015":{"N":52341,"A":0,"B":0,"M":0},'
+    '"02-01-2015":{"N":52341,"A":0,"B":0,"M":0},'
+    '"15-12-2015":{"N":52341,"A":0,"B":0,"M":0}}'
+)
+
+_PER_TEST_JSON_ORACLE = f"""
+    SELECT * FROM (VALUES
+      ('sql', 'BenchmarkBank2_Cockroach-8', '{_DOC_BANK}'),
+      ('sql', 'BenchmarkScan1000_Cockroach-16', '{_DOC_SCAN}'),
+      ('sql', 'BenchmarkThroughput-8', '{_DOC_THROUGHPUT}'),
+      ('sql/parser', 'BenchmarkParse-8', '{_DOC_PARSE}')
+    ) AS t(package, test_name, json)
+"""
+
+
+@query("serving_per_test_json", oracle=_PER_TEST_JSON_ORACLE)
+def serving_per_test_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S4 as a query: the per-(package, test) serving JSON
+    documents, byte-identical to Go json.Marshal output (sorted date
+    keys, integral doubles without '.0', shortest-round-trip floats —
+    serving/json_sink.py:_go_number). Runs the full ingest on the demo
+    tree, so a green row certifies scan -> parse -> LWW -> S4 render
+    end to end against hand-derived golden bytes.
+
+    Scale: one hash aggregation keyed (package, test_name) — the
+    serving catalog's natural key; documents are assembled
+    executor-side and the plan never collects."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_demo_tree")
+    _write_demo_tree(root)
+    fact = build_fact_table(spark, root)
+    return per_test_json(fact).orderBy("package", "test_name")
+
+
+# Reference S5 (file_generator.go:194-208): the test_names.json catalog
+# document, both levels canonically sorted.
+_CATALOG_DOC = (
+    '{"sql":["BenchmarkBank2_Cockroach-8","BenchmarkScan1000_Cockroach-16",'
+    '"BenchmarkThroughput-8"],"sql/parser":["BenchmarkParse-8"]}'
+)
+_CATALOG_JSON_ORACLE = f"""
+    SELECT * FROM (VALUES ('{_CATALOG_DOC}')) AS t(json)
+"""
+
+
+@query("serving_catalog_json", oracle=_CATALOG_JSON_ORACLE)
+def serving_catalog_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S5 as a query: the single test_names.json document
+    (``{pkg: [test,...]}``, both levels sorted) over the demo tree.
+    Two executor-side hash aggregations; only the one-row document
+    reaches the output."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_demo_tree")
+    _write_demo_tree(root)
+    fact = build_fact_table(spark, root)
+    return catalog_json_df(fact)
+
+
+# Reference O3/O4 (generate_benchmark_list.js:29-48): priority tests
+# (sql Scan/Delete/Update/Insert x 1/10/100/1000) and priority packages
+# (sql, sql/parser) list first. The ordering is the semantics here, and
+# the driver's hash compare is order-insensitive, so the ORDER ITSELF is
+# materialized as a position column — any ordering drift changes the
+# hashed values. BenchmarkScan1000_Cockroach-16 is in the priority set;
+# the golden positions pin it ahead of the lexically-earlier Bank2.
+_CATALOG_LISTING_ORACLE = """
+    SELECT * FROM (VALUES
+      (1, 'sql', 'BenchmarkScan1000_Cockroach-16'),
+      (2, 'sql', 'BenchmarkBank2_Cockroach-8'),
+      (3, 'sql', 'BenchmarkThroughput-8'),
+      (4, 'sql/parser', 'BenchmarkParse-8')
+    ) AS t(position, package, test_name)
+"""
+
+
+@query("serving_catalog_listing", oracle=_CATALOG_LISTING_ORACLE)
+def serving_catalog_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O3+O4 as a query: the index-page listing order over
+    the demo tree, with the rank materialized as ``position`` so the
+    priority orderings are hash-visible. The window that numbers rows
+    is a single global sort over the (package, test) CATALOG — catalog-
+    bounded (thousands of rows at any corpus size), never data-bounded."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_demo_tree")
+    _write_demo_tree(root)
+    fact = build_fact_table(spark, root)
+    listing = catalog_listing(fact)
+    w = W.orderBy("pkg_rank", "package", "test_rank", "test_name")
+    return listing.select(
+        F.row_number().over(w).cast("int").alias("position"),
+        "package",
+        "test_name",
     )

@@ -60,97 +60,82 @@ _QUERY_MODULES = (
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
 #
-# Round-12 window, honoring the r11 commitment (registry.py@918aa74 +
-# VERDICT r11 #1): (a) every never-driver-checked query leads — the 8
-# full-oracle post-window r11 additions, the 3 partial-oracle
-# estimator queries, and the 2 newly partial-oracled rows (the driver
-# records rows-only for the five partial rows; their replayable
-# columns are hash-checked by the committed local replica, see
-# _WINDOW_ROWS_ONLY) — then (b) ALL 34 r06 rows, emptying the oldest
-# evidence tier entirely, then (c) similarity_knn_graph, whose
-# RESULTS change this round (the recall fix — the r12 sweep measured
-# confidence-ordered Hamming-2 multi-probe strictly dominating both
-# more single-bit probes and IVF-routed candidates at matched
-# candidate volume, so the committed fix is the two-bit probe scheme,
-# similarity.py:_KNN_PROBES_SQL; a fresh driver hash is the
-# regression proof), plus the two heaviest r07 rows. After this
-# window lands, no registered
-# query's newest driver row is older than r07 (the r11 done
-# criterion) and zero never-checked queries remain.
+# Round-13 window, honoring the r12 commitment (registry.py@96eadca +
+# VERDICT r12 #2/#4): (a) every never-driver-checked full-oracle query
+# leads — the three r12 additions (the JPEG tier and incremental
+# curation admission) plus the three NEW r13 serving queries that
+# expose the reference's S4/S5 sinks and O3/O4 orderings through the
+# driver gate (pipeline.py, golden VALUES oracles — the last §2
+# operators whose only evidence was pytest); then (b) the ENTIRE r07
+# tier — all 41 rows whose newest driver evidence dates to r07 —
+# emptying the oldest evidence tier exactly as r11/r12 emptied r05/r06;
+# then (c) the three family-contract anchors (bench_log_pipeline,
+# asof, compare) whose r11 evidence goes stale the moment the r13
+# record lands (tests/test_contract.py exempts only families with
+# evidence at most one round old). The five partial-oracle estimator
+# rows are NOT re-spent: they earned their honest rows-only driver
+# record in r12 (CORRECTNESS_r12.json err=no_oracle with spark_rows)
+# and re-running them buys no new information — the committed local
+# replica hash-checks their replayable columns every round.
 #
-# The bench_log/asof/compare/events/skew family representatives are
-# NOT re-spent this round: all five were driver-hashed in r11
-# (CORRECTNESS_r11.json), and the family-coverage contract
-# (tests/test_contract.py) exempts families whose newest driver
-# evidence is at most one round old — burning 5 of 50 slots
-# re-proving round-fresh rows would directly contradict the r11
-# verdict's "external proof is the scarcest resource".
-#
-# r13 commitment: the r07 tier (the sixteen-query events family,
-# json_props_extraction, dedup_levenshtein_pairs,
-# dedup_simhash_fingerprints, the decontam trio, the stats quartet,
-# the text septet, multimodal_decode_dims/frame_sample,
-# explode/full_outer/window_price_quartiles, similarity_exact_topk,
-# skew_salted_type_totals, sample_weighted_mix, quality rows — 40
-# rows) plus any r12 additions (jpeg tier, incremental curation),
-# which queue behind them and are covered meanwhile by
+# r14 commitment: the r08 tier (43 rows — asof_purchase_nearest_view
+# re-proved this round leaves 42: the dedup/embedding/quality/sample/
+# similarity/stream r08 rows, the q2/q4/q6/q7/q13/q14/q19 relational
+# rows, substring decontam, curation pipeline/mixture, layout_zorder,
+# interarrival/interpolated/linear-attribution events rows), which
+# queue behind any r13 additions and are covered meanwhile by
 # PARITY_LOCAL.json + tests/test_oracle_parity.py.
 _WINDOW = (
-    # (a) never driver-checked: post-window r11 additions ------------------
-    "similarity_ann_ivfpq_topk",
-    "dedup_semantic_clusters",
-    "multimodal_video_scene_cuts",
-    "dedup_cluster_size_histogram",
-    "dedup_pair_similarity_histogram",
-    "quality_k_anonymity",
-    "stream_classifier_gate",
-    "stream_video_dedup_gate",
-    # (a') never driver-checked, partial-oracle (driver rows-only;
-    # declared in _WINDOW_ROWS_ONLY, replayable columns locally hashed)
-    "multimodal_decode_features",
-    "sketch_events_daily",
-    "sketch_heavy_hitter_terms",
-    "embedding_pca_top_component",
-    "sketch_user_overlap",
-    # (b) the 34 r06 rows — oldest evidence tier, emptied ------------------
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_region_revenue",
-    "q8_nation_market_share",
-    "q9_product_profit_by_nation_year",
-    "q11_nation_balance_concentration",
-    "q21_waiting_suppliers",
-    "cube_part_brand_type",
-    "rollup_lineitem_status",
-    "groupingsets_order_stats",
-    "setop_active_nations",
-    "setop_idle_building_customers",
-    "setop_union_all_parties",
-    "stats_orders_exact",
-    "topk_expensive_orders",
-    "unpivot_order_metrics",
-    "window_top3_orders_per_customer",
-    "scalar_functions_projection",
-    "date_functions_projection",
-    "having_rich_segments",
-    "pivot_status_by_returnflag",
-    "count_distinct_exact",
-    "distinct_order_channels",
-    "left_join_nation_customer_counts",
-    "anti_join_idle_customers",
-    "basket_part_pair_lift",
-    "range_join_price_bands",
-    "sample_stratified_documents",
-    "quality_profile_documents",
-    "multimodal_embedding_normalized_checksum",
-    "text_bpe_token_counts",
-    "text_language_id",
-    "dedup_embedding_blocked_pairs",
-    "stream_user_profiles",
-    # (c) result-changed this round + the heaviest r07 rows ----------------
-    "similarity_knn_graph",
-    "dedup_minhash_lsh_pairs",
-    "graph_pagerank_trade_nations",
+    "multimodal_jpeg_features",
+    "dedup_jpeg_dhash_fingerprints",
+    "curation_incremental_batch",
+    "serving_per_test_json",
+    "serving_catalog_json",
+    "serving_catalog_listing",
+    "decontam_clean_corpus",
+    "decontam_clean_corpus_strict",
+    "decontam_fuzzy_eval_pairs",
+    "dedup_levenshtein_pairs",
+    "dedup_simhash_fingerprints",
+    "events_daily_delta",
+    "events_enriched_user_segment",
+    "events_funnel_view_click_purchase",
+    "events_gap_filled_hourly",
+    "events_latest_user_state",
+    "events_multires_rollup",
+    "events_purchase_view_pairs",
+    "events_retention_cohorts",
+    "events_rolling_median_daily",
+    "events_sliding_hourly_halfhour",
+    "events_tumbling_hourly",
+    "events_type_transitions",
+    "events_value_anomalies",
+    "explode_user_type_matrix",
+    "full_outer_join_daily_type_counts",
+    "json_props_extraction",
+    "multimodal_decode_dims",
+    "multimodal_frame_sample",
+    "quality_length_histogram",
+    "quality_table_fingerprints",
+    "sample_weighted_mix",
+    "similarity_exact_topk",
+    "skew_salted_type_totals",
+    "stats_ks_purchase_vs_click",
+    "stats_moments_by_returnflag",
+    "stats_source_term_divergence",
+    "stats_winsorized_prices",
+    "text_boilerplate_ngrams",
+    "text_chunk_documents",
+    "text_fingerprints",
+    "text_pack_sequences",
+    "text_quality_scores",
+    "text_term_frequency",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "window_price_quartiles",
+    "bench_log_pipeline",
+    "asof_purchase_nearest_view",
+    "compare_event_type_series",
 )
 
 # Window slots whose driver check is rows-only BY DESIGN: their
@@ -162,14 +147,11 @@ _WINDOW = (
 # envelope-pinned against exact twins in pytest. VERDICT r11 #1 asked
 # for exactly these honest rows to accumulate driver evidence; the
 # contract test caps this list so rows-only slots stay the declared
-# exception, never the norm.
-_WINDOW_ROWS_ONLY = (
-    "multimodal_decode_features",
-    "sketch_events_daily",
-    "sketch_heavy_hitter_terms",
-    "embedding_pca_top_component",
-    "sketch_user_overlap",
-)
+# exception, never the norm. Empty in the r13 window: all five
+# estimator rows (multimodal_decode_features, sketch_events_daily,
+# sketch_heavy_hitter_terms, embedding_pca_top_component,
+# sketch_user_overlap) earned their rows-only driver record in r12.
+_WINDOW_ROWS_ONLY: tuple[str, ...] = ()
 
 
 def _windowed(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:

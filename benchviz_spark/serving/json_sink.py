@@ -155,11 +155,13 @@ def per_test_json(fact: DataFrame) -> DataFrame:
     )
 
 
-def catalog_json(fact: DataFrame) -> str:
-    """The single ``test_names.json`` document: ``{pkg: [test,...]}``
-    with both levels sorted (the reference's order is unspecified Go map
-    iteration; we canonicalize — SURVEY §2.4 A2)."""
-    per_pkg = (
+def catalog_json_df(fact: DataFrame) -> DataFrame:
+    """The single ``test_names.json`` document as a one-row DataFrame
+    ``(json)``: ``{pkg: [test,...]}`` with both levels sorted (the
+    reference's order is unspecified Go map iteration; we canonicalize
+    — SURVEY §2.4 A2). The document is assembled executor-side by two
+    hash aggregations; only the final one-row JSON ever moves."""
+    return (
         fact.select("package", "test_name")
         .distinct()
         .groupBy("package")
@@ -180,7 +182,12 @@ def catalog_json(fact: DataFrame) -> str:
             ).alias("json")
         )
     )
-    return per_pkg.collect()[0]["json"]
+
+
+def catalog_json(fact: DataFrame) -> str:
+    """``catalog_json_df`` materialized to the document string (the
+    publish step writes exactly one small file)."""
+    return catalog_json_df(fact).collect()[0]["json"]
 
 
 def write_serving_tree(per_test: DataFrame, out_dir: str) -> None:

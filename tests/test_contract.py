@@ -134,6 +134,41 @@ def test_bench_reproduce_before_flag():
     assert confirm_regressions(provisional, {"q": 2.9}, old, hist) == []
 
 
+def test_bench_loaded_retime_cannot_confirm():
+    """VERDICT r12 #6: the r12 run's 8 'reproduced' flags all re-timed
+    during a sustained loadavg-6.75 session and every one measured back
+    at baseline once the host was quiet (threshold A/B in
+    .benchmarks/bisect_broadcast_r13.json). A re-time executed above
+    LOADAVG_FLAG_MAX is recorded in the adjudication trail but can no
+    longer CONFIRM a flag — the same bound that suppresses whole runs."""
+    from bench import LOADAVG_FLAG_MAX, confirm_regressions, find_regressions
+
+    hist = {"q": [2.0, 2.05, 1.95, 2.0, 2.1]}
+    old = {"q": 2.0}
+    provisional = find_regressions({"q": 6.6}, old, hist, loadavg_1m=3.0)
+    assert provisional == ["q x3.3"]
+    # Reproducing re-time under a LOADED host -> suppressed, not published.
+    loaded = {"q": LOADAVG_FLAG_MAX + 2.75}
+    assert confirm_regressions(provisional, {"q": 6.2}, old, hist, loaded) == []
+    # Same reproducing re-time on a quiet host -> still flagged.
+    quiet = {"q": 0.4}
+    assert (
+        confirm_regressions(provisional, {"q": 6.2}, old, hist, quiet)
+        == ["q x3.1"]
+    )
+    # Missing load measurement (no /proc/loadavg) -> behaves as before.
+    assert (
+        confirm_regressions(provisional, {"q": 6.2}, old, hist, {})
+        == ["q x3.1"]
+    )
+    # A FAILED re-time keeps the flag regardless of load: load cannot
+    # exonerate what was never re-measured.
+    assert (
+        confirm_regressions(provisional, {"q": None}, old, hist, loaded)
+        == ["q x3.3"]
+    )
+
+
 def test_driver_window_is_fully_oracle_backed():
     """The grading driver records correctness for only the FIRST 50
     entries of queries(). Guard the ordering contract: every window

@@ -31,8 +31,6 @@ def test_closed_form_matches_real_codec_for_every_source_value():
     agrees with the REAL encode->decode pipeline for every mapped
     source byte — the foundation of the lossy-codec oracles."""
     vals = sorted(set(_JPEG_BYTE_MAP))
-    grid = _tile(np.array(vals + vals[: -len(vals) % 8 or None]).reshape(-1, 8)[:8, :8])
-    # simpler: per-value single-block images
     for v in vals:
         px = _tile([[v]])
         dec = decode_jpeg(encode_jpeg_gray(px))
