@@ -300,3 +300,100 @@ def serving_catalog_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "package",
         "test_name",
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression detection as a driver-checkable query. The reference's
+# entire purpose (README.md:1) is letting a human spot day-over-day
+# regressions on its charts; bench_regressions() engine-izes that
+# judgement, and this query pins it with a golden oracle over a demo
+# tree that CONTAINS a regression.
+# ---------------------------------------------------------------------------
+_REG_DATES = ("01-01-2016", "02-01-2016", "03-01-2016")
+# BenchmarkSteady is flat (never flagged), BenchmarkCreep worsens +30%
+# then +10% (only the first step crosses the 20% threshold),
+# BenchmarkRecover improves then regresses +50% (flagged on day 3).
+_REG_LINES = {
+    "01-01-2016": [
+        "BenchmarkSteady-8 \t 1000 \t 500000 ns/op",
+        "BenchmarkCreep-8 \t 1000 \t 1000000 ns/op",
+        "BenchmarkRecover-8 \t 1000 \t 800000 ns/op",
+    ],
+    "02-01-2016": [
+        "BenchmarkSteady-8 \t 1000 \t 505000 ns/op",
+        "BenchmarkCreep-8 \t 1000 \t 1300000 ns/op",
+        "BenchmarkRecover-8 \t 1000 \t 600000 ns/op",
+    ],
+    "03-01-2016": [
+        "BenchmarkSteady-8 \t 1000 \t 498000 ns/op",
+        "BenchmarkCreep-8 \t 1000 \t 1430000 ns/op",
+        "BenchmarkRecover-8 \t 1000 \t 900000 ns/op",
+    ],
+}
+
+
+def _write_regression_tree(root: str) -> None:
+    for date, lines in _REG_LINES.items():
+        d = os.path.join(root, date, "cockroach", "sql")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "pkg.test.stdout"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+# Hand-applied semantics: pct_change = (ns - prev_ns) * 100 / prev_ns,
+# flagged when > 20. Creep day2: +30.0. Creep day3: +10.0 (not
+# flagged). Recover day3: 600000 -> 900000 = +50.0. Steady never moves
+# more than 1.4%.
+_REGRESSIONS_ORACLE = """
+    SELECT * FROM (VALUES
+      ('sql', 'BenchmarkCreep-8', DATE '2016-01-02',
+         CAST(1000000 AS BIGINT), CAST(1300000 AS BIGINT), 30.0),
+      ('sql', 'BenchmarkRecover-8', DATE '2016-01-03',
+         CAST(600000 AS BIGINT), CAST(900000 AS BIGINT), 50.0)
+    ) AS t(package, test_name, run_date, prev_ns, ns_per_op, pct_change)
+"""
+
+
+@query("bench_log_regressions", oracle=_REGRESSIONS_ORACLE)
+def bench_log_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day regression detection over a demo tree that contains
+    two real regressions (one masked by a later sub-threshold creep,
+    one following an improvement — the shapes a human reads off the
+    reference's charts). Golden oracle = the flag semantics hand-applied.
+
+    Scale: one window shuffle keyed (package, test_name) — the same
+    partitioning the per-test serving aggregation uses, so a full
+    pipeline run shares the Exchange (see bench_regressions)."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_regression_tree")
+    _write_regression_tree(root)
+    fact = build_fact_table(spark, root)
+    return bench_regressions(fact).orderBy("test_name", "run_date")
+
+
+# Reference S9 through the driver gate: one test's chronological series
+# fetched by equality predicates (the reference's per-test JSON fetch,
+# generate_benchmark_plot.js:22-24 reading what S4 wrote). Golden
+# oracle = the Scan1000 series hand-read from _DEMO_LINES.
+_POINT_LOOKUP_ORACLE = """
+    SELECT * FROM (VALUES
+      (DATE '2015-01-01', CAST(2000000 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(1024 AS BIGINT), 12.5),
+      (DATE '2015-01-02', CAST(2000000 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(1024 AS BIGINT), 12.5),
+      (DATE '2015-12-15', CAST(2000000 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(1024 AS BIGINT), 12.5)
+    ) AS t(run_date, ns_per_op, allocs_per_op, bytes_per_op, mb_per_s)
+"""
+
+
+@query("bench_log_point_lookup", oracle=_POINT_LOOKUP_ORACLE)
+def bench_log_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S9 as a query: one (package, test) series in
+    chronological order, over the demo tree. The equality predicates
+    reach the scan (partition pruning when the fact table is stored
+    partitioned by package — asserted for the parquet path in
+    test_plans.py); here they prune at the parse projection."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_demo_tree")
+    _write_demo_tree(root)
+    fact = build_fact_table(spark, root)
+    return point_lookup(fact, "sql", "BenchmarkScan1000_Cockroach-16")

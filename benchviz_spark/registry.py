@@ -82,9 +82,11 @@ _QUERY_MODULES = (
 # re-proved this round leaves 42: the dedup/embedding/quality/sample/
 # similarity/stream r08 rows, the q2/q4/q6/q7/q13/q14/q19 relational
 # rows, substring decontam, curation pipeline/mixture, layout_zorder,
-# interarrival/interpolated/linear-attribution events rows), which
-# queue behind any r13 additions and are covered meanwhile by
-# PARITY_LOCAL.json + tests/test_oracle_parity.py.
+# interarrival/interpolated/linear-attribution events rows), LED by
+# the two post-window r13 additions (bench_log_regressions,
+# bench_log_point_lookup — full golden oracles, never driver-checked);
+# all covered meanwhile by PARITY_LOCAL.json +
+# tests/test_oracle_parity.py.
 _WINDOW = (
     "multimodal_jpeg_features",
     "dedup_jpeg_dhash_fingerprints",

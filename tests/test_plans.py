@@ -511,3 +511,42 @@ def test_nearest_asof_single_shuffle(spark):
     assert len(shuffles) == 1, plan
     # and the two frames fused into a single Window node
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, plan
+
+
+def test_serving_json_single_aggregation_no_collect(spark):
+    """r13 serving tier: the per-test JSON documents are assembled by
+    exactly one hash-aggregation keyed (package, test_name) — the Go
+    rendering (sort_array over entry strings) must not introduce a
+    second shuffle or a sort-based aggregate, and nothing collects to
+    the driver (the plan is a pure DataFrame tree)."""
+    from benchviz_spark.pipeline import serving_per_test_json
+
+    df = serving_per_test_json(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # exactly one partial+final pair for the document assembly (the
+    # collect_list rides ObjectHashAggregate), stacked on the ingest's
+    # own LWW window exchange and the output orderBy — nothing more
+    assert plan.count("ObjectHashAggregate (") == 2, plan
+    assert plan.count("Exchange (") <= 3, plan
+    assert "SortAggregate" not in plan, plan
+    assert "CollectLimit" not in plan, plan
+
+
+def test_serving_listing_window_is_catalog_bounded(spark):
+    """The O3/O4 position column rides ONE global window over the
+    DISTINCT (package, test) catalog — the window's input must be the
+    post-aggregation catalog (thousands of rows at any corpus size),
+    never the raw fact rows."""
+    from benchviz_spark.pipeline import serving_catalog_listing
+
+    df = serving_catalog_listing(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # two windows total: the ingest's LWW dedup + the ONE global
+    # position window (tree-view occurrences)
+    assert plan.count("Window (") == 2, plan
+    # the catalog distinct-aggregation exists, and the window sees its
+    # output: the single-partition exchange feeding the global sort is
+    # the only exchange above the distinct's own
+    assert "HashAggregate" in plan, plan
+    assert "SinglePartition" in plan, plan
+    assert "CartesianProduct" not in plan, plan
