@@ -146,6 +146,14 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     # curated-chain hint (the flagged-set anti-join) as in every
     # curation consumer; the order window is PARTITIONED by shard
     "curation_curriculum_order": {"documents"},
+    # incremental admission: the broadcast sides are the standing
+    # corpus's FIXED ~8 KiB Bloom bitset (1-row map aggregate — the
+    # same bounded artifact as dedup_incremental_new_docs) plus the
+    # decontam chain's eval-carve-bounded hints inherited through
+    # _incremental_gated. (Missed when the query landed late in r12 —
+    # the first committed full-suite record, scripts/pytest_record.py,
+    # caught the gap.)
+    "curation_incremental_batch": {"documents"},
 }
 
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
@@ -155,6 +163,11 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # table is <= ~sqrt(2N) rows (~4.5M at 1e13 tokens) — a bounded
     # single-task cumsum, NOT the vocabulary (the stats_zipf_fit lesson)
     "text_vocab_coverage",
+    # the O3/O4 position column: ONE global row_number over the
+    # DISTINCT (package, test) catalog — catalog-bounded (thousands of
+    # rows at any corpus size), asserted post-aggregation in
+    # tests/test_plans.py::test_serving_listing_window_is_catalog_bounded
+    "serving_catalog_listing",
 }
 
 # Streaming queries execute an availableNow drain inside the callable;
