@@ -183,3 +183,20 @@ def test_incremental_admission_cost_is_batch_driven():
     assert rec["batch_docs"] == 2500
     assert rec["fixed_batch_ratio"] <= 3.0, rec
     assert rec["admitted_rows"]["incr10x"] == rec["admitted_rows"]["sf0.1"], rec
+
+
+def test_knn_high_recall_profile_buys_recall():
+    """r13 decision record (SCALE.md): the opt-in
+    SPARK_GRAFT_KNN_PROFILE=high_recall config must MEASURABLY buy
+    recall over the default on the same 10x corpus — a knob that costs
+    x2+ wall and delivers no recall would be a trap. Committed by
+    scripts/knn_profile_probe.py beside the default's recall record."""
+    path = os.path.join(REPO, ".benchmarks", "knn_recall_sf1x.json")
+    with open(path) as fh:
+        rec = json.load(fh)
+    entry = rec["similarity_knn_graph_high_recall"]
+    default_same_session = entry["recall_at_k_default_same_session"]
+    assert entry["recall_at_k"] >= 0.7, entry
+    assert entry["recall_at_k"] > default_same_session, entry
+    # and the default's committed floor still holds
+    assert rec["similarity_knn_graph"]["recall_at_k"] >= 0.6
