@@ -60,84 +60,80 @@ _QUERY_MODULES = (
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
 #
-# Round-13 window, honoring the r12 commitment (registry.py@96eadca +
-# VERDICT r12 #2/#4): (a) every never-driver-checked full-oracle query
-# leads — the three r12 additions (the JPEG tier and incremental
-# curation admission) plus the three NEW r13 serving queries that
-# expose the reference's S4/S5 sinks and O3/O4 orderings through the
-# driver gate (pipeline.py, golden VALUES oracles — the last §2
-# operators whose only evidence was pytest); then (b) the ENTIRE r07
-# tier — all 41 rows whose newest driver evidence dates to r07 —
-# emptying the oldest evidence tier exactly as r11/r12 emptied r05/r06;
-# then (c) the three family-contract anchors (bench_log_pipeline,
-# asof, compare) whose r11 evidence goes stale the moment the r13
-# record lands (tests/test_contract.py exempts only families with
-# evidence at most one round old). The five partial-oracle estimator
-# rows are NOT re-spent: they earned their honest rows-only driver
-# record in r12 (CORRECTNESS_r12.json err=no_oracle with spark_rows)
-# and re-running them buys no new information — the committed local
-# replica hash-checks their replayable columns every round.
+# Round-14 window. The r13 commitment assumed the driver's r13 oracle
+# pass would land; it never did (CORRECTNESS_r13.json was not produced
+# — VERDICT r13 header), so the six r13 leaders are STILL
+# never-driver-checked and keep their slots rather than losing them
+# unproven. Layout: (a) the two post-r13-window additions
+# (bench_log_regressions, bench_log_point_lookup — full golden
+# oracles, never checked) lead as committed at registry.py@49db78b;
+# (b) the six r13-window leaders (JPEG tier, incremental admission,
+# serving trio) retained for the same reason; (c) 42 of the 43 rows
+# whose newest driver evidence dates to r08 — the full tier minus
+# asof_purchase_nearest_view, which the r13 plan already counted as
+# spent on an anchor slot and which now rotates in r15 instead,
+# together with the family anchors (skew_, compare_,
+# bench_log_pipeline: all r11-fresh today, stale the moment an r14
+# record lands). The five partial-oracle estimator rows are NOT
+# re-spent (rows-only record earned in r12; the committed local
+# replica hash-checks their replayable columns every round).
 #
-# r14 commitment: the r08 tier (43 rows — asof_purchase_nearest_view
-# re-proved this round leaves 42: the dedup/embedding/quality/sample/
-# similarity/stream r08 rows, the q2/q4/q6/q7/q13/q14/q19 relational
-# rows, substring decontam, curation pipeline/mixture, layout_zorder,
-# interarrival/interpolated/linear-attribution events rows), LED by
-# the two post-window r13 additions (bench_log_regressions,
-# bench_log_point_lookup — full golden oracles, never driver-checked);
-# all covered meanwhile by PARITY_LOCAL.json +
+# r15 commitment: the remaining r08 row (asof_purchase_nearest_view),
+# the family anchors above, any r14 registry additions
+# (curation_incremental_batch_indexed and successors), then the oldest
+# remaining tier (r09); all covered meanwhile by PARITY_LOCAL.json +
 # tests/test_oracle_parity.py.
 _WINDOW = (
+    "bench_log_regressions",
+    "bench_log_point_lookup",
     "multimodal_jpeg_features",
     "dedup_jpeg_dhash_fingerprints",
     "curation_incremental_batch",
     "serving_per_test_json",
     "serving_catalog_json",
     "serving_catalog_listing",
-    "decontam_clean_corpus",
-    "decontam_clean_corpus_strict",
-    "decontam_fuzzy_eval_pairs",
-    "dedup_levenshtein_pairs",
-    "dedup_simhash_fingerprints",
-    "events_daily_delta",
-    "events_enriched_user_segment",
-    "events_funnel_view_click_purchase",
-    "events_gap_filled_hourly",
-    "events_latest_user_state",
-    "events_multires_rollup",
-    "events_purchase_view_pairs",
-    "events_retention_cohorts",
-    "events_rolling_median_daily",
-    "events_sliding_hourly_halfhour",
-    "events_tumbling_hourly",
-    "events_type_transitions",
-    "events_value_anomalies",
-    "explode_user_type_matrix",
-    "full_outer_join_daily_type_counts",
-    "json_props_extraction",
-    "multimodal_decode_dims",
-    "multimodal_frame_sample",
-    "quality_length_histogram",
-    "quality_table_fingerprints",
-    "sample_weighted_mix",
-    "similarity_exact_topk",
-    "skew_salted_type_totals",
-    "stats_ks_purchase_vs_click",
-    "stats_moments_by_returnflag",
-    "stats_source_term_divergence",
-    "stats_winsorized_prices",
-    "text_boilerplate_ngrams",
-    "text_chunk_documents",
-    "text_fingerprints",
-    "text_pack_sequences",
-    "text_quality_scores",
-    "text_term_frequency",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "window_price_quartiles",
-    "bench_log_pipeline",
-    "asof_purchase_nearest_view",
-    "compare_event_type_series",
+    "curation_mixture_report",
+    "curation_pipeline",
+    "decontam_substring_hits",
+    "decontam_substring_hits_strided",
+    "dedup_band_occupancy",
+    "dedup_cluster_representatives",
+    "dedup_containment_pairs",
+    "dedup_incremental_new_docs",
+    "dedup_survivorship_report",
+    "embedding_dim_correlation",
+    "embedding_integrity_profile",
+    "embedding_truncation_fidelity",
+    "events_interarrival_stats",
+    "events_interpolated_hourly",
+    "events_linear_attribution",
+    "join_bloom_prefilter_building",
+    "layout_zorder_events",
+    "multimodal_quantization_error",
+    "multimodal_resize_stats",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_revenue",
+    "q2_cheapest_part_per_brand",
+    "q4_priority_order_counts",
+    "q6_forecast_revenue",
+    "q7_bilateral_nation_revenue",
+    "quality_char_entropy",
+    "quality_gopher_rules",
+    "quality_language_consistency",
+    "sample_quality_topk_per_source",
+    "sample_reservoir_per_source",
+    "sample_stratified_exact_k",
+    "similarity_ann_ivf_topk_iter2",
+    "similarity_ann_lsh_topk",
+    "similarity_range_search",
+    "sketch_user_overlap_exact",
+    "stats_value_psi",
+    "stream_dedup_events",
+    "stream_quality_gopher_gate",
+    "subquery_above_avg_orders",
+    "text_ngram_novelty",
+    "text_vocab_coverage",
 )
 
 # Window slots whose driver check is rows-only BY DESIGN: their
