@@ -170,9 +170,17 @@ def confirm_regressions(
     either (VERDICT r12 #6: the r12 run's 8 "reproduced" flags all
     re-timed during a 15-min loadavg-6.75 session and every one later
     measured at baseline under low load, threshold A/B'd —
-    .benchmarks/bisect_broadcast_r13.json). Such flags are suppressed
-    from the published list; the per-flag load is committed beside the
-    re-time in the adjudication trail so the suppression is auditable."""
+    .benchmarks/bisect_broadcast_r13.json). But a loaded re-time is
+    equally uninformative in the other direction (ADVICE r13): it
+    cannot EXONERATE a reproduced slowdown either, so such a flag
+    stays in the published list at its PROVISIONAL ratio, annotated
+    ``(retime-loaded)`` — like a failed re-time, not like a healthy
+    one. Only a loaded re-time that comes back FAST exonerates: load
+    only ever inflates a wall, so a fast-under-load second run is
+    genuine evidence of health. The per-flag load (max of the 1-min
+    average sampled before and after the re-time, covering mid-run
+    load arrival) is committed beside the re-time in the adjudication
+    trail so every kept/dropped decision is auditable."""
     history = history or {}
     retime_loads = retime_loads or {}
     out = []
@@ -186,8 +194,11 @@ def confirm_regressions(
         elif _is_regression(re_sec, prev, hist):
             load = retime_loads.get(name)
             if load is not None and load > LOADAVG_FLAG_MAX:
-                continue  # loaded re-time: recorded in trail, never published
-            out.append(f"{name} x{re_sec / prev:.1f}")
+                # reproduced, but under co-tenant load: keep the
+                # provisional flag, explicitly marked unadjudicated
+                out.append(f"{label} (retime-loaded)")
+            else:
+                out.append(f"{name} x{re_sec / prev:.1f}")
     return sorted(out)
 
 
@@ -284,15 +295,21 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         clear_caches()
-        # loadavg AT the re-time moment, not the run's start: the r12
-        # session started at 1-min load 2.99 (under the bound) but ran
-        # 15-min load 6.75 throughout, so its re-times confirmed under
-        # exactly the co-tenant pressure the whole-run gate exists for.
-        try:
-            with open("/proc/loadavg") as lf:
-                retime_loads[name] = float(lf.read().split()[0])
-        except OSError:
-            retime_loads[name] = None
+        # loadavg AT the re-time, not the run's start: the r12 session
+        # started at 1-min load 2.99 (under the bound) but ran 15-min
+        # load 6.75 throughout, so its re-times confirmed under exactly
+        # the co-tenant pressure the whole-run gate exists for. Sampled
+        # BEFORE and AFTER, gated on the max (ADVICE r13): the stale
+        # 1-min average at start misses load arriving mid-re-time, and
+        # the post-run average covers the measured interval itself.
+        def _load_1m() -> float | None:
+            try:
+                with open("/proc/loadavg") as lf:
+                    return float(lf.read().split()[0])
+            except OSError:
+                return None
+
+        load_before = _load_1m()
         t0 = time.perf_counter()
         try:
             queries[name](spark, SF_DIR).write.format("noop").mode(
@@ -302,6 +319,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - a failed re-time keeps the flag
             print(f"bench: retime {name} FAILED: {exc}", file=sys.stderr)
             retimes[name] = None
+        load_after = _load_1m()
+        samples = [x for x in (load_before, load_after) if x is not None]
+        retime_loads[name] = max(samples) if samples else None
     regressions = confirm_regressions(
         provisional, retimes, previous, history, retime_loads
     )
@@ -314,10 +334,16 @@ def main() -> None:
         if sec is not None
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
+    from benchviz_spark.operators.similarity import knn_profile
+
     record = {
         "sf": sf,
         "total_sec": round(total, 3),
         "loadavg": loadavg,
+        # which k-NN recall profile produced the knn rows (ADVICE r13:
+        # records must be self-describing — the profile changes both
+        # the Spark plan and the oracle)
+        "knn_profile": knn_profile(),
         "queries": timings,
         "history": new_history,
     }

@@ -871,12 +871,28 @@ _KNN_PROBES_SQL = "greatest(2, (nb.bits + 1) // 2)"
 # Spark plan and the DuckDB oracle derive their pair-bit window from
 # this one constant, so the hash check replays whichever profile is
 # active. Pairs come from the q1 - _KNN_PAIR_SPAN most marginal bits.
-_KNN_PROFILE = os.environ.get("SPARK_GRAFT_KNN_PROFILE", "balanced")
-if _KNN_PROFILE not in ("balanced", "high_recall"):
-    raise ValueError(
-        f"SPARK_GRAFT_KNN_PROFILE={_KNN_PROFILE!r}: "
-        "expected 'balanced' or 'high_recall'"
-    )
+def knn_profile() -> str:
+    """Resolve the active k-NN recall profile from the environment,
+    warn-and-default on an unexpected value (ADVICE r13): the profile
+    is read when this module registers its queries, and a typo'd env
+    var must degrade to the safe default with a visible warning — not
+    abort every entrypoint (driver run, bench, tests) at import.
+    Bench/parity records stamp this value so artifacts are
+    self-describing about which profile produced them."""
+    prof = os.environ.get("SPARK_GRAFT_KNN_PROFILE", "balanced")
+    if prof not in ("balanced", "high_recall"):
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_KNN_PROFILE={prof!r}: expected 'balanced' or"
+            " 'high_recall'; using 'balanced'",
+            stacklevel=2,
+        )
+        return "balanced"
+    return prof
+
+
+_KNN_PROFILE = knn_profile()
 _KNN_PAIR_SPAN = 1 if _KNN_PROFILE == "high_recall" else 2
 
 

@@ -80,9 +80,15 @@ def main() -> None:
         status = entry["err"] or "ok"
         print(f"{name}: {status}", file=sys.stderr)
 
+    from benchviz_spark.operators.similarity import knn_profile
+
     out = os.path.join(REPO, "PARITY_LOCAL.json")
     with open(out, "w") as fh:
-        json.dump({"sf_dir": SF_DIR, "queries": report}, fh, indent=1)
+        json.dump(
+            {"sf_dir": SF_DIR, "knn_profile": knn_profile(), "queries": report},
+            fh,
+            indent=1,
+        )
         fh.write("\n")
     n_ok = sum(1 for e in report.values() if e["values_match"])
     n_no = sum(1 for e in report.values() if e["err"] == "no_oracle")

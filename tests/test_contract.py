@@ -140,16 +140,24 @@ def test_bench_loaded_retime_cannot_confirm():
     at baseline once the host was quiet (threshold A/B in
     .benchmarks/bisect_broadcast_r13.json). A re-time executed above
     LOADAVG_FLAG_MAX is recorded in the adjudication trail but can no
-    longer CONFIRM a flag — the same bound that suppresses whole runs."""
+    longer CONFIRM a flag — and per ADVICE r13 it cannot EXONERATE a
+    reproduced slowdown either: the flag survives at its provisional
+    ratio, marked (retime-loaded), exactly like a failed re-time."""
     from bench import LOADAVG_FLAG_MAX, confirm_regressions, find_regressions
 
     hist = {"q": [2.0, 2.05, 1.95, 2.0, 2.1]}
     old = {"q": 2.0}
     provisional = find_regressions({"q": 6.6}, old, hist, loadavg_1m=3.0)
     assert provisional == ["q x3.3"]
-    # Reproducing re-time under a LOADED host -> suppressed, not published.
+    # Reproducing re-time under a LOADED host -> kept provisional,
+    # annotated: co-tenant load is never a one-way flag-killing path.
     loaded = {"q": LOADAVG_FLAG_MAX + 2.75}
-    assert confirm_regressions(provisional, {"q": 6.2}, old, hist, loaded) == []
+    assert confirm_regressions(provisional, {"q": 6.2}, old, hist, loaded) == [
+        "q x3.3 (retime-loaded)"
+    ]
+    # A FAST re-time under load still exonerates: load only inflates,
+    # so a healthy wall under pressure is genuine evidence of health.
+    assert confirm_regressions(provisional, {"q": 2.05}, old, hist, loaded) == []
     # Same reproducing re-time on a quiet host -> still flagged.
     quiet = {"q": 0.4}
     assert (
