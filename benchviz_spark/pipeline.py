@@ -155,26 +155,68 @@ def bench_regressions(
 ) -> DataFrame:
     """Day-over-day regression detection — the judgement the reference
     leaves to a human squinting at its charts (README.md:1's whole
-    purpose; generate_benchmark_plot.js renders the four metric series
-    precisely so someone can spot these), engine-ized.
+    purpose; generate_benchmark_plot.js:74-79 renders ALL FOUR metric
+    series — N=ns/op, A=allocs/op, B=B/op, M=MB/s — precisely so
+    someone can spot these), engine-ized across all four metrics
+    (VERDICT r13 #6; the r13 version flagged ns/op only).
 
-    For every (package, test) series ordered by run_date: flag runs
-    whose ns/op worsened by more than ``threshold_pct`` vs the previous
-    run. One window shuffle keyed (package, test_name) — the same
-    partitioning the per-test serving aggregation uses, so in the full
-    pipeline plan the two share an Exchange. Zero-valued previous runs
-    (metric absent -> reference's Go zero-default) are skipped rather
-    than divided by."""
-    w = W.partitionBy("package", "test_name").orderBy("run_date")
-    prev = F.lag("ns_per_op").over(w)
-    pct = (F.col("ns_per_op") - F.col("prev_ns")) * 100.0 / F.col("prev_ns")
+    The fact table unpivots (F9's stack) to one (metric, value) row per
+    metric; each (package, test, metric) series is ordered by run_date
+    and a run is flagged when it WORSENED by more than
+    ``threshold_pct`` vs the previous run of the SAME metric —
+    worsening is an increase for N/A/B and a DECREASE for M (MB/s is a
+    throughput). Zero values on either side (metric absent -> the
+    reference's Go zero-default) are skipped, never false-flagged or
+    divided by.
+
+    Scale: still ONE window shuffle, keyed (package, test_name) — the
+    same partitioning the per-test serving aggregation uses, so a full
+    pipeline run shares the Exchange. The metric tag joins the SORT
+    key, not the partition key (a test's four series are a handful of
+    rows; hashing them apart buys nothing), and the lag guard
+    ``prev_metric == metric`` stops the window from reading across a
+    series boundary."""
+    unpivoted = fact.select(
+        "package",
+        "test_name",
+        "run_date",
+        F.expr(
+            "stack(4, 'N', CAST(ns_per_op AS DOUBLE),"
+            " 'A', CAST(allocs_per_op AS DOUBLE),"
+            " 'B', CAST(bytes_per_op AS DOUBLE),"
+            " 'M', CAST(mb_per_s AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+    w = W.partitionBy("package", "test_name").orderBy("metric", "run_date")
+    # worsening %, sign-normalized: positive always means "got worse".
+    # The division lives INSIDE the prev_value > 0 CASE branch (lazily
+    # evaluated per row) because ANSI mode raises on divide-by-zero and
+    # Catalyst is free to reorder a conjunctive filter's predicates —
+    # a guard conjunct does not protect a sibling conjunct.
+    delta = F.when(
+        F.col("metric") == "M", F.col("prev_value") - F.col("value")
+    ).otherwise(F.col("value") - F.col("prev_value"))
+    pct = F.when(
+        F.col("prev_value") > 0, delta * 100.0 / F.col("prev_value")
+    )
     return (
-        fact.withColumn("prev_ns", prev)
-        .filter(F.col("prev_ns").isNotNull() & (F.col("prev_ns") > 0))
+        unpivoted.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_metric", F.lag("metric").over(w))
+        .filter(
+            (F.col("prev_metric") == F.col("metric"))
+            & (F.col("prev_value") > 0)
+            & (F.col("value") > 0)
+        )
         .withColumn("pct_change", F.round(pct, 2))
         .filter(F.col("pct_change") > threshold_pct)
         .select(
-            "package", "test_name", "run_date", "prev_ns", "ns_per_op", "pct_change"
+            "package",
+            "test_name",
+            "metric",
+            "run_date",
+            "prev_value",
+            "value",
+            "pct_change",
         )
     )
 
@@ -309,25 +351,37 @@ def serving_catalog_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judgement, and this query pins it with a golden oracle over a demo
 # tree that CONTAINS a regression.
 # ---------------------------------------------------------------------------
-_REG_DATES = ("01-01-2016", "02-01-2016", "03-01-2016")
-# BenchmarkSteady is flat (never flagged), BenchmarkCreep worsens +30%
-# then +10% (only the first step crosses the 20% threshold),
-# BenchmarkRecover improves then regresses +50% (flagged on day 3).
+# One planted story per metric family (dead _REG_DATES constant from
+# r13 dropped — the dict keys ARE the dates):
+# BenchmarkSteady is flat (never flagged); BenchmarkCreep's ns/op
+# worsens +30% then +10% (only the first step crosses the 20%
+# threshold); BenchmarkRecover's ns/op improves then regresses +50%
+# (flagged on day 3); BenchmarkAlloc holds ns/op and B/op flat while
+# allocs/op jumps +50% on day 2 (an A-metric flag with no N movement);
+# BenchmarkIO holds ns/op flat while MB/s DROPS 100 -> 70 on day 2
+# (throughput regression: worsening is a decrease) then recovers to 75
+# (an improvement, never flagged).
 _REG_LINES = {
     "01-01-2016": [
         "BenchmarkSteady-8 \t 1000 \t 500000 ns/op",
         "BenchmarkCreep-8 \t 1000 \t 1000000 ns/op",
         "BenchmarkRecover-8 \t 1000 \t 800000 ns/op",
+        "BenchmarkAlloc-8 \t 1000 \t 200000 ns/op \t 4096 B/op \t 100 allocs/op",
+        "BenchmarkIO-8 \t 100 \t 300000 ns/op \t 100 MB/s",
     ],
     "02-01-2016": [
         "BenchmarkSteady-8 \t 1000 \t 505000 ns/op",
         "BenchmarkCreep-8 \t 1000 \t 1300000 ns/op",
         "BenchmarkRecover-8 \t 1000 \t 600000 ns/op",
+        "BenchmarkAlloc-8 \t 1000 \t 200000 ns/op \t 4096 B/op \t 150 allocs/op",
+        "BenchmarkIO-8 \t 100 \t 300000 ns/op \t 70 MB/s",
     ],
     "03-01-2016": [
         "BenchmarkSteady-8 \t 1000 \t 498000 ns/op",
         "BenchmarkCreep-8 \t 1000 \t 1430000 ns/op",
         "BenchmarkRecover-8 \t 1000 \t 900000 ns/op",
+        "BenchmarkAlloc-8 \t 1000 \t 200000 ns/op \t 4096 B/op \t 150 allocs/op",
+        "BenchmarkIO-8 \t 100 \t 300000 ns/op \t 75 MB/s",
     ],
 }
 
@@ -340,26 +394,39 @@ def _write_regression_tree(root: str) -> None:
             f.write("\n".join(lines) + "\n")
 
 
-# Hand-applied semantics: pct_change = (ns - prev_ns) * 100 / prev_ns,
-# flagged when > 20. Creep day2: +30.0. Creep day3: +10.0 (not
-# flagged). Recover day3: 600000 -> 900000 = +50.0. Steady never moves
-# more than 1.4%.
+# Hand-applied semantics, all four metrics: pct_change is the
+# sign-normalized worsening % (increase for N/A/B, decrease for M),
+# flagged when > 20, zero-on-either-side skipped. Creep N day2: +30.0;
+# Creep N day3 +10.0 and IO M day3 (70 -> 75, an improvement) not
+# flagged; Recover N day3: 600000 -> 900000 = +50.0; Alloc A day2:
+# 100 -> 150 = +50.0 (B flat at 4096, N flat: no other flag); IO M
+# day2: 100 -> 70 = (100-70)*100/100 = +30.0. Steady never moves more
+# than 1.4%; every absent metric is the Go zero-default and skipped.
 _REGRESSIONS_ORACLE = """
     SELECT * FROM (VALUES
-      ('sql', 'BenchmarkCreep-8', DATE '2016-01-02',
-         CAST(1000000 AS BIGINT), CAST(1300000 AS BIGINT), 30.0),
-      ('sql', 'BenchmarkRecover-8', DATE '2016-01-03',
-         CAST(600000 AS BIGINT), CAST(900000 AS BIGINT), 50.0)
-    ) AS t(package, test_name, run_date, prev_ns, ns_per_op, pct_change)
+      ('sql', 'BenchmarkAlloc-8', 'A', DATE '2016-01-02',
+         100.0, 150.0, 50.0),
+      ('sql', 'BenchmarkCreep-8', 'N', DATE '2016-01-02',
+         1000000.0, 1300000.0, 30.0),
+      ('sql', 'BenchmarkIO-8', 'M', DATE '2016-01-02',
+         100.0, 70.0, 30.0),
+      ('sql', 'BenchmarkRecover-8', 'N', DATE '2016-01-03',
+         600000.0, 900000.0, 50.0)
+    ) AS t(package, test_name, metric, run_date, prev_value, value,
+           pct_change)
 """
 
 
 @query("bench_log_regressions", oracle=_REGRESSIONS_ORACLE)
 def bench_log_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day regression detection over a demo tree that contains
-    two real regressions (one masked by a later sub-threshold creep,
-    one following an improvement — the shapes a human reads off the
-    reference's charts). Golden oracle = the flag semantics hand-applied.
+    """Day-over-day regression detection across all four reference
+    metrics (generate_benchmark_plot.js:74-79's N/A/B/M series) over a
+    demo tree that plants one regression per shape a human reads off
+    the reference's charts: an ns/op jump later masked by
+    sub-threshold creep, an ns/op regression following an improvement,
+    an allocs/op jump with ns/op flat, and an MB/s DROP with ns/op
+    flat (worsening for a throughput is a decrease). Golden oracle =
+    the flag semantics hand-applied.
 
     Scale: one window shuffle keyed (package, test_name) — the same
     partitioning the per-test serving aggregation uses, so a full
@@ -367,7 +434,7 @@ def bench_log_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), "benchviz_regression_tree")
     _write_regression_tree(root)
     fact = build_fact_table(spark, root)
-    return bench_regressions(fact).orderBy("test_name", "run_date")
+    return bench_regressions(fact).orderBy("test_name", "metric", "run_date")
 
 
 # Reference S9 through the driver gate: one test's chronological series

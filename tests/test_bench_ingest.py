@@ -308,9 +308,33 @@ def test_bench_regressions_flags_only_real_jumps(spark, regression_tree):
     assert len(rows) == 1
     r = rows[0]
     assert r.test_name == "BenchmarkHot-8"
-    assert r.prev_ns == 100 and r.ns_per_op == 150
+    assert r.metric == "N"
+    assert r.prev_value == 100.0 and r.value == 150.0
     assert r.pct_change == 50.0
     assert r.run_date.isoformat() == "2015-01-02"
+
+
+def test_bench_regressions_covers_all_four_metrics(spark, tmp_path):
+    """VERDICT r13 #6: A/B/M series are watched too, and MB/s flags on
+    a DECREASE (throughput) while a same-size increase passes."""
+    from benchviz_spark.pipeline import bench_regressions
+
+    root = str(tmp_path / "allMetrics")
+    _write(root, "01-01-2015", "sql", "m.test.stdout",
+           ["BenchmarkM-8 \t 10 \t 100 ns/op \t 1000 B/op \t 10 allocs/op \t 50 MB/s"])
+    _write(root, "02-01-2015", "sql", "m.test.stdout",
+           # B/op +100% (flag B), allocs flat, ns flat, MB/s +100%
+           # (throughput IMPROVED -> no M flag)
+           ["BenchmarkM-8 \t 10 \t 100 ns/op \t 2000 B/op \t 10 allocs/op \t 100 MB/s"])
+    _write(root, "03-01-2015", "sql", "m.test.stdout",
+           # MB/s halves -> M worsening +50% (flag M); others flat
+           ["BenchmarkM-8 \t 10 \t 100 ns/op \t 2000 B/op \t 10 allocs/op \t 50 MB/s"])
+    fact = build_fact_table(spark, root)
+    rows = bench_regressions(fact, threshold_pct=20.0).orderBy("run_date").collect()
+    assert [(r.metric, r.run_date.isoformat(), r.pct_change) for r in rows] == [
+        ("B", "2015-01-02", 100.0),
+        ("M", "2015-01-03", 50.0),
+    ]
 
 
 def test_ingest_via_filesystem_uri(spark, sample_tree):
