@@ -1383,3 +1383,265 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_split(delta).select(
         "doc_id", "lang", "source", "n_chars", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# Durable standing-corpus admission index (VERDICT r13 #2). The
+# in-session ``curation_incremental_batch`` rebuilds every
+# corpus-sized structure per ingest — measured as the x1.61 residual
+# of the fixed-batch 10x probe (incremental_admission_10x.json). This
+# is the index a production lake materializes ONCE per standing-corpus
+# epoch, after which every ingest's cost is sized by the batch alone:
+#
+#   {prefix}_eval_grams  distinct eval-split n-grams (decontam's
+#                        standing asset; broadcast side of the batch
+#                        contamination join)
+#   {prefix}_fps         standing curated (doc_id, fp), bucketed by fp
+#                        (exact-tier anti-join side: only the bloom-
+#                        positive batch rows shuffle, the corpus side
+#                        is read co-located)
+#   {prefix}_bands       standing curated (doc_id, band, bucket),
+#                        bucketed by (band, bucket) (LSH posting list:
+#                        the batch's bands shuffle to it, the corpus
+#                        postings never move)
+#   {prefix}_shingles    standing curated (doc_id, hs), bucketed by
+#                        doc_id (exact-Jaccard verification side, read
+#                        only for band-colliding old_ids)
+#   {prefix}_bloom       the ~8 KiB bloom bitset over standing fps,
+#                        one row, broadcast per ingest
+#
+# Bucketing follows serving/lake.py's proven saveAsTable pattern
+# (Spark honors bucket metadata only through the catalog).
+# ---------------------------------------------------------------------------
+
+_ADMISSION_PARTS = ("eval_grams", "fps", "bands", "shingles", "bloom")
+
+
+def admission_index_names(prefix: str = "admission") -> dict[str, str]:
+    return {part: f"{prefix}_{part}" for part in _ADMISSION_PARTS}
+
+
+def build_admission_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "admission",
+    n_buckets: int = 8,
+) -> dict[str, str]:
+    """Materialize the standing-corpus admission index (one-time cost,
+    amortized over every subsequent ingest). ``n_buckets`` sizes the
+    bucketed tables; at 100 TB it tracks the cluster's target
+    partition count (thousands), here it matches the test fleet."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from benchviz_spark.operators.dedup import (
+        _INCR_SEEN_RE,
+        band_buckets,
+        hashed_shingled_documents,
+        shingled_documents,
+    )
+    from benchviz_spark.operators.relational_ext import bloom_bitmap
+
+    names = admission_index_names(prefix)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # Decontam's standing asset: the eval suite is a fixed lake-wide
+    # carve (eval_split over doc_id), independent of which sources have
+    # been ingested, so its gram set is index-time state.
+    ev = (
+        shingled_documents(
+            spark, sf_dir, n=NGRAM, docs=docs.filter(eval_split(F.col("doc_id")))
+        )
+        .filter(F.size("shingles") > 0)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    ev.write.mode("overwrite").saveAsTable(names["eval_grams"])
+
+    # Standing curated survivors: identical gates + exact dedup to
+    # incremental_base_corpus (lowest doc_id per fingerprint wins).
+    standing_gated = _incremental_gated(spark, sf_dir).filter(
+        F.col("source").rlike(_INCR_SEEN_RE)
+    )
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    curated = (
+        standing_gated.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+    curated.write.mode("overwrite").bucketBy(n_buckets, "fp").saveAsTable(
+        names["fps"]
+    )
+
+    curated_ids = spark.table(names["fps"]).select("doc_id")
+    standing_docs = docs.join(curated_ids, "doc_id", "left_semi")
+    band_buckets(spark, sf_dir, docs=standing_docs).write.mode(
+        "overwrite"
+    ).bucketBy(n_buckets, "band", "bucket").saveAsTable(names["bands"])
+    hashed_shingled_documents(spark, sf_dir, docs=standing_docs).write.mode(
+        "overwrite"
+    ).bucketBy(n_buckets, "doc_id").saveAsTable(names["shingles"])
+
+    bloom_bitmap(
+        spark.table(names["fps"]).select(F.xxhash64("fp").alias("pk")), "pk"
+    ).write.mode("overwrite").saveAsTable(names["bloom"])
+    return names
+
+
+def incremental_batch_indexed(
+    spark: SparkSession, sf_dir: str, prefix: str = "admission"
+) -> DataFrame:
+    """``curation_incremental_batch`` consuming the DURABLE index
+    instead of rebuilding the standing side in-session: identical
+    admission semantics (same gates, same two dedup tiers, same
+    within-batch components, same splits — equivalence pinned in
+    tests/test_curation.py and by the shared golden oracle), but every
+    per-ingest relation is batch-sized. The only corpus-sized reads
+    are the bucketed index tables, which join WITHOUT moving: the
+    batch side shuffles to the index's bucketing, the corpus side is
+    scanned in place."""
+    from benchviz_spark.operators.dedup import (
+        _INCR_SEEN_RE,
+        band_buckets,
+        hashed_shingled_documents,
+        min_label_components,
+        shingled_documents,
+    )
+    from benchviz_spark.operators.relational_ext import bloom_might_contain
+
+    names = admission_index_names(prefix)
+    docs = load_table(spark, sf_dir, "documents")
+    batch_docs = docs.filter(~F.col("source").rlike(_INCR_SEEN_RE))
+
+    # (1) hygiene gates, batch-sized: eval carve + length are scan
+    # filters; contamination joins the batch's grams against the
+    # broadcast standing eval-gram set (same rounding as
+    # decontam_eval_overlap so the flag boundary is bit-identical).
+    ev = spark.table(names["eval_grams"])
+    sh4 = shingled_documents(spark, sf_dir, n=NGRAM, docs=batch_docs).filter(
+        F.size("shingles") > 0
+    )
+    flagged = (
+        sh4.select(
+            "doc_id",
+            F.size("shingles").cast("long").alias("n_shingles"),
+            F.explode("shingles").alias("g"),
+        )
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_contaminated"))
+        .filter(
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+            >= THRESHOLD
+        )
+        .select("doc_id")
+    )
+    batch = (
+        batch_docs.filter(
+            (~eval_split(F.col("doc_id"))) & (F.col("n_chars") >= MIN_CHARS)
+        )
+        .join(flagged, "doc_id", "left_anti")
+        .withColumn("fp", F.md5(_norm_text(F.col("text"))))
+    )
+
+    # (2) exact tier: broadcast the PERSISTED bloom bitset; only
+    # bloom-positive rows reach the anti join against the fp-bucketed
+    # index (corpus side co-located, batch side shuffles).
+    bitmap = spark.table(names["bloom"])
+    probed = batch.crossJoin(F.broadcast(bitmap)).withColumn(
+        "maybe_seen", bloom_might_contain(F.xxhash64("fp"))
+    )
+    old_fps = spark.table(names["fps"]).select("fp")
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    new_vs_old = probed.filter(~F.col("maybe_seen")).unionByName(
+        probed.filter(F.col("maybe_seen")).join(old_fps, "fp", "left_anti")
+    )
+    b2 = (
+        new_vs_old.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+    # (3) near-dup tier vs the standing corpus: batch bands (batch-
+    # sized minhash) equi-join the (band, bucket)-bucketed postings;
+    # candidates verify by exact Jaccard against the doc_id-bucketed
+    # shingle store — only band-colliding old_ids are ever read.
+    bands_batch = band_buckets(spark, sf_dir, docs=batch_docs)
+    new_b = bands_batch.join(b2.select("doc_id"), "doc_id", "left_semi")
+    old_b = spark.table(names["bands"])
+    cand_old = (
+        new_b.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+        .join(
+            old_b.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_batch = hashed_shingled_documents(spark, sf_dir, docs=batch_docs)
+    left = sh_batch.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("sa"))
+    right = spark.table(names["shingles"]).select(
+        F.col("doc_id").alias("old_id"), F.col("hs").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(
+        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
+    )
+    drop_vs_old = (
+        cand_old.join(left, "new_id")
+        .join(right, "old_id")
+        .filter(jac >= 0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    b3 = b2.join(drop_vs_old, "doc_id", "left_anti")
+
+    # (4) within-batch near-dups: unchanged from the in-session path —
+    # it was always batch-sized.
+    b3_b = bands_batch.join(b3.select("doc_id"), "doc_id", "left_semi")
+    cand_nn = (
+        b3_b.select(F.col("doc_id").alias("left_id"), "band", "bucket")
+        .join(
+            b3_b.select(F.col("doc_id").alias("right_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    lshj = sh_batch.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
+    rshj = sh_batch.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
+    pairs_nn = (
+        cand_nn.join(lshj, "left_id")
+        .join(rshj, "right_id")
+        .filter(jac >= 0.5)
+        .select("left_id", "right_id")
+    )
+    comp = min_label_components(spark, pairs_nn, b3.select("doc_id"))
+    minima = comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    delta = b3.join(minima, "doc_id", "left_semi")
+    return _with_split(delta).select(
+        "doc_id", "lang", "source", "n_chars", "split"
+    )
+
+
+@query("curation_incremental_batch_indexed", oracle=_incremental_oracle())
+def curation_incremental_batch_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental admission THROUGH the durable index: build the
+    standing-corpus index (the one-time epoch cost), then admit the
+    batch against it. Shares ``curation_incremental_batch``'s golden
+    oracle — the driver hash-checks that index-mediated admission
+    reproduces the in-session delta byte-for-byte. The scale story
+    (build once, ingest many) is measured separately by
+    scripts/incremental_admission_probe.py's indexed mode, where the
+    build is excluded and the fixed-batch corpus-x10 ratio must land
+    ~1.0 (vs x1.61 for the in-session rebuild)."""
+    build_admission_index(spark, sf_dir)
+    return incremental_batch_indexed(spark, sf_dir)

@@ -78,15 +78,30 @@ def _shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def shingled_documents(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """documents -> (doc_id, shingles array<string>). Narrow (no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+def shingled_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """documents -> (doc_id, shingles array<string>). Narrow (no shuffle).
+
+    ``docs`` overrides the table scan with a pre-filtered relation —
+    the incremental-admission path shingles ONLY the incoming batch
+    this way (a semi join after the fact would still shingle the whole
+    lake; a filter pushed below the projection is batch-sized work)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     toks = F.split(_norm_text(F.col("text")), " ")
     return docs.select("doc_id", _shingles(toks, n).alias("shingles"))
 
 
 def hashed_shingled_documents(
-    spark: SparkSession, sf_dir: str, n: int = 3, materialize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    materialize: bool = False,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """documents -> (doc_id, hs array<long>): distinct shingles hashed to
     int64 ONCE, scan-side. Every downstream op (postings joins, minhash,
@@ -101,7 +116,7 @@ def hashed_shingled_documents(
     normalize+shingle chain per consumer — measured as the dominant
     cost of the jaccard pair query. Single-consumer callers (minhash)
     leave it lazy and pay no write."""
-    sh = shingled_documents(spark, sf_dir, n)
+    sh = shingled_documents(spark, sf_dir, n, docs=docs)
     out = sh.select(
         "doc_id",
         F.array_distinct(
@@ -286,7 +301,9 @@ def _build_ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding: the 100-TB fuzzy-dedup path.
 # ---------------------------------------------------------------------------
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, m0..m31): 32 minhash values per doc, computed as 32
     ``min()`` aggregates over the exploded shingle postings.
     h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1; operands
@@ -309,7 +326,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and running 32 map-side-combined min() aggregates evaluates
     shingling once and shuffles only 5k x 32 longs.
     """
-    sh = shingled_documents(spark, sf_dir).filter(F.size("shingles") > 0)
+    sh = shingled_documents(spark, sf_dir, docs=docs).filter(
+        F.size("shingles") > 0
+    )
     postings = sh.select("doc_id", F.explode("shingles").alias("s"))
     x = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
     base = F.pmod(x, F.lit(_MERSENNE31))
@@ -320,12 +339,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings.groupBy("doc_id").agg(*mins)
 
 
-def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def band_buckets(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, bucket): every document's N_BANDS LSH bucket
     memberships, keyed by the band's signature rows verbatim. Shared by
     the candidate join and the occupancy monitor so both see the
     identical bucketing."""
-    sig = minhash_signatures(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir, docs=docs)
     bands = [
         F.struct(
             F.lit(i).alias("band"),

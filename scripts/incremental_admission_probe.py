@@ -104,6 +104,32 @@ def main() -> None:
     probe_sec, probe_rows = run(PROBE_DIR)
     print(f"incr10x (standing 10x + SAME batch): {probe_sec}s, {probe_rows} admitted",
           file=sys.stderr)
+
+    # Indexed mode (VERDICT r13 #2): materialize the durable standing
+    # index ONCE per tier (untimed — the one-time epoch cost, recorded
+    # separately), then time the per-ingest consume. This is the
+    # production shape; the fixed-batch ratio here must land ~1.0.
+    from benchviz_spark.operators.curation import (
+        build_admission_index,
+        incremental_batch_indexed,
+    )
+
+    def run_indexed(sf_dir: str, prefix: str) -> tuple[float, float, int]:
+        clear_caches()
+        t0 = time.perf_counter()
+        build_admission_index(spark, sf_dir, prefix=prefix)
+        build_sec = round(time.perf_counter() - t0, 2)
+        clear_caches()
+        t0 = time.perf_counter()
+        n = incremental_batch_indexed(spark, sf_dir, prefix=prefix).count()
+        return build_sec, round(time.perf_counter() - t0, 2), n
+
+    base_build, base_ing, base_rows_ix = run_indexed(BASE_SF, "admission_p1x")
+    print(f"sf0.1 indexed: build {base_build}s, ingest {base_ing}s, "
+          f"{base_rows_ix} admitted", file=sys.stderr)
+    probe_build, probe_ing, probe_rows_ix = run_indexed(PROBE_DIR, "admission_p10x")
+    print(f"incr10x indexed: build {probe_build}s, ingest {probe_ing}s, "
+          f"{probe_rows_ix} admitted", file=sys.stderr)
     try:
         with open("/proc/loadavg") as fh:
             loadavg = [float(x) for x in fh.read().split()[:3]]
@@ -122,6 +148,12 @@ def main() -> None:
         "wall_sec": {"sf0.1": base_sec, "incr10x": probe_sec},
         "fixed_batch_ratio": round(probe_sec / max(base_sec, 1e-3), 2),
         "admitted_rows": {"sf0.1": base_rows, "incr10x": probe_rows},
+        # durable-index mode: build once per epoch (its wall recorded,
+        # NOT part of the ingest ratio), ingest timed alone
+        "index_build_sec": {"sf0.1": base_build, "incr10x": probe_build},
+        "wall_sec_indexed": {"sf0.1": base_ing, "incr10x": probe_ing},
+        "fixed_batch_ratio_indexed": round(probe_ing / max(base_ing, 1e-3), 2),
+        "admitted_rows_indexed": {"sf0.1": base_rows_ix, "incr10x": probe_rows_ix},
         "loadavg": loadavg,
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
@@ -129,6 +161,8 @@ def main() -> None:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps({"fixed_batch_ratio": record["fixed_batch_ratio"],
+                      "fixed_batch_ratio_indexed":
+                          record["fixed_batch_ratio_indexed"],
                       "out": OUT}))
 
 

@@ -132,3 +132,58 @@ def test_curriculum_order_reconciles_with_uniform_order(spark, sf_dir):
         assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
         keys = [(s, d) for _, s, d in rows]
         assert keys == sorted(keys), f"shard {shard} not quality-ordered"
+
+
+def test_indexed_admission_matches_in_session(spark):
+    """VERDICT r13 #2: the durable standing-corpus index path must
+    reproduce the in-session admission delta EXACTLY — same gates,
+    same exact/near-dup tiers, same within-batch components, same
+    splits. Any divergence means corpus state leaked into admission
+    semantics through the index build."""
+    from benchviz_spark.operators.curation import (
+        build_admission_index,
+        curation_incremental_batch,
+        incremental_batch_indexed,
+    )
+
+    base = sorted(
+        map(tuple, curation_incremental_batch(spark, SF_DIR).collect())
+    )
+    build_admission_index(spark, SF_DIR)
+    indexed = sorted(
+        map(tuple, incremental_batch_indexed(spark, SF_DIR).collect())
+    )
+    assert indexed == base
+    assert len(base) > 0  # a trivially-empty delta would prove nothing
+
+
+def test_indexed_admission_reads_corpus_side_from_bucketed_tables(spark):
+    """The point of the index: per-ingest, the corpus side is READ,
+    never recomputed. The consume plan must source the standing bands
+    and shingles from the bucketed catalog tables (their relation
+    names appear as table scans), and the documents scans that remain
+    must all be batch-pruned (every documents read carries the
+    source-regex batch filter, so no corpus-sized document pass
+    survives)."""
+    import io
+    import contextlib
+
+    from benchviz_spark.operators.curation import (
+        admission_index_names,
+        build_admission_index,
+        incremental_batch_indexed,
+    )
+
+    build_admission_index(spark, SF_DIR)
+    df = incremental_batch_indexed(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    names = admission_index_names()
+    for part in ("bands", "shingles", "fps", "bloom", "eval_grams"):
+        assert names[part] in plan, f"index table {names[part]} not scanned"
+    # no un-gated corpus document scan: each documents scan is pushed
+    # the batch predicate (source regex NOT seen) or the eval carve
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "rlike" in analyzed.lower() or "RLIKE" in analyzed
