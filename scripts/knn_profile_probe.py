@@ -55,6 +55,15 @@ def run_one_profile() -> None:
         got = {}
         for r in rows:
             got.setdefault(r.src_id, set()).add(r.nbr_id)
+    # FULL-graph wall, bench-comparable (VERDICT r13 #5): the same
+    # noop-write evaluation bench.py and sf3x_knn_probe.py time, so
+    # the profile's true cost is citable against bench_sf3x_knn.json
+    # (the filtered walls above only time the 50-source evaluation).
+    full_walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, KNN10X).write.format("noop").mode("overwrite").save()
+        full_walls.append(round(time.perf_counter() - t0, 2))
     con = duckdb.connect()
     pq = os.path.join(KNN10X, "embeddings.parquet")
     true_g = exact_topk(con, pq, f"a.vec_id < {SAMPLE_SRC}", K_GRAPH)
@@ -66,6 +75,8 @@ def run_one_profile() -> None:
                 "k": K_GRAPH,
                 "wall_sec_min_of_2": min(walls),
                 "walls": walls,
+                "full_graph_wall_sec_min_of_2": min(full_walls),
+                "full_graph_walls": full_walls,
             }
         )
     )
@@ -102,11 +113,28 @@ def main() -> None:
             hi["wall_sec_min_of_2"] / max(base["wall_sec_min_of_2"], 1e-3), 2
         ),
         "walls": {"balanced": base["walls"], "high_recall": hi["walls"]},
+        # bench-comparable full-graph walls (noop write, the same
+        # evaluation bench_sf3x_knn.json times) — VERDICT r13 #5
+        "full_graph_wall_sec_min_of_2": {
+            "balanced": base["full_graph_wall_sec_min_of_2"],
+            "high_recall": hi["full_graph_wall_sec_min_of_2"],
+        },
+        "full_graph_walls": {
+            "balanced": base["full_graph_walls"],
+            "high_recall": hi["full_graph_walls"],
+        },
+        "full_graph_wall_ratio_vs_default": round(
+            hi["full_graph_wall_sec_min_of_2"]
+            / max(base["full_graph_wall_sec_min_of_2"], 1e-3),
+            2,
+        ),
         "note": (
             "opt-in SPARK_GRAFT_KNN_PROFILE=high_recall (Hamming-2 pairs "
             "from q1-1 marginal bits): committed proof the knob buys "
             "recall, measured same-corpus/same-session-discipline as the "
-            "default's record (r13 decision, SCALE.md)"
+            "default's record (r13 decision, SCALE.md); walls[] time the "
+            "50-source filtered evaluation, full_graph_walls[] the "
+            "bench-comparable noop write of the whole graph"
         ),
     }
     with open(RECORD, "w") as fh:

@@ -26,22 +26,31 @@ def main() -> None:
     except OSError:
         load_before = None
     t0 = time.perf_counter()
+    # -rs: name every skip in the short summary (VERDICT r13 #4 — the
+    # r13 record said "1 skipped" with no skip marker anywhere in
+    # tests/, an unexplained hole; the reasons are now captured into
+    # the record so a skip is always attributable).
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line", "-rs"],
         cwd=REPO,
         capture_output=True,
         text=True,
     )
     wall = round(time.perf_counter() - t0, 1)
-    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    lines = proc.stdout.strip().splitlines()
+    tail = lines[-1] if lines else ""
     counts = {kind: int(n) for n, kind in re.findall(
         r"(\d+) (passed|failed|error|errors|skipped|xfailed|xpassed)", tail
     )}
+    skip_reasons = [
+        ln.strip()[:300] for ln in lines if ln.startswith("SKIPPED")
+    ]
     record = {
         "wall_sec": wall,
         "exit_code": proc.returncode,
         "summary_line": tail[:300],
         "counts": counts,
+        "skip_reasons": skip_reasons,
         "loadavg_before": load_before,
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
