@@ -206,5 +206,16 @@ def test_knn_high_recall_profile_buys_recall():
     default_same_session = entry["recall_at_k_default_same_session"]
     assert entry["recall_at_k"] >= 0.7, entry
     assert entry["recall_at_k"] > default_same_session, entry
+    # r14 (VERDICT r13 #5): the knob's cost must be citable against
+    # bench_sf3x_knn.json — both profiles carry a full-graph
+    # noop-write wall from the same session (the filtered-evaluation
+    # walls swing several-x with GC debt and cannot price the knob).
+    full = entry["full_graph_wall_sec_min_of_2"]
+    assert full["balanced"] > 0 and full["high_recall"] > 0, entry
+    assert entry["full_graph_wall_ratio_vs_default"] >= 1.0, (
+        "high_recall should not be cheaper than balanced on the full "
+        "graph — a lower wall means the record mixed up its profiles",
+        entry,
+    )
     # and the default's committed floor still holds
     assert rec["similarity_knn_graph"]["recall_at_k"] >= 0.6
