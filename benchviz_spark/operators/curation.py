@@ -1283,8 +1283,10 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows reach the exact anti join, so that shuffle is sized by the
     batch dup rate), and the corpus band-posting table is the durable
     LSH index an ingest equi-joins against (bucketed-on-(band, bucket)
-    parquet in production — co-located, shuffle-free on the corpus
-    side; rebuilt in-session here where the test corpus is small). The
+    parquet — no longer just a claim: ``build_admission_index`` below
+    materializes it and ``curation_incremental_batch_indexed`` consumes
+    it, fixed-batch corpus-x10 ingest ratio x1.01 vs this in-session
+    rebuild's x1.56, incremental_admission_10x.json). The
     per-ingest moving state is batch-sized: batch bands, batch
     shingle sets for verification, and a pair graph sized by the
     batch's duplicate rate. The min-label loop iterates over

@@ -464,3 +464,96 @@ def bench_log_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_demo_tree(root)
     fact = build_fact_table(spark, root)
     return point_lookup(fact, "sql", "BenchmarkScan1000_Cockroach-16")
+
+
+def bench_regressions_rolling(
+    fact: DataFrame, threshold_pct: float = 20.0, lookback: int = 7
+) -> DataFrame:
+    """Regression detection against a ROLLING baseline: a run is
+    flagged when it worsens by more than ``threshold_pct`` vs the
+    average of its up-to-``lookback`` PRIOR runs of the same metric.
+    This catches the shape day-over-day lag misses — slow creep whose
+    every single step stays under the threshold but whose level has
+    drifted away from the recent baseline (BenchmarkCreep day 3 in the
+    demo tree: +10% vs yesterday, +24% vs the rolling average).
+
+    Scale: one window shuffle keyed (package, test_name, metric) — the
+    rolling frame must not read across a metric boundary, so metric
+    joins the PARTITION key here (unlike ``bench_regressions``, whose
+    lag guard suffices); a (package, test, metric) series is a handful
+    of rows, so the extra key costs nothing and removes any frame
+    guard. Same sign normalization as ``bench_regressions`` (worsening
+    for MB/s is a decrease), same zero-skip on either side."""
+    unpivoted = fact.select(
+        "package",
+        "test_name",
+        "run_date",
+        F.expr(
+            "stack(4, 'N', CAST(ns_per_op AS DOUBLE),"
+            " 'A', CAST(allocs_per_op AS DOUBLE),"
+            " 'B', CAST(bytes_per_op AS DOUBLE),"
+            " 'M', CAST(mb_per_s AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+    w = (
+        W.partitionBy("package", "test_name", "metric")
+        .orderBy("run_date")
+        .rowsBetween(-lookback, -1)
+    )
+    delta = F.when(
+        F.col("metric") == "M", F.col("baseline") - F.col("value")
+    ).otherwise(F.col("value") - F.col("baseline"))
+    pct = F.when(F.col("baseline") > 0, delta * 100.0 / F.col("baseline"))
+    return (
+        unpivoted.withColumn("baseline", F.avg("value").over(w))
+        .filter((F.col("baseline") > 0) & (F.col("value") > 0))
+        .withColumn("pct_change", F.round(pct, 2))
+        .filter(F.col("pct_change") > threshold_pct)
+        .select(
+            "package",
+            "test_name",
+            "metric",
+            "run_date",
+            F.round("baseline", 6).alias("baseline"),
+            "value",
+            "pct_change",
+        )
+    )
+
+
+# Hand-applied rolling semantics over the same demo tree. Creep day 3
+# is the differentiator: +10% vs yesterday (lag says healthy) but
+# +24.35% vs avg(1000000, 1300000) = 1150000. Recover day 3: 900000 vs
+# avg(800000, 600000) = 700000 -> +28.57. Alloc day 3: 150 vs
+# avg(100, 150) = 125 -> exactly +20.0, NOT > threshold. IO day 3:
+# 75 MB/s vs avg(100, 70) = 85 -> worsening +11.76, healthy.
+_REGRESSIONS_ROLLING_ORACLE = """
+    SELECT * FROM (VALUES
+      ('sql', 'BenchmarkAlloc-8', 'A', DATE '2016-01-02',
+         100.0, 150.0, 50.0),
+      ('sql', 'BenchmarkCreep-8', 'N', DATE '2016-01-02',
+         1000000.0, 1300000.0, 30.0),
+      ('sql', 'BenchmarkCreep-8', 'N', DATE '2016-01-03',
+         1150000.0, 1430000.0, 24.35),
+      ('sql', 'BenchmarkIO-8', 'M', DATE '2016-01-02',
+         100.0, 70.0, 30.0),
+      ('sql', 'BenchmarkRecover-8', 'N', DATE '2016-01-03',
+         700000.0, 900000.0, 28.57)
+    ) AS t(package, test_name, metric, run_date, baseline, value,
+           pct_change)
+"""
+
+
+@query("bench_log_regressions_rolling", oracle=_REGRESSIONS_ROLLING_ORACLE)
+def bench_log_regressions_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline regression detection over the same planted demo
+    tree as ``bench_log_regressions`` — the golden oracle pins that the
+    rolling baseline flags the creep-drift day the day-over-day lag
+    variant correctly ignores, and stays quiet on the exact-threshold
+    (+20.0) and improving rows."""
+    root = os.path.join(tempfile.gettempdir(), "benchviz_regression_tree")
+    _write_regression_tree(root)
+    fact = build_fact_table(spark, root)
+    return bench_regressions_rolling(fact).orderBy(
+        "test_name", "metric", "run_date"
+    )
