@@ -748,3 +748,155 @@ def decontam_flag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("semantic_flag")
         ).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span excision (r14): the third decontamination ACTION beside
+# flagging (decontam_eval_overlap) and dropping (decontam_clean_corpus)
+# — cut the contaminated windows out and KEEP the document. For a
+# page that quotes one eval sentence inside original prose, dropping
+# wastes the prose; excision removes exactly the tokens covered by
+# any eval-matching n-gram.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontam_excise_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t,
+             list_transform(
+               range(1, greatest(len(t) - {NGRAM - 2}, 1)),
+               i -> {_NGRAM_CONCAT}
+             ) AS gs
+      FROM tok WHERE len(t) >= {NGRAM}
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE {_eval_sql()}
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {NGRAM - 2}, 1)),
+               i -> struct_pack(i := i, g := {_NGRAM_CONCAT})
+             )) AS u
+      FROM grams WHERE {_corpus_sql()}
+    ),
+    starts AS (
+      SELECT pos.doc_id, pos.u.i AS s FROM pos JOIN ev ON pos.u.g = ev.g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM starts GROUP BY doc_id
+    ),
+    covered AS (
+      SELECT DISTINCT starts.doc_id, starts.s + r.off AS p
+      FROM starts, range(0, {NGRAM}) r(off)
+    ),
+    toks_pos AS (
+      SELECT g.doc_id,
+             unnest(list_transform(
+               range(1, len(g.t) + 1),
+               i -> struct_pack(i := i, tk := g.t[i])
+             )) AS u
+      FROM grams g JOIN agg USING (doc_id)
+    ),
+    rebuilt AS (
+      SELECT tp.doc_id,
+             coalesce(string_agg(CASE WHEN c.p IS NULL THEN tp.u.tk END,
+                                 ' ' ORDER BY tp.u.i), '') AS cleaned,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN c.p IS NULL THEN 1 END) AS BIGINT)
+               AS n_tokens_kept
+      FROM toks_pos tp
+      LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.p = tp.u.i
+      GROUP BY tp.doc_id
+    )
+    SELECT a.doc_id, a.n_spans, r.n_tokens, r.n_tokens_kept,
+           md5(r.cleaned) AS cleaned_md5
+    FROM agg a JOIN rebuilt r USING (doc_id)
+    """,
+)
+def decontam_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated corpus document: remove every token covered by
+    an eval-matching {NGRAM}-gram window and report the surgery —
+    matched window count, token counts before/after, and the md5 of
+    the rebuilt text (the full cleaned body stays distributed; the
+    hash makes the transform oracle-checkable, the quality_redact_pii
+    pattern). Documents with zero matches are absent: they need no
+    excision, exactly as decontam_eval_overlap omits zero-overlap
+    rows.
+
+    Plan shape: positional {NGRAM}-grams come from the same
+    shifted-slice zip the shingle builder uses (``zip_with`` keeps
+    token references out of lambda bodies — a free expression
+    reference would re-run the normalize+split chain per element, the
+    _shingles lesson), the eval gram set is carve-bounded and
+    broadcast, matched starts aggregate map-side to one array per
+    contaminated doc, and the REBUILD pass touches only
+    contamination-sized rows: the second corpus projection inner-joins
+    the matched-doc set before any token work is consumed. Excision
+    itself is one ``zip_with`` over (tokens, positions) with an
+    ``exists`` probe into the per-doc start array — no explode, no
+    per-token shuffle; ``concat_ws`` drops the NULLed-out tokens on
+    both engines."""
+    from benchviz_spark.operators.dedup import _norm_text, shingled_documents
+    from benchviz_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toksed = (
+        docs.filter(~eval_split(F.col("doc_id")))
+        .select(
+            "doc_id", F.split(_norm_text(F.col("text")), " ").alias("t")
+        )
+        .filter(F.size("t") >= NGRAM)
+    )
+    # positional grams: acc[i] = the gram starting at token i+1 (the
+    # _shingles construction WITHOUT array_distinct, order preserved)
+    sz = F.size(F.col("t")) - (NGRAM - 1)
+    acc = F.slice(F.col("t"), 1, sz)
+    for j in range(1, NGRAM):
+        shifted = F.slice(F.col("t"), 1 + j, sz)
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    ev = (
+        shingled_documents(
+            spark, sf_dir, n=NGRAM, docs=docs.filter(eval_split(F.col("doc_id")))
+        )
+        .filter(F.size("shingles") > 0)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    starts = (
+        toksed.select("doc_id", F.posexplode(acc).alias("p0", "g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id", (F.col("p0") + 1).alias("s"))
+    )
+    per_doc = starts.groupBy("doc_id").agg(
+        F.collect_set("s").alias("starts"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    joined = toksed.join(per_doc, "doc_id")
+    kept = F.zip_with(
+        F.col("t"),
+        F.sequence(F.lit(1), F.size("t")),
+        lambda tk, i: F.when(
+            F.exists(
+                F.col("starts"), lambda s: (i >= s) & (i < s + NGRAM)
+            ),
+            F.lit(None).cast("string"),
+        ).otherwise(tk),
+    )
+    return joined.select(
+        "doc_id",
+        "n_spans",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.filter(kept, lambda x: x.isNotNull()))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
+    )

@@ -135,3 +135,27 @@ def test_substring_stride_detection_guarantee(spark, tmp_path):
     # thins corpus offsets, never adds hits)
     exact = {r.doc_id for r in decontam_substring_hits(spark, sf).collect()}
     assert detected <= exact
+
+
+def test_excise_spans_surgery_invariants(spark):
+    """Span excision (r14) must agree with the flag tier on WHICH
+    documents are contaminated, and the removal arithmetic must be
+    window-consistent: one matched start removes NGRAM tokens, k
+    overlapping starts remove between NGRAM and k*NGRAM."""
+    from benchviz_spark.operators.decontam import (
+        NGRAM,
+        decontam_eval_overlap,
+        decontam_excise_spans,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    excised = {r.doc_id: r for r in decontam_excise_spans(spark, sf).collect()}
+    flagged = {
+        r.doc_id for r in decontam_eval_overlap(spark, sf).collect()
+    }
+    assert set(excised) == flagged  # same contamination verdict, both tiers
+    assert excised  # sf0.01 plants real contamination; empty proves nothing
+    for r in excised.values():
+        removed = r.n_tokens - r.n_tokens_kept
+        assert NGRAM <= removed <= r.n_spans * NGRAM, r
+        assert r.n_spans >= 1 and r.n_tokens_kept >= 0, r

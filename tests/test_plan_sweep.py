@@ -94,6 +94,7 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
     "decontam_substring_hits": {"documents"},
     "decontam_substring_hits_strided": {"documents"},
     "decontam_clean_corpus_strict": {"documents"},
+    "decontam_excise_spans": {"documents"},  # same carve-bounded eval-gram set
     "curation_pipeline": {"documents"},
     "curation_mixture_report": {"documents"},  # same chain + 1 bounded agg
     "curation_split_leakage": {"documents"},  # same chain + dup-rate-sized pairs
