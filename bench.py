@@ -334,7 +334,7 @@ def main() -> None:
         if sec is not None
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
-    from benchviz_spark.operators.similarity import knn_profile
+    from benchviz_spark.operators.similarity import active_knn_profile
 
     record = {
         "sf": sf,
@@ -342,8 +342,9 @@ def main() -> None:
         "loadavg": loadavg,
         # which k-NN recall profile produced the knn rows (ADVICE r13:
         # records must be self-describing — the profile changes both
-        # the Spark plan and the oracle)
-        "knn_profile": knn_profile(),
+        # the Spark plan and the oracle). Import-time frozen value, not
+        # a live env re-read (ADVICE r14): the plans were built with it.
+        "knn_profile": active_knn_profile(),
         "queries": timings,
         "history": new_history,
     }

@@ -896,6 +896,17 @@ _KNN_PROFILE = knn_profile()
 _KNN_PAIR_SPAN = 1 if _KNN_PROFILE == "high_recall" else 2
 
 
+def active_knn_profile() -> str:
+    """The profile the registered plans and oracles were actually built
+    with — ``knn_profile()`` frozen at module import. Record writers
+    (bench.py, parity_snapshot.py) must stamp THIS value, not a live
+    re-read of the environment: if SPARK_GRAFT_KNN_PROFILE changes
+    between import and record write (monkeypatched test, mid-session
+    export), a live read would self-describe a profile the plans never
+    used (ADVICE r14)."""
+    return _KNN_PROFILE
+
+
 def _knn_graph_oracle() -> str:
     """Full DuckDB replay of the adaptive-resolution LSH k-NN graph:
     the same 12 x 16 hyperplane constants, the same corpus-size-derived

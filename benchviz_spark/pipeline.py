@@ -163,11 +163,14 @@ def bench_regressions(
     The fact table unpivots (F9's stack) to one (metric, value) row per
     metric; each (package, test, metric) series is ordered by run_date
     and a run is flagged when it WORSENED by more than
-    ``threshold_pct`` vs the previous run of the SAME metric —
+    ``threshold_pct`` vs the previous REPORTED run of the SAME metric —
     worsening is an increase for N/A/B and a DECREASE for M (MB/s is a
-    throughput). Zero values on either side (metric absent -> the
-    reference's Go zero-default) are skipped, never false-flagged or
-    divided by.
+    throughput). Zero values (metric absent -> the reference's Go
+    zero-default) are filtered out BEFORE the lag window, so a gap in
+    an intermittently-reported metric (e.g. allocs/op only on
+    -benchmem days) never becomes the lag prev: 100, absent, 150
+    compares 150 against 100 and flags the +50% instead of silently
+    swallowing it (ADVICE r14).
 
     Scale: still ONE window shuffle, keyed (package, test_name) — the
     same partitioning the per-test serving aggregation uses, so a full
@@ -200,12 +203,12 @@ def bench_regressions(
         F.col("prev_value") > 0, delta * 100.0 / F.col("prev_value")
     )
     return (
-        unpivoted.withColumn("prev_value", F.lag("value").over(w))
+        unpivoted.filter(F.col("value") > 0)
+        .withColumn("prev_value", F.lag("value").over(w))
         .withColumn("prev_metric", F.lag("metric").over(w))
         .filter(
             (F.col("prev_metric") == F.col("metric"))
             & (F.col("prev_value") > 0)
-            & (F.col("value") > 0)
         )
         .withColumn("pct_change", F.round(pct, 2))
         .filter(F.col("pct_change") > threshold_pct)
@@ -483,7 +486,11 @@ def bench_regressions_rolling(
     lag guard suffices); a (package, test, metric) series is a handful
     of rows, so the extra key costs nothing and removes any frame
     guard. Same sign normalization as ``bench_regressions`` (worsening
-    for MB/s is a decrease), same zero-skip on either side."""
+    for MB/s is a decrease). Zero (absent-metric) rows are filtered
+    out BEFORE the window, so an intermittently-reported metric
+    neither deflates the rolling average nor consumes lookback frame
+    slots — the baseline averages the up-to-``lookback`` most recent
+    REPORTED runs (ADVICE r14)."""
     unpivoted = fact.select(
         "package",
         "test_name",
@@ -505,8 +512,9 @@ def bench_regressions_rolling(
     ).otherwise(F.col("value") - F.col("baseline"))
     pct = F.when(F.col("baseline") > 0, delta * 100.0 / F.col("baseline"))
     return (
-        unpivoted.withColumn("baseline", F.avg("value").over(w))
-        .filter((F.col("baseline") > 0) & (F.col("value") > 0))
+        unpivoted.filter(F.col("value") > 0)
+        .withColumn("baseline", F.avg("value").over(w))
+        .filter(F.col("baseline") > 0)
         .withColumn("pct_change", F.round(pct, 2))
         .filter(F.col("pct_change") > threshold_pct)
         .select(
@@ -557,3 +565,72 @@ def bench_log_regressions_rolling(spark: SparkSession, sf_dir: str) -> DataFrame
     return bench_regressions_rolling(fact).orderBy(
         "test_name", "metric", "run_date"
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference J1 on reference-shaped data through the driver gate: the
+# compare-two-tests alignment plot.html drives, over a planted tree
+# where each side owns one date the other lacks — the golden oracle
+# pins the null-padding semantics generate_benchmark_plot.js:129-180
+# implements imperatively (probe by date, fill the new column, append
+# a null-padded row when the date is new) and :143 states as the
+# invariant ("a chart only has one row per date").
+# ---------------------------------------------------------------------------
+_COMPARE_LINES = {
+    # BenchmarkOld reports on days 1-2, BenchmarkNew on days 2-3: day 1
+    # exists only on the left, day 3 only on the right, day 2 on both.
+    "01-01-2017": ["BenchmarkOld-8 \t 1000 \t 1000 ns/op"],
+    "02-01-2017": [
+        "BenchmarkOld-8 \t 1000 \t 1100 ns/op",
+        "BenchmarkNew-8 \t 1000 \t 500 ns/op",
+    ],
+    "03-01-2017": ["BenchmarkNew-8 \t 1000 \t 550 ns/op"],
+}
+
+
+def _write_compare_tree(root: str) -> None:
+    for date, lines in _COMPARE_LINES.items():
+        d = os.path.join(root, date, "cockroach", "sql")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "pkg.test.stdout"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+# Hand-applied full-outer alignment of the two ns/op series: exactly
+# one row per date, null where a side has no observation.
+_COMPARE_SERIES_ORACLE = """
+    SELECT * FROM (VALUES
+      (DATE '2017-01-01', CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)),
+      (DATE '2017-01-02', CAST(1100 AS BIGINT), CAST(500 AS BIGINT)),
+      (DATE '2017-01-03', CAST(NULL AS BIGINT), CAST(550 AS BIGINT))
+    ) AS t(run_date, ns_per_op_a, ns_per_op_b)
+"""
+
+
+@query("bench_log_compare_series", oracle=_COMPARE_SERIES_ORACLE)
+def bench_log_compare_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare-two-tests over the planted compare tree: the ns/op
+    series of BenchmarkOld-8 and BenchmarkNew-8 full-outer aligned on
+    run_date (``align_series``, the engine form of the reference's
+    chart-table merge). The golden oracle pins the one-row-per-date
+    invariant AND the null padding on the dates each side lacks —
+    the exact semantics generate_benchmark_plot.js:129-180 builds
+    row-by-row in the browser.
+
+    Scale: two filtered passes over the same fact scan joined
+    full-outer on the date key — one shuffle on a key whose
+    cardinality is the calendar, never the corpus; at a real tree the
+    per-test equality predicates prune to two partition-sized reads
+    before the join (see point_lookup)."""
+    from benchviz_spark.operators.compare import align_series
+
+    root = os.path.join(tempfile.gettempdir(), "benchviz_compare_tree")
+    _write_compare_tree(root)
+    fact = build_fact_table(spark, root)
+    left = point_lookup(fact, "sql", "BenchmarkOld-8").select(
+        "run_date", "ns_per_op"
+    )
+    right = point_lookup(fact, "sql", "BenchmarkNew-8").select(
+        "run_date", "ns_per_op"
+    )
+    return align_series(left, right, on="run_date").orderBy("run_date")

@@ -80,12 +80,14 @@ def main() -> None:
         status = entry["err"] or "ok"
         print(f"{name}: {status}", file=sys.stderr)
 
-    from benchviz_spark.operators.similarity import knn_profile
+    # import-time frozen profile, not a live env re-read (ADVICE r14):
+    # the snapshot describes the plans/oracles actually registered.
+    from benchviz_spark.operators.similarity import active_knn_profile
 
     out = os.path.join(REPO, "PARITY_LOCAL.json")
     with open(out, "w") as fh:
         json.dump(
-            {"sf_dir": SF_DIR, "knn_profile": knn_profile(), "queries": report},
+            {"sf_dir": SF_DIR, "knn_profile": active_knn_profile(), "queries": report},
             fh,
             indent=1,
         )

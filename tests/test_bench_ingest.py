@@ -337,6 +337,36 @@ def test_bench_regressions_covers_all_four_metrics(spark, tmp_path):
     ]
 
 
+def test_bench_regressions_span_metric_gaps(spark, tmp_path):
+    """ADVICE r14: an intermittently-reported metric (allocs/op only on
+    -benchmem days) must neither swallow the gap-spanning comparison in
+    the lag variant nor deflate the rolling baseline. allocs: 100,
+    absent, 150 — lag flags +50% across the gap; rolling baselines the
+    day-3 run against avg(100) = 100, not avg(100, 0, ...) = 50."""
+    from benchviz_spark.pipeline import bench_regressions, bench_regressions_rolling
+
+    root = str(tmp_path / "gapMetrics")
+    _write(root, "01-01-2015", "sql", "g.test.stdout",
+           ["BenchmarkGap-8 \t 10 \t 100 ns/op \t 100 allocs/op"])
+    _write(root, "02-01-2015", "sql", "g.test.stdout",
+           ["BenchmarkGap-8 \t 10 \t 100 ns/op"])
+    _write(root, "03-01-2015", "sql", "g.test.stdout",
+           ["BenchmarkGap-8 \t 10 \t 100 ns/op \t 150 allocs/op"])
+    fact = build_fact_table(spark, root)
+
+    lag_rows = bench_regressions(fact, threshold_pct=20.0).collect()
+    assert [(r.metric, r.run_date.isoformat(), r.prev_value, r.value,
+             r.pct_change) for r in lag_rows] == [
+        ("A", "2015-01-03", 100.0, 150.0, 50.0)
+    ]
+
+    roll_rows = bench_regressions_rolling(fact, threshold_pct=20.0).collect()
+    assert [(r.metric, r.run_date.isoformat(), r.baseline, r.value,
+             r.pct_change) for r in roll_rows] == [
+        ("A", "2015-01-03", 100.0, 150.0, 50.0)
+    ]
+
+
 def test_ingest_via_filesystem_uri(spark, sample_tree):
     """S1/S7 dissolve into direct URI reads (SURVEY §2.1): the ingest
     must accept a Hadoop-FS URI root (file:// here; s3a:// in

@@ -183,7 +183,23 @@ def test_indexed_admission_reads_corpus_side_from_bucketed_tables(spark):
     names = admission_index_names()
     for part in ("bands", "shingles", "fps", "bloom", "eval_grams"):
         assert names[part] in plan, f"index table {names[part]} not scanned"
-    # no un-gated corpus document scan: each documents scan is pushed
-    # the batch predicate (source regex NOT seen) or the eval carve
+    # no un-gated corpus document scan: EVERY documents relation in the
+    # optimized plan must sit directly under a Filter carrying the
+    # source-regex batch predicate (ADVICE r14: the old single-rlike
+    # substring check was trivially satisfiable). Documents scans are
+    # the anonymous path-based relations with the documents schema;
+    # the index tables scan via spark_catalog and are exempt.
     analyzed = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "rlike" in analyzed.lower() or "RLIKE" in analyzed
+    lines = analyzed.splitlines()
+    doc_scans = [
+        i
+        for i, l in enumerate(lines)
+        if "Relation [" in l and "doc_id#" in l and "text#" in l
+    ]
+    assert doc_scans, "no documents scan found in the optimized plan"
+    unguarded = [
+        lines[i].strip()[:120]
+        for i in doc_scans
+        if not ("Filter" in lines[i - 1] and "RLIKE(source" in lines[i - 1])
+    ]
+    assert not unguarded, f"documents scans without a batch-gate Filter: {unguarded}"
