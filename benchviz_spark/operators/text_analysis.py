@@ -1306,6 +1306,10 @@ def quality_language_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vocabulary coverage curve: how big a vocab covers X% of token mass.
 # ---------------------------------------------------------------------------
 COVERAGE_TARGETS = (90, 95, 99)  # percent of total token occurrences
+# contiguous tf-DESC range buckets for the two-stage tier cumsum (the
+# stats_zipf_fit rank pattern): the ~sqrt(2N) tier table never passes
+# through one task
+VOCAB_TIER_BUCKETS = 32
 
 
 @query(
@@ -1359,12 +1363,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the vocabulary itself is never globally ranked (the
     stats_zipf_fit lesson). Everything reduces through the
     COUNT-OF-COUNTS table — (tf, n_terms) tiers, at most ~sqrt(2N)
-    rows for N total tokens since distinct counts sum to N — and the
-    only window is an unpartitioned cumsum over that sqrt-bounded tier
-    table (allow-listed in the plan sweep with this argument). All
-    arithmetic is integer (ceil via (a+b-1) div b; targets as integer
-    percents), so both engines agree exactly — no float boundary
-    anywhere."""
+    rows for N total tokens since distinct counts sum to N. That is
+    still ~1e7 rows at 100-TB token mass, so the cumsum over it is NOT
+    a single unpartitioned window (VERDICT r14 #4): it reuses
+    stats_zipf_fit's two-stage distributed pattern — range-partition
+    the tiers on tf DESC (checkpoint-pinned: repartitionByRange
+    re-samples boundaries per action otherwise), collect only the
+    per-bucket (tokens, n_terms) SUBTOTALS to the driver, turn them
+    into cumulative bucket offsets, and run the running sum WITHIN
+    each bucket, partitioned by bucket id. The grand total falls out
+    of the same bounded collect. All arithmetic is integer (ceil via
+    (a+b-1) div b; targets as integer percents), so both engines agree
+    exactly — no float boundary anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1372,19 +1382,41 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         (F.col("tf") * F.count(F.lit(1))).alias("tokens"),
     )
-    w_prev = W.orderBy(F.col("tf").desc()).rowsBetween(
+    parted = (
+        tiers.repartitionByRange(VOCAB_TIER_BUCKETS, F.col("tf").desc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = {
+        r["pid"]: (r["tok"], r["terms"])
+        for r in parted.groupBy("pid")
+        .agg(F.sum("tokens").alias("tok"), F.sum("n_terms").alias("terms"))
+        .collect()
+    }
+    offsets, tok_acc, term_acc = [], 0, 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, tok_acc, term_acc))
+        tok_acc += subtotals[pid][0]
+        term_acc += subtotals[pid][1]
+    off_df = spark.createDataFrame(
+        offsets, "pid int, tok_offset long, terms_offset long"
+    )
+    w_prev = W.partitionBy("pid").orderBy(F.col("tf").desc()).rowsBetween(
         W.unboundedPreceding, -1
     )
-    w_all = W.orderBy(F.col("tf").desc()).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    cum = tiers.select(
+    cum = parted.join(F.broadcast(off_df), "pid").select(
         "tf",
         "n_terms",
         "tokens",
-        F.coalesce(F.sum("tokens").over(w_prev), F.lit(0)).alias("tok_before"),
-        F.coalesce(F.sum("n_terms").over(w_prev), F.lit(0)).alias("terms_before"),
-        F.sum("tokens").over(w_all).alias("total"),
+        (
+            F.coalesce(F.sum("tokens").over(w_prev), F.lit(0))
+            + F.col("tok_offset")
+        ).alias("tok_before"),
+        (
+            F.coalesce(F.sum("n_terms").over(w_prev), F.lit(0))
+            + F.col("terms_offset")
+        ).alias("terms_before"),
+        F.lit(tok_acc).cast("long").alias("total"),
     )
     targets = spark.range(1).select(
         F.explode(F.lit(list(COVERAGE_TARGETS))).alias("coverage_pct")

@@ -160,10 +160,8 @@ _ALLOWED_HINTS: dict[str, set[str]] = {
 # Unpartitioned windows over entity-bounded domains (not SF-scaled).
 _ALLOWED_GLOBAL_WINDOWS = {
     "graph_pagerank_trade_nations",  # 25 nations: rank over a fixed entity set
-    # count-of-counts tiers: distinct frequencies sum to N, so the tier
-    # table is <= ~sqrt(2N) rows (~4.5M at 1e13 tokens) — a bounded
-    # single-task cumsum, NOT the vocabulary (the stats_zipf_fit lesson)
-    "text_vocab_coverage",
+    # (text_vocab_coverage left this list in r15: its tier cumsum now
+    # runs two-stage, bucket-partitioned — VERDICT r14 #4)
     # the O3/O4 position column: ONE global row_number over the
     # DISTINCT (package, test) catalog — catalog-bounded (thousands of
     # rows at any corpus size), asserted post-aggregation in
