@@ -1066,24 +1066,48 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _incremental_oracle() -> str:
-    """DuckDB replay of the whole incremental admission over old∪new:
-    the hygiene gates (eval carve + length + contamination — identical
-    SQL to ``_CURATION_ORACLE``'s, under g-prefixed CTE names so they
+def _admission_gate_ctes(within_batch_rn: bool) -> str:
+    """The CTE chain shared by the incremental-admission oracles: the
+    hygiene gates (eval carve + length + contamination — identical SQL
+    to ``_CURATION_ORACLE``'s, under g-prefixed CTE names so they
     coexist with the minhash chain's trigram ``sh``), epoch from the
     ``_INCR_SEEN_RE`` source convention, first-ingested-wins exact
-    dedup (an epoch-1 doc loses to ANY epoch-0 survivor sharing its
-    fingerprint, then lowest-doc_id-wins within the batch), the
-    MinHash-LSH + exact-Jaccard near-dup tier against epoch-0
-    survivors (``_minhash_ctes`` replayed verbatim), and min-label
-    connected components over the verified within-batch pair graph
-    (the ``_CLUSTER_ORACLE`` recursive-CTE formulation restricted to
-    batch survivors). Integer/md5 arithmetic end to end — the same
-    cross-engine-exact argument as the minhash oracle."""
+    dedup vs the epoch-0 survivors, and the MinHash-LSH +
+    exact-Jaccard near-dup tier against them (``_minhash_ctes``
+    replayed verbatim), ending at ``b3`` — the batch docs admitted
+    versus the STANDING corpus. ``within_batch_rn`` adds the
+    lowest-doc_id-wins exact dedup WITHIN the batch (the full
+    incremental semantics); the streaming admission gate is a
+    per-document decision, so its oracle omits it."""
     from benchviz_spark.operators.dedup import _INCR_SEEN_RE, _minhash_ctes
 
+    if within_batch_rn:
+        b2 = """b2 AS (
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+        WHERE epoch = 1
+          -- NOT EXISTS, not NOT IN: with any NULL fp in old_curated,
+          -- NOT IN returns NULL for every probe row (dropping the
+          -- whole batch) while the Spark path's left_anti keeps
+          -- non-matching rows; NOT EXISTS has exactly the anti-join
+          -- semantics on both engines (ADVICE r12).
+          AND NOT EXISTS (
+            SELECT 1 FROM old_curated oc WHERE oc.fp = gated.fp
+          )
+      ) WHERE rn = 1
+    )"""
+    else:
+        b2 = """b2 AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM gated
+      WHERE epoch = 1
+        AND NOT EXISTS (
+          SELECT 1 FROM old_curated oc WHERE oc.fp = gated.fp
+        )
+    )"""
+
     return f"""
-    WITH RECURSIVE
     gtok AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
@@ -1134,21 +1158,7 @@ def _incremental_oracle() -> str:
         FROM gated WHERE epoch = 0
       ) WHERE rn = 1
     ),
-    b2 AS (
-      SELECT doc_id, lang, source, n_chars FROM (
-        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM gated
-        WHERE epoch = 1
-          -- NOT EXISTS, not NOT IN: with any NULL fp in old_curated,
-          -- NOT IN returns NULL for every probe row (dropping the
-          -- whole batch) while the Spark path's left_anti keeps
-          -- non-matching rows; NOT EXISTS has exactly the anti-join
-          -- semantics on both engines (ADVICE r12).
-          AND NOT EXISTS (
-            SELECT 1 FROM old_curated oc WHERE oc.fp = gated.fp
-          )
-      ) WHERE rn = 1
-    ),
+    {b2},
     {_minhash_ctes()},
     drop_vs_old AS (
       SELECT DISTINCT c.new_id AS doc_id
@@ -1168,7 +1178,20 @@ def _incremental_oracle() -> str:
     b3 AS (
       SELECT * FROM b2
       WHERE doc_id NOT IN (SELECT doc_id FROM drop_vs_old)
-    ),
+    )"""
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replay of the whole incremental admission over old∪new:
+    the shared gate chain (``_admission_gate_ctes`` with the
+    within-batch lowest-doc_id-wins exact tier), then min-label
+    connected components over the verified within-batch pair graph
+    (the ``_CLUSTER_ORACLE`` recursive-CTE formulation restricted to
+    batch survivors). Integer/md5 arithmetic end to end — the same
+    cross-engine-exact argument as the minhash oracle."""
+    return f"""
+    WITH RECURSIVE
+    {_admission_gate_ctes(within_batch_rn=True)},
     pairs_nn AS (
       SELECT c.left_id, c.right_id
       FROM (
@@ -1203,6 +1226,25 @@ def _incremental_oracle() -> str:
     FROM (SELECT *, {_bucket_sql('split:')} AS bucket FROM b3) b3
     JOIN comp ON comp.doc_id = b3.doc_id
     WHERE comp.cluster_id = b3.doc_id
+    """
+
+
+def _admission_delta_oracle() -> str:
+    """DuckDB replay of the PER-DOCUMENT admission decision against the
+    standing corpus: the shared gate chain WITHOUT the within-batch
+    tiers (no lowest-doc_id-wins exact dedup, no within-batch
+    components) — each batch document is admitted or dropped purely on
+    its own content versus the frozen standing index, which is exactly
+    the decision a stateless streaming gate can make per arriving
+    document. Split assignment is the standard per-row hash."""
+    return f"""
+    WITH
+    {_admission_gate_ctes(within_batch_rn=False)}
+    SELECT doc_id, lang, source, n_chars,
+           CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, {_bucket_sql('split:')} AS bucket FROM b3)
     """
 
 
@@ -1418,6 +1460,16 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ADMISSION_PARTS = ("eval_grams", "fps", "bands", "shingles", "bloom")
 
+# (applicationId, prefix) -> {"sf_dir": ..., "names": ...}: the epoch
+# index is a deterministic function of (sf_dir, prefix), so a session's
+# second builder call (three registered queries consume the default
+# index) returns the standing tables instead of re-materializing them.
+# Registered with the session cache registry: bench.py's clear_caches()
+# still forces a cold build per timed row, and a build for the SAME
+# prefix over a DIFFERENT sf_dir replaces the entry (the catalog tables
+# were just overwritten, so the old memo must die with them).
+_INDEX_MEMO: dict = register_cache({})
+
 
 def admission_index_names(prefix: str = "admission") -> dict[str, str]:
     return {part: f"{prefix}_{part}" for part in _ADMISSION_PARTS}
@@ -1445,6 +1497,10 @@ def build_admission_index(
     from benchviz_spark.operators.relational_ext import bloom_bitmap
 
     names = admission_index_names(prefix)
+    memo_key = (spark.sparkContext.applicationId, prefix)
+    hit = _INDEX_MEMO.get(memo_key)
+    if hit is not None and hit["sf_dir"] == sf_dir:
+        return hit["names"]
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for name in names.values():
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -1492,26 +1548,28 @@ def build_admission_index(
     bloom_bitmap(
         spark.table(names["fps"]).select(F.xxhash64("fp").alias("pk")), "pk"
     ).write.mode("overwrite").saveAsTable(names["bloom"])
+    memo_put(_INDEX_MEMO, memo_key, {"sf_dir": sf_dir, "names": names})
     return names
 
 
-def incremental_batch_indexed(
-    spark: SparkSession, sf_dir: str, prefix: str = "admission"
-) -> DataFrame:
-    """``curation_incremental_batch`` consuming the DURABLE index
-    instead of rebuilding the standing side in-session: identical
-    admission semantics (same gates, same two dedup tiers, same
-    within-batch components, same splits — equivalence pinned in
-    tests/test_curation.py and by the shared golden oracle), but every
-    per-ingest relation is batch-sized. The only corpus-sized reads
-    are the bucketed index tables, which join WITHOUT moving: the
-    batch side shuffles to the index's bucketing, the corpus side is
-    scanned in place."""
+def _indexed_admit_vs_standing(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "admission",
+    within_batch_rn: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Steps (1)-(3) of index-mediated admission — hygiene gates, exact
+    tier vs the standing fingerprints, near-dup tier vs the standing
+    band postings — shared by the full incremental consume and the
+    per-document admission delta. Returns (b3, bands_batch, sh_batch)
+    so the full path can run its within-batch step (4) on the same
+    batch-sized relations. ``within_batch_rn=False`` skips the
+    lowest-doc_id-wins exact dedup WITHIN the batch: the per-document
+    decision the streaming gate mirrors."""
     from benchviz_spark.operators.dedup import (
         _INCR_SEEN_RE,
         band_buckets,
         hashed_shingled_documents,
-        min_label_components,
         shingled_documents,
     )
     from benchviz_spark.operators.relational_ext import bloom_might_contain
@@ -1559,15 +1617,13 @@ def incremental_batch_indexed(
         "maybe_seen", bloom_might_contain(F.xxhash64("fp"))
     )
     old_fps = spark.table(names["fps"]).select("fp")
-    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
     new_vs_old = probed.filter(~F.col("maybe_seen")).unionByName(
         probed.filter(F.col("maybe_seen")).join(old_fps, "fp", "left_anti")
     )
-    b2 = (
-        new_vs_old.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
-    )
+    if within_batch_rn:
+        rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        new_vs_old = new_vs_old.withColumn("rn", rn).filter(F.col("rn") == 1)
+    b2 = new_vs_old.select("doc_id", "lang", "source", "n_chars")
 
     # (3) near-dup tier vs the standing corpus: batch bands (batch-
     # sized minhash) equi-join the (band, bucket)-bucketed postings;
@@ -1602,6 +1658,49 @@ def incremental_batch_indexed(
         .distinct()
     )
     b3 = b2.join(drop_vs_old, "doc_id", "left_anti")
+    return b3, bands_batch, sh_batch
+
+
+def admission_delta_indexed(
+    spark: SparkSession, sf_dir: str, prefix: str = "admission"
+) -> DataFrame:
+    """The PER-DOCUMENT admission delta against the durable index:
+    every batch document admitted or dropped on its own content versus
+    the frozen standing corpus — no within-batch tiers. This is the
+    decision surface a streaming ingest gate evaluates per arriving
+    document (streaming/windows.py stream_dedup_admission is the
+    stream twin; both hash against ``_admission_delta_oracle``), and
+    the batch form of 'the epoch index is the single admission source
+    of truth'."""
+    b3, _, _ = _indexed_admit_vs_standing(
+        spark, sf_dir, prefix, within_batch_rn=False
+    )
+    return _with_split(b3).select(
+        "doc_id", "lang", "source", "n_chars", "split"
+    )
+
+
+def incremental_batch_indexed(
+    spark: SparkSession, sf_dir: str, prefix: str = "admission"
+) -> DataFrame:
+    """``curation_incremental_batch`` consuming the DURABLE index
+    instead of rebuilding the standing side in-session: identical
+    admission semantics (same gates, same two dedup tiers, same
+    within-batch components, same splits — equivalence pinned in
+    tests/test_curation.py and by the shared golden oracle), but every
+    per-ingest relation is batch-sized. The only corpus-sized reads
+    are the bucketed index tables, which join WITHOUT moving: the
+    batch side shuffles to the index's bucketing, the corpus side is
+    scanned in place."""
+    from benchviz_spark.operators.dedup import min_label_components
+
+    b3, bands_batch, sh_batch = _indexed_admit_vs_standing(
+        spark, sf_dir, prefix, within_batch_rn=True
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(
+        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
+    )
 
     # (4) within-batch near-dups: unchanged from the in-session path —
     # it was always batch-sized.
@@ -1647,3 +1746,16 @@ def curation_incremental_batch_indexed(
     ~1.0 (vs x1.61 for the in-session rebuild)."""
     build_admission_index(spark, sf_dir)
     return incremental_batch_indexed(spark, sf_dir)
+
+
+@query("curation_admission_delta", oracle=_admission_delta_oracle())
+def curation_admission_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document admission against the durable index: batch
+    documents admitted or dropped purely on their own content versus
+    the standing corpus (no within-batch tiers). The batch twin of
+    streaming/windows.py's ``stream_dedup_admission`` — both hash
+    against the same oracle, making the epoch index the single
+    admission source of truth across batch and stream (VERDICT r14
+    #5). Output is ordered-insensitive: the driver sorts."""
+    build_admission_index(spark, sf_dir)
+    return admission_delta_indexed(spark, sf_dir)

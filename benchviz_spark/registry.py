@@ -60,80 +60,81 @@ _QUERY_MODULES = (
 # yield their slot to oracle-paired queries the driver has never
 # checked, then to the queries with the OLDEST driver evidence.
 #
-# Round-14 window. The r13 commitment assumed the driver's r13 oracle
-# pass would land; it never did (CORRECTNESS_r13.json was not produced
-# — VERDICT r13 header), so the six r13 leaders are STILL
-# never-driver-checked and keep their slots rather than losing them
-# unproven. Layout: (a) the two post-r13-window additions
-# (bench_log_regressions, bench_log_point_lookup — full golden
-# oracles, never checked) lead as committed at registry.py@49db78b;
-# (b) the six r13-window leaders (JPEG tier, incremental admission,
-# serving trio) retained for the same reason; (c) 42 of the 43 rows
-# whose newest driver evidence dates to r08 — the full tier minus
-# asof_purchase_nearest_view, which the r13 plan already counted as
-# spent on an anchor slot and which now rotates in r15 instead,
-# together with the family anchors (skew_, compare_,
-# bench_log_pipeline: all r11-fresh today, stale the moment an r14
-# record lands). The five partial-oracle estimator rows are NOT
-# re-spent (rows-only record earned in r12; the committed local
-# replica hash-checks their replayable columns every round).
+# Round-15 window, exactly as the r14 commitment laid out (the r14
+# driver pass LANDED: CORRECTNESS_r14 is 50/50 green on the committed
+# r14 window, so every r14 slot rotates out). Layout: (a) the three
+# post-r14-window additions (decontam_excise_spans,
+# curation_incremental_batch_indexed, bench_log_regressions_rolling —
+# full oracles, never driver-checked); (b) the three r15 additions
+# (bench_log_compare_series golden, and the durable-admission twins
+# curation_admission_delta / stream_dedup_admission); (c) the last
+# r08 row (asof_purchase_nearest_view, spent as the asof_ anchor) and
+# the other family anchors (skew_salted_join_segments — also r09
+# tier, compare_event_type_series and bench_log_pipeline — r11,
+# stale now that r14 landed); (d) 40 of the 46 remaining rows whose
+# newest driver evidence dates to r09. The five partial-oracle
+# estimator rows are NOT re-spent (rows-only record earned in r12;
+# the committed local replica hash-checks their replayable columns
+# every round).
 #
-# r15 commitment: the remaining r08 row (asof_purchase_nearest_view),
-# the family anchors above, any r14 registry additions
-# (curation_incremental_batch_indexed and successors), then the oldest
-# remaining tier (r09); all covered meanwhile by PARITY_LOCAL.json +
-# tests/test_oracle_parity.py.
+# r16 commitment: the six r09 rows deferred this round
+# (sample_temperature_mix, similarity_ann_ivf_topk,
+# stream_sliding_hourly_halfhour, stream_tumbling_hourly,
+# text_bpe_merges_iter3, text_bpe_tokenize_docs — each family keeps
+# an r15-window representative meanwhile), any r15 registry
+# additions, then the oldest remaining tier (r11); all covered
+# meanwhile by PARITY_LOCAL.json + tests/test_oracle_parity.py.
 _WINDOW = (
-    "bench_log_regressions",
-    "bench_log_point_lookup",
-    "multimodal_jpeg_features",
-    "dedup_jpeg_dhash_fingerprints",
-    "curation_incremental_batch",
-    "serving_per_test_json",
-    "serving_catalog_json",
-    "serving_catalog_listing",
-    "curation_mixture_report",
-    "curation_pipeline",
-    "decontam_substring_hits",
-    "decontam_substring_hits_strided",
-    "dedup_band_occupancy",
-    "dedup_cluster_representatives",
-    "dedup_containment_pairs",
-    "dedup_incremental_new_docs",
-    "dedup_survivorship_report",
-    "embedding_dim_correlation",
-    "embedding_integrity_profile",
-    "embedding_truncation_fidelity",
-    "events_interarrival_stats",
-    "events_interpolated_hourly",
-    "events_linear_attribution",
-    "join_bloom_prefilter_building",
-    "layout_zorder_events",
-    "multimodal_quantization_error",
-    "multimodal_resize_stats",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_revenue",
-    "q2_cheapest_part_per_brand",
-    "q4_priority_order_counts",
-    "q6_forecast_revenue",
-    "q7_bilateral_nation_revenue",
-    "quality_char_entropy",
-    "quality_gopher_rules",
-    "quality_language_consistency",
-    "sample_quality_topk_per_source",
-    "sample_reservoir_per_source",
-    "sample_stratified_exact_k",
-    "similarity_ann_ivf_topk_iter2",
-    "similarity_ann_lsh_topk",
-    "similarity_range_search",
-    "sketch_user_overlap_exact",
-    "stats_value_psi",
-    "stream_dedup_events",
-    "stream_quality_gopher_gate",
-    "subquery_above_avg_orders",
-    "text_ngram_novelty",
-    "text_vocab_coverage",
+    "decontam_excise_spans",
+    "curation_incremental_batch_indexed",
+    "bench_log_regressions_rolling",
+    "bench_log_compare_series",
+    "curation_admission_delta",
+    "stream_dedup_admission",
+    "asof_purchase_nearest_view",
+    "skew_salted_join_segments",
+    "compare_event_type_series",
+    "bench_log_pipeline",
+    "asof_purchase_last_view",
+    "curation_cluster_splits",
+    "curation_token_budget",
+    "decontam_eval_overlap",
+    "dedup_duplicate_clusters",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard_pairs",
+    "events_scd2_tier_intervals",
+    "graph_triangle_suppliers",
+    "multimodal_binary_metadata",
+    "multimodal_embedding_stats",
+    "q10_return_losses_top20",
+    "q12_priority_by_linestatus",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_bulk_order_customers",
+    "q20_bulk_small_part_suppliers",
+    "q22_idle_rich_customers",
+    "quality_redact_pii",
+    "quality_repetition_metrics",
+    "quantiles_exact_by_flag",
+    "sample_split_documents",
+    "sample_weighted_reservoir_es",
+    "semi_join_urgent_customers",
+    "similarity_label_centroid_dist",
+    "sketch_events_daily_exact",
+    "sketch_heavy_hitter_exact",
+    "stats_chi2_segment_type",
+    "stats_value_gini_by_type",
+    "stats_zipf_fit",
+    "stream_enriched_user_segment",
+    "stream_latest_user_state",
+    "stream_purchase_view_pairs",
+    "stream_session_stats",
+    "text_bigram_logprob",
+    "text_bpe_merge_pairs",
+    "text_rolling_hash",
+    "text_tfidf_top_terms",
+    "window_customer_running_spend",
 )
 
 # Window slots whose driver check is rows-only BY DESIGN: their

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 # Import the batch twins FIRST so their oracles are registered before we
 # look them up (registry._QUERY_MODULES also orders events before this
 # module, but a direct import must not depend on that).
+import benchviz_spark.operators.curation  # noqa: F401
 import benchviz_spark.operators.decontam  # noqa: F401
 import benchviz_spark.operators.dedup  # noqa: F401
 import benchviz_spark.operators.events  # noqa: F401
@@ -267,4 +268,28 @@ def stream_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "decontam_gate",
         "append",
+    )
+
+
+@query("stream_dedup_admission", oracle=_ORACLES["curation_admission_delta"])
+def stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup admission running ON THE STREAM against the
+    DURABLE standing-corpus index (curation.build_admission_index):
+    arriving documents pass the hygiene gates, probe the persisted
+    Bloom bitset + fingerprint store (exact tier) and the persisted
+    (band, bucket) postings + shingle store (near-dup tier), and emit
+    the admitted delta — the epoch index as the single admission
+    source of truth across batch and stream (VERDICT r14 #5). Drained
+    in complete mode (the per-doc verdict is an aggregation; every
+    doc_id arrives exactly once, so complete == the admitted set) and
+    hash-checked against the SAME oracle as the batch twin
+    curation_admission_delta: stream == batch == DuckDB."""
+    from benchviz_spark.operators.curation import build_admission_index
+
+    build_admission_index(spark, sf_dir)
+    return _drain(
+        sw.stream_dedup_admission(spark, sf_dir),
+        spark,
+        "dedup_admission",
+        "complete",
     )

@@ -130,6 +130,32 @@ def main() -> None:
     probe_build, probe_ing, probe_rows_ix = run_indexed(PROBE_DIR, "admission_p10x")
     print(f"incr10x indexed: build {probe_build}s, ingest {probe_ing}s, "
           f"{probe_rows_ix} admitted", file=sys.stderr)
+
+    # VERDICT r14 #6: the bench_sf1x_full.json row for
+    # curation_incremental_batch_indexed bundles epoch build + admit in
+    # one wall. Split them at the SCALED-TOGETHER tier (.scale_probe/
+    # sf1x: standing corpus AND batch x10 — the same corpus that bench
+    # row times) so the amortization claim is directly citable: the
+    # once-per-epoch build share of the bundled wall vs the per-ingest
+    # admit share.
+    sf1x_dir = os.path.join(REPO, ".scale_probe", "sf1x")
+    split_sf1x = None
+    if os.path.isdir(sf1x_dir):
+        s1x_build, s1x_admit, s1x_rows = run_indexed(sf1x_dir, "admission_s1x")
+        print(f"sf1x indexed (corpus AND batch x10): build {s1x_build}s, "
+              f"ingest {s1x_admit}s, {s1x_rows} admitted", file=sys.stderr)
+        split_sf1x = {
+            "build_sec": s1x_build,
+            "admit_sec": s1x_admit,
+            "admitted_rows": s1x_rows,
+            "note": (
+                "the bench_sf1x_full.json tier (corpus AND batch x10); "
+                "that record's bundled query wall = this build + admit"
+            ),
+        }
+    else:
+        print("sf1x corpus missing — run scripts/scale_probe.py first; "
+              "split_sf1x omitted", file=sys.stderr)
     try:
         with open("/proc/loadavg") as fh:
             loadavg = [float(x) for x in fh.read().split()[:3]]
@@ -154,6 +180,8 @@ def main() -> None:
         "wall_sec_indexed": {"sf0.1": base_ing, "incr10x": probe_ing},
         "fixed_batch_ratio_indexed": round(probe_ing / max(base_ing, 1e-3), 2),
         "admitted_rows_indexed": {"sf0.1": base_rows_ix, "incr10x": probe_rows_ix},
+        # VERDICT r14 #6: build vs admit at the scaled-together 10x tier
+        "split_sf1x": split_sf1x,
         "loadavg": loadavg,
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

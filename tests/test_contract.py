@@ -53,7 +53,11 @@ def test_bench_emits_single_json_line(tmp_path):
         capture_output=True,
         text=True,
         env=env,
-        timeout=560,
+        # r15: the three durable-admission queries each pay a cold
+        # index build under bench's clear_caches discipline, so the
+        # full-registry smoke at 4 CPUs runs ~8 min; 560 s left no
+        # headroom on a loaded host.
+        timeout=900,
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]

@@ -191,6 +191,13 @@ def test_incremental_admission_cost_is_batch_driven():
     # byte-identical to the in-session path at both tiers.
     assert rec["fixed_batch_ratio_indexed"] <= 1.35, rec
     assert rec["admitted_rows_indexed"] == rec["admitted_rows"], rec
+    # r15 (VERDICT r14 #6): the scaled-together 10x tier carries a
+    # build/admit SPLIT so the bundled bench_sf1x row is decomposable —
+    # the once-per-epoch build share is citable on its own, and the
+    # fixed-batch probes above bound how the admit share scales.
+    split = rec["split_sf1x"]
+    assert split["build_sec"] > 0 and split["admit_sec"] > 0, split
+    assert split["admitted_rows"] > 0, split
 
 
 def test_knn_high_recall_profile_buys_recall():

@@ -213,3 +213,24 @@ def test_stream_image_dhash_matches_batch(spark):
         for r in dedup_image_dhash_fingerprints(spark, sf).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_dedup_admission_equals_batch(spark):
+    """VERDICT r14 #5: the durable admission index is the single source
+    of truth across batch and stream — the streamed per-document
+    admission delta must equal the batch twin row-for-row (both also
+    hash against the shared DuckDB oracle in test_oracle_parity)."""
+    from benchviz_spark.operators.curation import (
+        admission_delta_indexed,
+        build_admission_index,
+    )
+    from benchviz_spark.streaming.windows import stream_dedup_admission
+
+    build_admission_index(spark, SF_DIR)
+    batch = {tuple(r) for r in admission_delta_indexed(spark, SF_DIR).collect()}
+    run_to_memory(
+        stream_dedup_admission(spark, SF_DIR), "stream_admission_t", mode="complete"
+    )
+    streamed = {tuple(r) for r in spark.table("stream_admission_t").collect()}
+    assert streamed == batch
+    assert len(batch) > 0
