@@ -65,25 +65,27 @@ _QUERY_MODULES = (
 # r14 window, so every r14 slot rotates out). Layout: (a) the three
 # post-r14-window additions (decontam_excise_spans,
 # curation_incremental_batch_indexed, bench_log_regressions_rolling —
-# full oracles, never driver-checked); (b) the three r15 additions
-# (bench_log_compare_series golden, and the durable-admission twins
-# curation_admission_delta / stream_dedup_admission); (c) the last
-# r08 row (asof_purchase_nearest_view, spent as the asof_ anchor) and
-# the other family anchors (skew_salted_join_segments — also r09
-# tier, compare_event_type_series and bench_log_pipeline — r11,
-# stale now that r14 landed); (d) 40 of the 46 remaining rows whose
-# newest driver evidence dates to r09. The five partial-oracle
-# estimator rows are NOT re-spent (rows-only record earned in r12;
-# the committed local replica hash-checks their replayable columns
-# every round).
+# full oracles, never driver-checked); (b) the four r15 additions
+# (bench_log_compare_series golden, the durable-admission twins
+# curation_admission_delta / stream_dedup_admission, and the F10
+# closure serving_index_html); (c) the last r08 row
+# (asof_purchase_nearest_view, spent as the asof_ anchor) and the
+# other family anchors (skew_salted_join_segments — also r09 tier,
+# compare_event_type_series and bench_log_pipeline — r11, stale now
+# that r14 landed); (d) 39 of the 46 remaining rows whose newest
+# driver evidence dates to r09. The five partial-oracle estimator
+# rows are NOT re-spent (rows-only record earned in r12; the
+# committed local replica hash-checks their replayable columns every
+# round).
 #
-# r16 commitment: the six r09 rows deferred this round
+# r16 commitment: the seven r09 rows deferred this round
 # (sample_temperature_mix, similarity_ann_ivf_topk,
 # stream_sliding_hourly_halfhour, stream_tumbling_hourly,
-# text_bpe_merges_iter3, text_bpe_tokenize_docs — each family keeps
-# an r15-window representative meanwhile), any r15 registry
-# additions, then the oldest remaining tier (r11); all covered
-# meanwhile by PARITY_LOCAL.json + tests/test_oracle_parity.py.
+# text_bpe_merges_iter3, text_bpe_tokenize_docs,
+# window_customer_running_spend — each family keeps an r15-window
+# representative meanwhile), any r15 registry additions, then the
+# oldest remaining tier (r11); all covered meanwhile by
+# PARITY_LOCAL.json + tests/test_oracle_parity.py.
 _WINDOW = (
     "decontam_excise_spans",
     "curation_incremental_batch_indexed",
@@ -91,6 +93,7 @@ _WINDOW = (
     "bench_log_compare_series",
     "curation_admission_delta",
     "stream_dedup_admission",
+    "serving_index_html",
     "asof_purchase_nearest_view",
     "skew_salted_join_segments",
     "compare_event_type_series",
@@ -134,7 +137,6 @@ _WINDOW = (
     "text_bpe_merge_pairs",
     "text_rolling_hash",
     "text_tfidf_top_terms",
-    "window_customer_running_spend",
 )
 
 # Window slots whose driver check is rows-only BY DESIGN: their

@@ -367,6 +367,35 @@ def test_bench_regressions_span_metric_gaps(spark, tmp_path):
     ]
 
 
+def test_index_html_renders_missing_priority_dirs(spark, tmp_path):
+    """F10 edge the demo-tree golden can't reach: a tree with NEITHER
+    priority package still renders both their sections (the JS calls
+    generateTestListHTML with _.values(undefined) -> [], and the 32
+    priority unshifts run regardless), so the sql section is exactly
+    the 32 phantom links and sql/parser is an empty section; the real
+    package follows in position 3."""
+    from benchviz_spark.pipeline import (
+        _LIST_UNSHIFT_ORDER,
+        _section_html,
+        index_html_sections,
+    )
+
+    root = str(tmp_path / "noPriority")
+    _write(root, "01-01-2015", "kv", "a.test.stdout",
+           ["BenchmarkKV-8 \t 10 \t 100 ns/op"])
+    rows = index_html_sections(build_fact_table(spark, root)).orderBy(
+        "position"
+    ).collect()
+    assert [(r.position, r.package) for r in rows] == [
+        (1, "sql"), (2, "sql/parser"), (3, "kv"),
+    ]
+    assert rows[0].html == _section_html("sql", list(_LIST_UNSHIFT_ORDER))
+    assert rows[1].html == "sql/parser<br/><br/>"
+    assert rows[2].html == _section_html("kv", ["BenchmarkKV-8"])
+    # the quirk itself: 32 priority links, phantom or duplicate
+    assert rows[0].html.count('<a class="testName"') == 32
+
+
 def test_ingest_via_filesystem_uri(spark, sample_tree):
     """S1/S7 dissolve into direct URI reads (SURVEY §2.1): the ingest
     must accept a Hadoop-FS URI root (file:// here; s3a:// in

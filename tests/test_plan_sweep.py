@@ -167,6 +167,9 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # rows at any corpus size), asserted post-aggregation in
     # tests/test_plans.py::test_serving_listing_window_is_catalog_bounded
     "serving_catalog_listing",
+    # F10's page-order position: row_number over the PACKAGE list
+    # (hundreds of rows at any corpus size) — same argument
+    "serving_index_html",
 }
 
 # Streaming queries execute an availableNow drain inside the callable;
