@@ -43,7 +43,7 @@ from benchviz_spark.operators.decontam import (
     decontam_eval_overlap,
     eval_split,
 )
-from benchviz_spark.operators.dedup import _JACCARD_ORACLE, _norm_text
+from benchviz_spark.operators.dedup import _JACCARD_ORACLE, _norm_text, jaccard_of
 from benchviz_spark.operators.sampling import (
     TRAIN_UPTO,
     VAL_UPTO,
@@ -1387,10 +1387,7 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = hashed_shingled_documents(spark, sf_dir)
     left = sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = F.round(
-        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
-    )
+    jac = jaccard_of("sa", "sb")
     drop_vs_old = (
         cand_old.join(left, "new_id")
         .join(right, "old_id")
@@ -1646,10 +1643,7 @@ def _indexed_admit_vs_standing(
     right = spark.table(names["shingles"]).select(
         F.col("doc_id").alias("old_id"), F.col("hs").alias("sb")
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = F.round(
-        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
-    )
+    jac = jaccard_of("sa", "sb")
     drop_vs_old = (
         cand_old.join(left, "new_id")
         .join(right, "old_id")
@@ -1697,10 +1691,7 @@ def incremental_batch_indexed(
     b3, bands_batch, sh_batch = _indexed_admit_vs_standing(
         spark, sf_dir, prefix, within_batch_rn=True
     )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = F.round(
-        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
-    )
+    jac = jaccard_of("sa", "sb")
 
     # (4) within-batch near-dups: unchanged from the in-session path —
     # it was always batch-sized.

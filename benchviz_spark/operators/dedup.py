@@ -78,6 +78,19 @@ def _shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def jaccard_of(sa: str | Column, sb: str | Column) -> Column:
+    """round(|A∩B| / |A∪B|, 6) over two shingle-array columns — THE
+    load-bearing verification boundary every near-dup tier shares (the
+    >= 0.5 cut). One definition so the rounding and the
+    intersection/union arithmetic can never drift between the pair
+    detectors, the incremental-admission tiers, and the streaming gate
+    (their DuckDB oracles spell out the same formula)."""
+    inter = F.size(F.array_intersect(sa, sb))
+    return F.round(
+        inter / (F.size(sa) + F.size(sb) - inter).cast("double"), 6
+    )
+
+
 def shingled_documents(
     spark: SparkSession,
     sf_dir: str,
@@ -283,16 +296,13 @@ def _build_ngram_jaccard_pairs(
     )
     left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
     return (
         cand.join(left, "left_id")
         .join(right, "right_id")
         .select(
             "left_id",
             "right_id",
-            F.round(
-                inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
-            ).alias("jaccard"),
+            jaccard_of("sa", "sb").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
     )
@@ -500,16 +510,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = hashed_shingled_documents(spark, sf_dir)
     left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
     return (
         cand.join(left, "left_id")
         .join(right, "right_id")
         .select(
             "left_id",
             "right_id",
-            F.round(
-                inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6
-            ).alias("jaccard"),
+            jaccard_of("sa", "sb").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
         .select("left_id", "right_id", "jaccard")

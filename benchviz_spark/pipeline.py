@@ -85,7 +85,20 @@ _DEMO_LINES = {
 }
 
 
+def _reset_stale_tree(root: str, expected_dates: tuple[str, ...]) -> None:
+    """Remove a planted tree whose date dirs differ from the current
+    fixture. These roots live under the shared tempdir; a leftover
+    from an older checkout (different fixture dates) would otherwise
+    be silently ingested alongside the fresh dirs and break the golden
+    oracles with an environment-dependent mismatch."""
+    import shutil
+
+    if os.path.isdir(root) and set(os.listdir(root)) != set(expected_dates):
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _write_demo_tree(root: str) -> None:
+    _reset_stale_tree(root, _DEMO_DATES)
     for date in _DEMO_DATES:
         for pkg, lines in _DEMO_LINES.items():
             d = os.path.join(root, date, "cockroach", pkg)
@@ -390,6 +403,7 @@ _REG_LINES = {
 
 
 def _write_regression_tree(root: str) -> None:
+    _reset_stale_tree(root, tuple(_REG_LINES))
     for date, lines in _REG_LINES.items():
         d = os.path.join(root, date, "cockroach", "sql")
         os.makedirs(d, exist_ok=True)
@@ -589,6 +603,7 @@ _COMPARE_LINES = {
 
 
 def _write_compare_tree(root: str) -> None:
+    _reset_stale_tree(root, tuple(_COMPARE_LINES))
     for date, lines in _COMPARE_LINES.items():
         d = os.path.join(root, date, "cockroach", "sql")
         os.makedirs(d, exist_ok=True)

@@ -504,6 +504,7 @@ def stream_dedup_admission(
         ROWS_PER_BAND,
         _norm_text,
         _shingles,
+        jaccard_of,
     )
     from benchviz_spark.operators.relational_ext import bloom_might_contain
 
@@ -627,10 +628,7 @@ def stream_dedup_admission(
     cand = exploded.join(old_b, ["band", "bucket"], "left_outer").join(
         old_sh, "old_id", "left_outer"
     )
-    inter = F.size(F.array_intersect("hs", "sb"))
-    jac = F.round(
-        inter / (F.size("hs") + F.size("sb") - inter).cast("double"), 6
-    )
+    jac = jaccard_of("hs", "sb")
     verified = F.coalesce(jac >= 0.5, F.lit(False))
     admitted = (
         cand.groupBy("doc_id", "lang", "source", "n_chars")

@@ -200,6 +200,8 @@ def test_indexed_admission_reads_corpus_side_from_bucketed_tables(spark):
     unguarded = [
         lines[i].strip()[:120]
         for i in doc_scans
-        if not ("Filter" in lines[i - 1] and "RLIKE(source" in lines[i - 1])
+        # i > 0 first: a relation on the very first plan line has no
+        # parent Filter, and lines[i - 1] must not wrap to lines[-1]
+        if not (i > 0 and "Filter" in lines[i - 1] and "RLIKE(source" in lines[i - 1])
     ]
     assert not unguarded, f"documents scans without a batch-gate Filter: {unguarded}"

@@ -196,6 +196,10 @@ def test_incremental_admission_cost_is_batch_driven():
     # the once-per-epoch build share is citable on its own, and the
     # fixed-batch probes above bound how the admit share scales.
     split = rec["split_sf1x"]
+    assert split is not None, (
+        "split_sf1x missing: run scripts/scale_probe.py (builds "
+        ".scale_probe/sf1x) then scripts/incremental_admission_probe.py"
+    )
     assert split["build_sec"] > 0 and split["admit_sec"] > 0, split
     assert split["admitted_rows"] > 0, split
 
