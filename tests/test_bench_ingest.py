@@ -367,6 +367,24 @@ def test_bench_regressions_span_metric_gaps(spark, tmp_path):
     ]
 
 
+def test_list_unshift_order_simulates_the_js():
+    """_LIST_UNSHIFT_ORDER is hand-derived as the REVERSE of the JS
+    call order; this pins the derivation by simulating
+    prioritizeImportantTests (generate_benchmark_list.js:29-37)
+    literally — unshift == insert(0), same loop nesting, same
+    i *= 10 progression."""
+    from benchviz_spark.pipeline import _LIST_UNSHIFT_ORDER
+
+    seq: list[str] = []
+    for test in ["Scan", "Delete", "Update", "Insert"]:
+        for suffix in ["_Cockroach-16", "Multinode_Cockroach-16"]:
+            i = 1
+            while i < 1001:
+                seq.insert(0, f"Benchmark{test}{i}{suffix}")
+                i *= 10
+    assert tuple(seq) == _LIST_UNSHIFT_ORDER
+
+
 def test_index_html_renders_missing_priority_dirs(spark, tmp_path):
     """F10 edge the demo-tree golden can't reach: a tree with NEITHER
     priority package still renders both their sections (the JS calls
