@@ -1554,6 +1554,7 @@ def _indexed_admit_vs_standing(
     sf_dir: str,
     prefix: str = "admission",
     within_batch_rn: bool = True,
+    docs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Steps (1)-(3) of index-mediated admission — hygiene gates, exact
     tier vs the standing fingerprints, near-dup tier vs the standing
@@ -1562,7 +1563,11 @@ def _indexed_admit_vs_standing(
     so the full path can run its within-batch step (4) on the same
     batch-sized relations. ``within_batch_rn=False`` skips the
     lowest-doc_id-wins exact dedup WITHIN the batch: the per-document
-    decision the streaming gate mirrors."""
+    decision the streaming gate mirrors. ``docs`` overrides the table
+    scan with an already-materialized documents relation — the
+    foreachBatch admission sink hands each MICRO-BATCH through here,
+    so one decision function serves batch, drain, and production
+    stream."""
     from benchviz_spark.operators.dedup import (
         _INCR_SEEN_RE,
         band_buckets,
@@ -1572,7 +1577,8 @@ def _indexed_admit_vs_standing(
     from benchviz_spark.operators.relational_ext import bloom_might_contain
 
     names = admission_index_names(prefix)
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     batch_docs = docs.filter(~F.col("source").rlike(_INCR_SEEN_RE))
 
     # (1) hygiene gates, batch-sized: eval carve + length are scan

@@ -116,3 +116,72 @@ def run_streaming_pipeline(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def run_admission_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "admission",
+    await_termination: bool = True,
+):
+    """The PRODUCTION admission topology: per-micro-batch ingest against
+    the durable standing-corpus index with ZERO streaming state.
+
+    The per-document admission decision (curation.admission_delta_
+    indexed semantics: hygiene gates, Bloom/fp exact tier, band-posting
+    near-dup tier — all vs the frozen epoch index) is batch-computable,
+    so ``foreachBatch`` hands each micro-batch to the SAME decision
+    function the batch path uses and appends the admitted delta to an
+    exactly-once batch-partitioned parquet sink. Unlike the drained
+    complete-mode gate (streaming/windows.py stream_dedup_admission,
+    whose groupBy state grows with the drained stream — fine for the
+    finite correctness drain, wrong for an unbounded production
+    stream), this topology carries NO state store at all: the decision
+    needs no cross-batch memory because each document is judged on its
+    own content against the index, and the checkpoint's file tracking
+    alone provides restart safety. One decision function, three
+    consumers — batch query, finite drain, unbounded stream.
+
+    The index must exist (curation.build_admission_index) — raising
+    early beats admitting against an empty standing corpus."""
+    from benchviz_spark.operators.curation import (
+        _indexed_admit_vs_standing,
+        _with_split,
+        admission_index_names,
+    )
+    from benchviz_spark.streaming.windows import read_documents_stream
+
+    names = admission_index_names(prefix)
+    missing = [n for n in names.values() if not spark.catalog.tableExists(n)]
+    if missing:
+        raise RuntimeError(
+            f"admission index tables missing: {missing} — run "
+            "build_admission_index first (the epoch build is not an "
+            "ingest-time cost)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    stream = read_documents_stream(spark, sf_dir)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        # exactly-once per batch: overwrite this batch's own partition
+        b3, _, _ = _indexed_admit_vs_standing(
+            spark, sf_dir, prefix, within_batch_rn=False, docs=batch_df
+        )
+        delta = _with_split(b3).select(
+            "doc_id", "lang", "source", "n_chars", "split"
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -234,3 +234,35 @@ def test_stream_dedup_admission_equals_batch(spark):
     streamed = {tuple(r) for r in spark.table("stream_admission_t").collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_admission_stream_zero_state_matches_batch(spark, tmp_path):
+    """The production foreachBatch admission sink (zero streaming
+    state) must reproduce the batch per-document delta exactly, and
+    must refuse to start without the epoch index (admitting against an
+    empty standing corpus would silently pass everything)."""
+    import pytest as _pytest
+
+    from benchviz_spark.operators.curation import (
+        admission_delta_indexed,
+        build_admission_index,
+    )
+    from benchviz_spark.streaming.ingest import run_admission_stream
+
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    with _pytest.raises(RuntimeError, match="admission index tables missing"):
+        run_admission_stream(spark, SF_DIR, out, ckpt, prefix="admission_missing")
+
+    build_admission_index(spark, SF_DIR)
+    run_admission_stream(spark, SF_DIR, out, ckpt)
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "*")).select(
+            "doc_id", "lang", "source", "n_chars", "split"
+        ).collect()
+    }
+    batch = {tuple(r) for r in admission_delta_indexed(spark, SF_DIR).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
