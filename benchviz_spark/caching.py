@@ -46,6 +46,25 @@ def memo_put(cache: dict, key: tuple[str, str], value: Any) -> Any:
     return value
 
 
+def scratch_persist(cache: dict, key: tuple[str, str], df: Any, level=None) -> Any:
+    """Persist ``df`` and enroll it for ``clear_caches`` cleanup —
+    WITHOUT memo semantics (callers never look the entry up; the key
+    only names the block for the unpersist sweep). Query-internal
+    materialization points use this so that a multiply-consumed
+    batch-sized relation executes once per query run, while the bench
+    harness's per-row ``clear_caches()`` still returns the session to a
+    fully cold state (no result ever survives into the next timed row).
+    Re-registering under a live key unpersists the previous holder
+    first, so repeated calls in one session cannot leak pinned blocks."""
+    from pyspark import StorageLevel
+
+    if key in cache:
+        _drop(cache, key)
+    return memo_put(
+        cache, key, df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def clear_caches() -> int:
     """Unpersist and drop every memoized relation in every registered
     cache. Called by snapshot-regeneration (the backing parquet is

@@ -312,7 +312,10 @@ def _build_ngram_jaccard_pairs(
 # MinHash + LSH banding: the 100-TB fuzzy-dedup path.
 # ---------------------------------------------------------------------------
 def minhash_signatures(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, m0..m31): 32 minhash values per doc, computed as 32
     ``min()`` aggregates over the exploded shingle postings.
@@ -335,10 +338,17 @@ def minhash_signatures(
     it 32x per row — the sf0.1 bench measured that at ~30 s. Exploding
     once and running 32 map-side-combined min() aggregates evaluates
     shingling once and shuffles only 5k x 32 longs.
+
+    ``sh`` overrides the shingle source with an already-computed
+    (doc_id, shingles) relation: a caller that also needs the shingle
+    arrays for another structure (the admission-index build derives
+    the hashed shingle store from the same pass) shingles ONCE and
+    feeds both consumers, instead of re-running the normalize+shingle
+    chain per consumer. Identical expressions either way.
     """
-    sh = shingled_documents(spark, sf_dir, docs=docs).filter(
-        F.size("shingles") > 0
-    )
+    if sh is None:
+        sh = shingled_documents(spark, sf_dir, docs=docs)
+    sh = sh.filter(F.size("shingles") > 0)
     postings = sh.select("doc_id", F.explode("shingles").alias("s"))
     x = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
     base = F.pmod(x, F.lit(_MERSENNE31))
@@ -350,13 +360,17 @@ def minhash_signatures(
 
 
 def band_buckets(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, bucket): every document's N_BANDS LSH bucket
     memberships, keyed by the band's signature rows verbatim. Shared by
     the candidate join and the occupancy monitor so both see the
-    identical bucketing."""
-    sig = minhash_signatures(spark, sf_dir, docs=docs)
+    identical bucketing. ``sh`` forwards a pre-computed (doc_id,
+    shingles) relation to ``minhash_signatures`` (see there)."""
+    sig = minhash_signatures(spark, sf_dir, docs=docs, sh=sh)
     bands = [
         F.struct(
             F.lit(i).alias("band"),

@@ -174,8 +174,17 @@ def test_indexed_admission_reads_corpus_side_from_bucketed_tables(spark):
         incremental_batch_indexed,
     )
 
+    from benchviz_spark.caching import clear_caches
+
     build_admission_index(spark, SF_DIR)
     df = incremental_batch_indexed(spark, SF_DIR)
+    # The r15 scratch persists would hide the documents scans behind
+    # InMemoryRelation leaves in the optimized plan; unpersist BEFORE
+    # the (lazy) plan introspection so cache substitution does not
+    # occur and every scan is visible to the per-scan gate walk below.
+    # The runtime plan is unchanged — this inspects the same logical
+    # tree the persisted blocks compute once.
+    clear_caches()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
