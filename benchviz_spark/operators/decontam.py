@@ -618,20 +618,34 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     A production variant drops in the IVF/PQ index for the eval side
     (similarity.py) when the carve outgrows broadcast range; the
     flagging semantics stay identical."""
-    from benchviz_spark.operators.similarity import _as_double, _cosine
+    from benchviz_spark.operators.similarity import (
+        _as_double,
+        _cosine_pre,
+        _norm,
+    )
     from benchviz_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # norms ride each vector relation as ONE precomputed column (r15:
+    # _cosine re-folded both norms per PAIR — 2/3 of the interpreted
+    # fold work of the corpus x eval product; same expression on the
+    # same doubles, so the rounded cosine is bit-identical)
     ev = emb.filter(eval_split(F.col("vec_id"))).select(
-        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        _norm(F.col("v")).alias("nev"),
     )
     co = emb.filter(~eval_split(F.col("vec_id"))).select(
-        F.col("vec_id").alias("doc_id"), "v"
+        F.col("vec_id").alias("doc_id"), "v", _norm(F.col("v")).alias("nv")
     )
     sc = co.join(F.broadcast(ev)).select(
-        "doc_id", "eval_id", _cosine(F.col("v"), F.col("ev")).alias("cos")
+        "doc_id",
+        "eval_id",
+        _cosine_pre(
+            F.col("v"), F.col("ev"), F.col("nv"), F.col("nev")
+        ).alias("cos"),
     )
     # argmax by (cos DESC, eval_id ASC) as a map-side min_by over the
     # key struct (-cos, eval_id) — no per-doc window, no extra shuffle

@@ -69,6 +69,18 @@ def _cosine(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``_cosine`` with the two norms supplied as PRECOMPUTED columns.
+    A norm is a per-VECTOR quantity; ``_cosine`` re-folds both of them
+    for every PAIR, tripling the interpreted-HOF work of a pair-scoring
+    join (guide §1.2 per-task work — the knn re-rank measured the same
+    3x and already carries its norms as columns). Callers attach
+    ``_norm(v)`` to each vector relation once, before the join; the
+    expression applied to each value is unchanged, so the rounded
+    cosine is bit-identical to ``_cosine``'s."""
+    return F.round(_dot(a, b) / (na * nb), 6)
+
+
 # ---------------------------------------------------------------------------
 # Exact brute-force cosine top-k (the correctness baseline).
 # ---------------------------------------------------------------------------
@@ -105,13 +117,21 @@ def similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled until the k-row-per-query window."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+        _norm(_as_double(F.col("embedding"))).alias("nq"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("ce"),
+        _norm(_as_double(F.col("embedding"))).alias("nc"),
     )
     scored = c.join(F.broadcast(q)).select(
-        "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        _cosine_pre(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")).alias(
+            "cosine"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -450,16 +470,23 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int) -> DataFrame:
     cells = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double("embedding").alias("ce"),
+        _norm(_as_double("embedding")).alias("nc"),
         _cell_id_col(ids, vecs).alias("cell_id"),
     )
     qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qe"),
+        _norm(_as_double("embedding")).alias("nq"),
     )
     scored = (
         cells.join(F.broadcast(probes), "cell_id")
         .join(F.broadcast(qe), "query_id")
         .select(
-            "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -722,16 +749,24 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # propagation) would silently broadcast the full embedding table.
     # Asserted in tests/test_plans.py.
     qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qe"),
+        _norm(_as_double("embedding")).alias("nq"),
     )
     ce = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("ce"),
+        _norm(_as_double("embedding")).alias("nc"),
     )
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ce, "neighbor_id")
         .select(
-            "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -788,17 +823,23 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-stable."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+        _norm(_as_double(F.col("embedding"))).alias("nq"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("ce"),
+        _norm(_as_double(F.col("embedding"))).alias("nc"),
     )
     return (
         c.join(F.broadcast(q))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qe"), F.col("ce")).alias("cosine"),
+            _cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= RANGE_T)
     )
@@ -1405,13 +1446,21 @@ def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+        _norm(_as_double(F.col("embedding"))).alias("nq"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("ce"),
+        _norm(_as_double(F.col("embedding"))).alias("nc"),
     )
     sem = c.join(F.broadcast(q)).select(
-        "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        _cosine_pre(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")).alias(
+            "cosine"
+        ),
     )
     ws = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     semp = (
