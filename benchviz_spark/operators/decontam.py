@@ -625,7 +625,7 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from benchviz_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     # norms ride each vector relation as ONE precomputed column (r15:

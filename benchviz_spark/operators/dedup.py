@@ -347,7 +347,11 @@ def minhash_signatures(
     chain per consumer. Identical expressions either way.
     """
     if sh is None:
-        sh = shingled_documents(spark, sf_dir, docs=docs)
+        # spread() the shingle source: the one-split testdata scan would
+        # otherwise run the whole normalize+shingle+explode+md5+32-pmod
+        # chain below as a single task (the Exchange only comes at the
+        # groupBy) — no-op on a many-split production scan
+        sh = spread(spark, shingled_documents(spark, sf_dir, docs=docs))
     sh = sh.filter(F.size("shingles") > 0)
     postings = sh.select("doc_id", F.explode("shingles").alias("s"))
     x = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
@@ -521,7 +525,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned by tests/test_dedup.py, and the full pipeline is
     hash-checked cross-engine against ``_minhash_oracle``."""
     cand = minhash_candidates(spark, sf_dir)
-    sh = hashed_shingled_documents(spark, sf_dir)
+    # materialize=True: the verification consumes the shingle table on
+    # BOTH join sides — lazy, each side would re-run the whole
+    # normalize+shingle+hash chain (on the one-split local scan, as a
+    # single task each)
+    sh = hashed_shingled_documents(spark, sf_dir, materialize=True)
     left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
     return (
@@ -788,7 +796,9 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket); the fingerprint column itself is what a 100-TB pipeline
     persists. Hash-checked cross-engine against ``_simhash_oracle``'s
     relational replay of the same md5 bit accumulation."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread() so the Arrow-batched Python projection runs at cluster
+    # parallelism instead of inheriting the one-split local scan
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     simhash = _simhash_udf()
     return docs.select(
         "doc_id", simhash(_norm_text(F.col("text"))).alias("simhash")
@@ -897,6 +907,14 @@ def _banded_hamming_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
         DHASH_HAMMING_MAX,
     )
 
+    # Materialize (doc_id, hash) ONCE before the self-join: both join
+    # sides consume it, and without the truncation each side re-runs
+    # the full encode+decode+hash chain upstream (the band join plans
+    # as a BroadcastHashJoin whose build and probe sides are separate
+    # subtrees — no exchange reuse ever fires across them; measured two
+    # back-to-back full-decode stages per pair query at sf0.1). The
+    # checkpointed relation is 16 bytes/row at any corpus size.
+    hashes = hashes.localCheckpoint(eager=True)
     mask = (1 << DHASH_BAND_BITS) - 1
     bands = hashes.select(
         "doc_id",
@@ -1295,19 +1313,36 @@ def min_label_components(
         # decimal sum: id sums can exceed int64 at corpus scale
         return int(df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0])
 
-    prev_sum = label_sum(labels)
-    while True:
-        neighbor = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "label")
+    def propagate(lab: DataFrame) -> DataFrame:
+        neighbor = edges.join(lab, edges.src == lab.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
         )
-        labels = (
-            labels.select("doc_id", "label")
+        return (
+            lab.select("doc_id", "label")
             .union(neighbor)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+
+    # UNROLL_STEPS sequential propagation steps per materialized job:
+    # the result after k unrolled steps is BY CONSTRUCTION identical to
+    # k checkpointed rounds (same deterministic min-fold each step), but
+    # the per-round fixed cost — one checkpoint job plus one sum action,
+    # ~0.2 s each regardless of data size — is paid once per k steps.
+    # The multimodal union graph measured diameter ~14 (14 rounds x
+    # ~0.2 s of pure scheduling on an 811-node subgraph); unrolling cut
+    # the loop's action count ~3x with the shuffle volume unchanged.
+    # Overshoot past the fixpoint is idempotent (min-label re-derives
+    # the same labels), so correctness is unaffected on shallow graphs.
+    # k=2 measured best on the deep multimodal graph (3.71 s -> 3.36 s
+    # vs 3.46 at k=3: per-block plans double in size, so higher k pays
+    # back inside the block what it saves in scheduling).
+    UNROLL_STEPS = 2
+    prev_sum = label_sum(labels)
+    while True:
+        for _ in range(UNROLL_STEPS):
+            labels = propagate(labels)
+        labels = labels.localCheckpoint(eager=True)
         # labels are component-wise non-increasing, so the fixpoint test
         # is one scalar: the label sum stops falling (no join needed)
         cur_sum = label_sum(labels)

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from benchviz_spark.registry import query
-from benchviz_spark.sources.tables import load_table
+from benchviz_spark.sources.tables import load_table, spread
 
 N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 10
@@ -115,7 +115,7 @@ def similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine neighbors for each of the first 10 vectors. The
     query side is broadcast; the corpus is scanned once, never
     shuffled until the k-row-per-query window."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qe"),
@@ -187,7 +187,7 @@ def _bucket_structs() -> Column:
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings -> (vec_id, table, bucket), N_TABLES rows per vector."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id", F.explode(_bucket_structs()).alias("tb")
     ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
@@ -441,7 +441,7 @@ def similarity_ann_ivf_topk_iter2(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, n_iter: int) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     ids, vecs = ivf_centroids(spark, sf_dir, n_iter=n_iter)
 
     # probe list: top-N_PROBE cells per query by dot against unit
@@ -529,7 +529,7 @@ def _kmeans_rows(
     so every per-iteration cost here is sample-bounded, while corpus
     ASSIGNMENT (:func:`_ivf_assign`) stays narrow and literal-based.
     The corpus is never collected."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     rows: list[tuple[int, list[float]]] | None = None
     inertia_hist: list[float] = []
     for _ in range(n_iter):
@@ -728,7 +728,7 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle (``_lsh_oracle``) replays the whole pipeline from
     the same hyperplane constants, so the approximate result itself is
     hash-checked cross-engine."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     buckets = lsh_buckets(spark, sf_dir)
     qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"
@@ -1407,7 +1407,7 @@ def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchviz_spark.operators.text_analysis import BM25_B, BM25_K1, _tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
 
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     qt = (
@@ -1914,7 +1914,7 @@ def similarity_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-byte codes against the query-bounded broadcast ADC tables. At
     100 TB this is the only registered ANN whose per-query cost is
     sub-scan in BOTH flops and bytes."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(spark, load_table(spark, sf_dir, "embeddings"))
     ids, vecs = ivf_centroids(spark, sf_dir)
 
     # probe list: same construction as the IVF query

@@ -158,11 +158,23 @@ def test_decode_features_match_local_reference(spark):
 
 
 def test_decode_partition_count_preserved(spark):
-    """mapInPandas must not repartition: decode parallelism == scan
-    parallelism."""
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(4)
+    """The decode stage must never run NARROWER than the cluster: a
+    few-split scan (the testdata parquet arrives as ONE row group) is
+    spread to cluster parallelism before the Python stage, while an
+    already-wide scan passes through with its partitioning preserved
+    (spread()'s no-op guard — a production many-split scan must not be
+    coalesced down to local core count)."""
+    n = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    narrow = docs.repartition(min(4, n))
     assert (
-        decode_features(document_png_payloads(docs)).rdd.getNumPartitions() == 4
+        decode_features(document_png_payloads(narrow)).rdd.getNumPartitions()
+        == n
+    )
+    wide = docs.repartition(n * 2)
+    assert (
+        decode_features(document_png_payloads(wide)).rdd.getNumPartitions()
+        == n * 2
     )
 
 
