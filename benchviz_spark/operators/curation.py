@@ -1272,13 +1272,18 @@ def _incremental_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared prefix of the base corpus and the batch admission. Identical
     gates to ``_build_curated``; kept separate so the incremental
     scenario never perturbs the full-corpus persist point."""
+    from benchviz_spark.sources.tables import spread
+
     flagged = (
         decontam_eval_overlap(spark, sf_dir)
         .filter(F.col("contamination") >= THRESHOLD)
         .select("doc_id")
     )
+    # spread(): the md5(normalized text) fingerprint projection is the
+    # heavy per-row work here and would otherwise run on the one-split
+    # local scan as a single task (no-op on a many-split scan)
     return (
-        load_table(spark, sf_dir, "documents")
+        spread(spark, load_table(spark, sf_dir, "documents"))
         .filter(
             (~eval_split(F.col("doc_id"))) & (F.col("n_chars") >= MIN_CHARS)
         )
@@ -1406,9 +1411,15 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # four consumers below (both vs-standing sides + both within-batch
-    # sides): one persisted lake-wide shingle pass instead of four
+    # sides): one persisted lake-wide shingle pass instead of four —
+    # spread so the persist materializes the shingle chain at cluster
+    # parallelism rather than the one-split scan width
+    from benchviz_spark.sources.tables import spread
+
     sh = _admit_scratch(
-        spark, f"{sf_dir}|insess|sh", hashed_shingled_documents(spark, sf_dir)
+        spark,
+        f"{sf_dir}|insess|sh",
+        spread(spark, hashed_shingled_documents(spark, sf_dir)),
     )
     left = sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("sb"))
@@ -1682,10 +1693,20 @@ def _indexed_admit_vs_standing(
     )
     from benchviz_spark.operators.relational_ext import bloom_might_contain
 
+    from benchviz_spark.sources.tables import spread
+
     names = admission_index_names(prefix)
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    batch_docs = docs.filter(~F.col("source").rlike(_INCR_SEEN_RE))
+    # spread() the batch once for every probe-side chain below: the
+    # gate shingles, the band buckets and the hashed shingle store all
+    # run heavy per-row work directly on this relation, and a one-split
+    # local scan would serialize each of them onto a single task (the
+    # build side already spreads its sh3 pass for the same reason).
+    # No-op on a many-split production micro-batch.
+    batch_docs = spread(
+        spark, docs.filter(~F.col("source").rlike(_INCR_SEEN_RE))
+    )
 
     # (1) hygiene gates, batch-sized: eval carve + length are scan
     # filters; contamination joins the batch's grams against the

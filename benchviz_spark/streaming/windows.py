@@ -300,7 +300,12 @@ def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchviz_spark.operators.multimodal import document_dhashes
 
     return document_dhashes(
-        read_documents_stream(spark, sf_dir).select("doc_id", "text")
+        # stateless repartition: a single-file micro-batch arrives as one
+        # partition and would serialize the compute-heavy stage onto one
+        # core (same sizing move as stream_dedup_admission)
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -316,7 +321,12 @@ def stream_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchviz_spark.operators.multimodal import document_frame_dhashes
 
     return document_frame_dhashes(
-        read_documents_stream(spark, sf_dir).select("doc_id", "text")
+        # stateless repartition: a single-file micro-batch arrives as one
+        # partition and would serialize the compute-heavy stage onto one
+        # core (same sizing move as stream_dedup_admission)
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -331,7 +341,12 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchviz_spark.operators.quality import classifier_projection
 
     return classifier_projection(
-        read_documents_stream(spark, sf_dir).select("doc_id", "text")
+        # stateless repartition: a single-file micro-batch arrives as one
+        # partition and would serialize the compute-heavy stage onto one
+        # core (same sizing move as stream_dedup_admission)
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -366,6 +381,9 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_documents_stream(spark, sf_dir)
         .select("doc_id", "source", "text")
+        # stateless repartition before the per-row token fold (same
+        # sizing move as stream_dedup_admission)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "source", F.round(logw, 6).alias("log_weight"))
     )
 
@@ -402,6 +420,9 @@ def stream_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         read_documents_stream(spark, sf_dir)
         .filter(~eval_split(F.col("doc_id")))
+        # stateless repartition before the shingle projection + Python
+        # probe (same sizing move as stream_dedup_admission)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", _shingles(toks, NGRAM).alias("shingles"))
     )
 
@@ -530,12 +551,21 @@ def stream_dedup_admission(
     n_bands, rows_per_band = N_BANDS, ROWS_PER_BAND
 
     toks = F.split(_norm_text(F.col("text")), " ")
+    # Stateless repartition to cluster parallelism BEFORE the heavy
+    # projection: the shingling expressions and the per-shingle md5
+    # loop inside probe() below are the micro-batch's compute wall,
+    # and a single-file micro-batch (the test layout) arrives as ONE
+    # partition — serializing all of it onto one core. Exchanging the
+    # batch-sized rows once per micro-batch is the standard sizing
+    # move for a compute-bound stream stage; the per-document verdict
+    # is partitioning-independent (pure projections + a final groupBy).
     stream = (
         read_documents_stream(spark, sf_dir)
         .filter(~F.col("source").rlike(_INCR_SEEN_RE))
         .filter(
             (~eval_split(F.col("doc_id"))) & (F.col("n_chars") >= MIN_CHARS)
         )
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             "lang",
