@@ -1300,7 +1300,7 @@ def min_label_components(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Empty pair graph (legitimately common for the perceptual-hash
     # Hamming balls at small SF): every document is a singleton. SUM
@@ -1327,22 +1327,33 @@ def min_label_components(
     # UNROLL_STEPS sequential propagation steps per materialized job:
     # the result after k unrolled steps is BY CONSTRUCTION identical to
     # k checkpointed rounds (same deterministic min-fold each step), but
-    # the per-round fixed cost — one checkpoint job plus one sum action,
-    # ~0.2 s each regardless of data size — is paid once per k steps.
-    # The multimodal union graph measured diameter ~14 (14 rounds x
-    # ~0.2 s of pure scheduling on an 811-node subgraph); unrolling cut
-    # the loop's action count ~3x with the shuffle volume unchanged.
-    # Overshoot past the fixpoint is idempotent (min-label re-derives
-    # the same labels), so correctness is unaffected on shallow graphs.
-    # k=2 measured best on the deep multimodal graph (3.71 s -> 3.36 s
-    # vs 3.46 at k=3: per-block plans double in size, so higher k pays
-    # back inside the block what it saves in scheduling).
+    # the per-round fixed cost — one materialization job plus one sum
+    # action, ~0.2 s each regardless of data size — is paid once per k
+    # steps. The multimodal union graph measured diameter ~14 (14
+    # rounds x ~0.2 s of pure scheduling on an 811-node subgraph);
+    # unrolling cut the loop's action count ~3x with the shuffle volume
+    # unchanged. Overshoot past the fixpoint is idempotent (min-label
+    # re-derives the same labels), so correctness is unaffected on
+    # shallow graphs. k=2 measured best on the deep multimodal graph
+    # (3.71 s -> 3.36 s vs 3.46 at k=3: per-block plans double in size,
+    # so higher k pays back inside the block what it saves in
+    # scheduling).
+    #
+    # The checkpoints are LAZY (r15 A/B, scripts/opt_ab_components.py):
+    # the label-sum convergence action is the loop's natural
+    # materializer, so an eager checkpoint's separate job per block is
+    # pure duplicate cost — one action per block instead of two
+    # measured the deep multimodal loop 5.73 -> 3.89 s (medians of 3,
+    # same session) and the shallow text loop 1.40 -> 1.27 s, with
+    # row-identical output asserted. (AQE stays ON in the loop: the
+    # no-AQE variant measured ~2x SLOWER — runtime coalescing of the
+    # kB-sized shuffles to one task is what keeps rounds cheap.)
     UNROLL_STEPS = 2
     prev_sum = label_sum(labels)
     while True:
         for _ in range(UNROLL_STEPS):
             labels = propagate(labels)
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
         # labels are component-wise non-increasing, so the fixpoint test
         # is one scalar: the label sum stops falling (no join needed)
         cur_sum = label_sum(labels)
