@@ -1341,7 +1341,6 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benchviz_spark.operators.dedup import (
         _INCR_SEEN_RE,
         band_buckets,
-        hashed_shingled_documents,
         min_label_components,
     )
     from benchviz_spark.operators.relational_ext import (
@@ -1395,9 +1394,21 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # (3) near-dup tier vs the standing corpus: band collisions
-    # verified by exact shingle Jaccard, batch loser dropped
+    # verified by exact shingle Jaccard, batch loser dropped. ONE
+    # lake-wide n=3 shingle pass (spread, persisted) feeds BOTH the
+    # band postings and the verification shingle store below — r15:
+    # band_buckets and hashed_shingled_documents each re-ran the
+    # normalize+split+shingle chain over the same documents.
+    from benchviz_spark.operators.dedup import shingled_documents
+    from benchviz_spark.sources.tables import spread
+
+    sh3 = _admit_scratch(
+        spark,
+        f"{sf_dir}|insess|sh3",
+        spread(spark, shingled_documents(spark, sf_dir)),
+    )
     bands = _admit_scratch(
-        spark, f"{sf_dir}|insess|bands", band_buckets(spark, sf_dir)
+        spark, f"{sf_dir}|insess|bands", band_buckets(spark, sf_dir, sh=sh3)
     )
     new_b = bands.join(b2.select("doc_id"), "doc_id", "left_semi")
     old_b = bands.join(old_curated.select("doc_id"), "doc_id", "left_semi")
@@ -1411,15 +1422,18 @@ def curation_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # four consumers below (both vs-standing sides + both within-batch
-    # sides): one persisted lake-wide shingle pass instead of four —
-    # spread so the persist materializes the shingle chain at cluster
-    # parallelism rather than the one-split scan width
-    from benchviz_spark.sources.tables import spread
-
+    # sides): the hashed form is projected once from the persisted
+    # shingle pass above (identical expressions to
+    # hashed_shingled_documents) and persisted itself
     sh = _admit_scratch(
         spark,
         f"{sf_dir}|insess|sh",
-        spread(spark, hashed_shingled_documents(spark, sf_dir)),
+        sh3.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        ),
     )
     left = sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("sb"))
@@ -1574,6 +1588,32 @@ def build_admission_index(
 
     docs = load_table(spark, sf_dir, "documents")
 
+    # ONE spread+persisted NGRAM shingle pass over (standing ∪
+    # eval-carve) documents feeds BOTH phase-1 writes (r15: the
+    # eval_grams write and the fps gate each re-ran the
+    # normalize+split+shingle chain — fps via decontam_eval_overlap,
+    # which also re-derived the very eval-gram set the sibling thread
+    # was materializing). The posting side is additionally pre-filtered
+    # to standing sources: contamination is a PER-DOCUMENT aggregate
+    # (own shingles vs the eval gram set), so flags for the docs fps
+    # actually gates are identical whether or not incoming-source docs
+    # are scored alongside them. The eval side keeps every eval-carve
+    # doc regardless of source — the carve is lake-wide by doc_id.
+    pre = docs.filter(
+        F.col("source").rlike(_INCR_SEEN_RE) | eval_split(F.col("doc_id"))
+    )
+    sh_ng = (
+        spread(spark, shingled_documents(spark, sf_dir, n=NGRAM, docs=pre))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    sh_ng.count()
+    ev = (
+        sh_ng.filter(eval_split(F.col("doc_id")))
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+
     def build_eval_grams() -> None:
         # Decontam's standing asset: the eval suite is a fixed
         # lake-wide carve (eval_split over doc_id), independent of
@@ -1582,25 +1622,40 @@ def build_admission_index(
         spark.sparkContext.setJobDescription(
             f"admission index: {names['eval_grams']}"
         )
-        ev = (
-            shingled_documents(
-                spark,
-                sf_dir,
-                n=NGRAM,
-                docs=docs.filter(eval_split(F.col("doc_id"))),
-            )
-            .filter(F.size("shingles") > 0)
-            .select(F.explode("shingles").alias("g"))
-            .distinct()
-        )
         ev.write.mode("overwrite").saveAsTable(names["eval_grams"])
 
     def build_fps() -> None:
         # Standing curated survivors: identical gates + exact dedup to
-        # incremental_base_corpus (lowest doc_id per fingerprint wins).
+        # incremental_base_corpus (lowest doc_id per fingerprint wins;
+        # the contamination flags replay _incremental_gated's exactly —
+        # same eval gram set, same per-doc aggregate, same THRESHOLD —
+        # over the persisted shingle pass, pinned by the shared golden
+        # oracle and test_curation's indexed/in-session equivalence).
         spark.sparkContext.setJobDescription(f"admission index: {names['fps']}")
-        standing_gated = _incremental_gated(spark, sf_dir).filter(
-            F.col("source").rlike(_INCR_SEEN_RE)
+        flagged = (
+            sh_ng.filter(~eval_split(F.col("doc_id")))
+            .select(
+                "doc_id",
+                F.size("shingles").cast("long").alias("n_shingles"),
+                F.explode("shingles").alias("g"),
+            )
+            .join(F.broadcast(ev), "g")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count("*").alias("n_contaminated"))
+            .filter(
+                F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+                >= THRESHOLD
+            )
+            .select("doc_id")
+        )
+        standing_gated = (
+            docs.filter(
+                F.col("source").rlike(_INCR_SEEN_RE)
+                & (~eval_split(F.col("doc_id")))
+                & (F.col("n_chars") >= MIN_CHARS)
+            )
+            .join(flagged, "doc_id", "left_anti")
+            .withColumn("fp", F.md5(_norm_text(F.col("text"))))
         )
         rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
         curated = (
@@ -1615,6 +1670,7 @@ def build_admission_index(
     with ThreadPoolExecutor(max_workers=2) as pool:
         for fut in [pool.submit(build_eval_grams), pool.submit(build_fps)]:
             fut.result()
+    sh_ng.unpersist()
 
     curated_ids = spark.table(names["fps"]).select("doc_id")
     standing_docs = docs.join(curated_ids, "doc_id", "left_semi")
@@ -1688,7 +1744,6 @@ def _indexed_admit_vs_standing(
     from benchviz_spark.operators.dedup import (
         _INCR_SEEN_RE,
         band_buckets,
-        hashed_shingled_documents,
         shingled_documents,
     )
     from benchviz_spark.operators.relational_ext import bloom_might_contain
@@ -1776,9 +1831,17 @@ def _indexed_admit_vs_standing(
     # candidates verify by exact Jaccard against the doc_id-bucketed
     # shingle store — only band-colliding old_ids are ever read.
     # Both relations are re-read by the full path's within-batch tier;
-    # persisted batch-sized, cleared per bench row.
+    # persisted batch-sized, cleared per bench row. ONE n=3 batch
+    # shingle pass (persisted) feeds both the minhash bands and the
+    # hashed verification shingles — r15: each previously re-ran the
+    # normalize+split+shingle chain over the batch.
+    sh3_batch = _admit_scratch(
+        spark,
+        f"{tag}|sh3",
+        shingled_documents(spark, sf_dir, docs=batch_docs),
+    )
     bands_batch = _admit_scratch(
-        spark, f"{tag}|bands", band_buckets(spark, sf_dir, docs=batch_docs)
+        spark, f"{tag}|bands", band_buckets(spark, sf_dir, sh=sh3_batch)
     )
     new_b = bands_batch.join(b2.select("doc_id"), "doc_id", "left_semi")
     old_b = spark.table(names["bands"])
@@ -1794,7 +1857,12 @@ def _indexed_admit_vs_standing(
     sh_batch = _admit_scratch(
         spark,
         f"{tag}|sh",
-        hashed_shingled_documents(spark, sf_dir, docs=batch_docs),
+        sh3_batch.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        ),
     )
     left = sh_batch.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("sa"))
     right = spark.table(names["shingles"]).select(
