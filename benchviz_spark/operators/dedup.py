@@ -390,7 +390,9 @@ def band_buckets(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs: (left_id, right_id), deduped across bands.
 
     Each doc lands in N_BANDS buckets keyed by that band's signature
@@ -418,7 +420,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap here would silently drop real candidates; the tiering is the
     principled bound.
     """
-    bucketed = band_buckets(spark, sf_dir)
+    bucketed = band_buckets(spark, sf_dir, sh=sh)
     members = (
         bucketed.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -524,12 +526,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on LSH survivors, never all pairs. Recall vs the exact operator
     is pinned by tests/test_dedup.py, and the full pipeline is
     hash-checked cross-engine against ``_minhash_oracle``."""
-    cand = minhash_candidates(spark, sf_dir)
-    # materialize=True: the verification consumes the shingle table on
-    # BOTH join sides — lazy, each side would re-run the whole
-    # normalize+shingle+hash chain (on the one-split local scan, as a
-    # single task each)
-    sh = hashed_shingled_documents(spark, sf_dir, materialize=True)
+    # ONE spread+checkpointed shingle pass feeds the signature chain
+    # AND (via the xxhash projection) both verification sides — r15:
+    # the signatures and the hashed store each re-ran the
+    # normalize+split+shingle chain over the same documents. The
+    # hashed form is checkpointed too (the verification consumes it on
+    # BOTH join sides — lazy, each side would re-project per consumer).
+    sh_raw = spread(spark, shingled_documents(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    cand = minhash_candidates(spark, sf_dir, sh=sh_raw)
+    sh = sh_raw.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    ).localCheckpoint(eager=True)
     left = sh.select(F.col("doc_id").alias("left_id"), F.col("hs").alias("sa"))
     right = sh.select(F.col("doc_id").alias("right_id"), F.col("hs").alias("sb"))
     return (
