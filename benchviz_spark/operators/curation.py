@@ -253,9 +253,22 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scaled shuffle: the pair side is duplicate-rate-sized, so
     AQE broadcasts it against the curated relation at any realistic
     dup rate."""
-    return leakage_over(
-        spark, sf_dir, curated_documents(spark, sf_dir).select("doc_id", "split")
-    )
+    # Construct the curated relation and the pair detector concurrently:
+    # both run eager materialization jobs during construction (the
+    # decontam gate's checkpointed shingle pass; the pair chain's
+    # materialized shingle store) that otherwise serialize (guide §2.6,
+    # the decontam_flag_matrix pattern).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cur = pool.submit(
+            lambda: curated_documents(spark, sf_dir).select("doc_id", "split")
+        )
+        f_pairs = pool.submit(dedup_ngram_jaccard_pairs, spark, sf_dir)
+        assignment, pairs = f_cur.result(), f_pairs.result()
+    return leakage_over(spark, sf_dir, assignment, pairs=pairs)
 
 
 def leakage_over(
@@ -336,10 +349,19 @@ def curation_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted clusters relation — both already materialized by their
     own stacks — plus the same narrow md5-bucket projection; no new
     corpus-scale shuffle beyond the doc_id equi-join."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from benchviz_spark.operators.dedup import dedup_duplicate_clusters
 
-    cur = curated_documents(spark, sf_dir).drop("split")
-    clusters = dedup_duplicate_clusters(spark, sf_dir)
+    # Concurrent construction (guide §2.6): the curated chain's eager
+    # gate materialization and the cluster builder's component-loop
+    # actions are independent until the join below.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cur = pool.submit(
+            lambda: curated_documents(spark, sf_dir).drop("split")
+        )
+        f_cl = pool.submit(dedup_duplicate_clusters, spark, sf_dir)
+        cur, clusters = f_cur.result(), f_cl.result()
     split = (
         F.when(F.col("bucket") < TRAIN_UPTO, "train")
         .when(F.col("bucket") < VAL_UPTO, "val")
@@ -407,10 +429,20 @@ def curated_multimodal_documents(
 def _build_curated_multimodal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from benchviz_spark.operators.dedup import dedup_multimodal_clusters
 
-    cur = curated_documents(spark, sf_dir).drop("split")
-    clusters = dedup_multimodal_clusters(spark, sf_dir)
+    # Concurrent construction (guide §2.6): the curated chain's eager
+    # gate materialization and the unified cluster builder's pair
+    # checkpoints + component-loop actions are independent until the
+    # join below.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cur = pool.submit(
+            lambda: curated_documents(spark, sf_dir).drop("split")
+        )
+        f_cl = pool.submit(dedup_multimodal_clusters, spark, sf_dir)
+        cur, clusters = f_cur.result(), f_cl.result()
     rn = F.row_number().over(W.partitionBy("cluster_id").orderBy("doc_id"))
     split = (
         F.when(F.col("bucket") < TRAIN_UPTO, "train")

@@ -1905,17 +1905,29 @@ def dedup_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _MM_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark import StorageLevel
 
     tag = lambda df, m: df.select(  # noqa: E731
         "left_id", "right_id", F.lit(m).alias("modality")
     )
-    out = (
-        tag(dedup_ngram_jaccard_pairs(spark, sf_dir), "text")
-        .unionByName(tag(dedup_image_phash_pairs(spark, sf_dir), "image"))
-        .unionByName(tag(dedup_audio_fingerprint_pairs(spark, sf_dir), "audio"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Construct the three detector subtrees concurrently: each runs
+    # eager materialization jobs during CONSTRUCTION (the text chain's
+    # checkpointed shingle pass, the image/audio chains' decoded-hash
+    # checkpoints), and built sequentially those jobs serialize before
+    # the union's own job starts. Pooling measured the cold union
+    # ~4.6 -> ~2.9 s with row-identical output (guide §2.6).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_text = pool.submit(dedup_ngram_jaccard_pairs, spark, sf_dir)
+        f_img = pool.submit(dedup_image_phash_pairs, spark, sf_dir)
+        f_aud = pool.submit(dedup_audio_fingerprint_pairs, spark, sf_dir)
+        out = (
+            tag(f_text.result(), "text")
+            .unionByName(tag(f_img.result(), "image"))
+            .unionByName(tag(f_aud.result(), "audio"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     return memo_put(_MM_PAIRS_CACHE, key, out)
 
 
