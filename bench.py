@@ -202,10 +202,27 @@ def confirm_regressions(
     return sorted(out)
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, busy) jiffies from /proc/stat — co-tenant pressure on a
+    shared hypervisor shows up as STEAL time, which loadavg inside the
+    guest cannot see (r15: a 493 s run with 3-9x spikes on arbitrary
+    rows recorded 1-min loadavg 5.0 but 305 cpu-sec of steal; the
+    steal share is the honest noise indicator for a committed row)."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        user, nice, system = int(f[1]), int(f[2]), int(f[3])
+        irq, softirq, steal = int(f[6]), int(f[7]), int(f[8])
+        return steal, user + nice + system + irq + softirq + steal
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     spark = get_spark("benchviz_bench")
     queries = all_queries()
     sf = _sf_from_dir(SF_DIR)
+    jiffies0 = _cpu_jiffies()
     # Warm the JVM/parquet footers so the first timed query isn't paying
     # session startup.
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
@@ -336,10 +353,20 @@ def main() -> None:
     os.makedirs(BENCH_DIR, exist_ok=True)
     from benchviz_spark.operators.similarity import active_knn_profile
 
+    jiffies1 = _cpu_jiffies()
+    steal = None
+    if jiffies0 and jiffies1:
+        steal = {
+            "steal_cpu_sec": round((jiffies1[0] - jiffies0[0]) / 100.0, 1),
+            "busy_cpu_sec": round((jiffies1[1] - jiffies0[1]) / 100.0, 1),
+        }
     record = {
         "sf": sf,
         "total_sec": round(total, 3),
         "loadavg": loadavg,
+        # hypervisor steal over the run (None outside Linux guests):
+        # co-tenant pressure that loadavg cannot see — see _cpu_jiffies
+        "cpu_steal": steal,
         # which k-NN recall profile produced the knn rows (ADVICE r13:
         # records must be self-describing — the profile changes both
         # the Spark plan and the oracle). Import-time frozen value, not

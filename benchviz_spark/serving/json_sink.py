@@ -68,7 +68,17 @@ def _go_number(col: F.Column) -> F.Column:
     value, which Catalyst cannot see without exact big-decimal
     arithmetic — there the output is still shortest-length and
     round-trips exactly (~0.4% of random giants differ in the last
-    digit). Benchmark metrics live far below 2^53."""
+    digit). Benchmark metrics live far below 2^53.
+
+    NOTE: this single-expression form is the readable REFERENCE; the
+    production sink renders through ``with_go_number`` below — the
+    same formula staged through intermediate columns, because this
+    tree (each Python variable reference inlines a full copy of its
+    subtree) generates a >64 KB whole-stage-codegen method, which
+    janino rejects ("Code grows beyond 64 KB") and the stage silently
+    falls back to interpreted execution. Byte-equality of the two
+    forms is pinned by
+    tests/test_bench_ingest.py::test_go_number_staged_equals_reference."""
     as_long = col.try_cast("long")
     plain = col.cast("string")
     strip = lambda c: F.regexp_replace(  # noqa: E731 - drop trailing zeros
@@ -124,11 +134,158 @@ def _go_number(col: F.Column) -> F.Column:
     )
 
 
+def with_go_number(df: DataFrame, col: F.Column, out: str) -> DataFrame:
+    """Attach column ``out`` = ``_go_number(col)`` — same formula, same
+    bytes — STAGED through intermediate columns instead of one nested
+    expression. The production rendering path.
+
+    Why this twin exists (r15, guide §7.2 "giant expression trees"):
+    Catalyst expressions are trees, not DAGs, so every Python variable
+    reference in ``_go_number`` (``mant`` ~x21 via digits/npoint/sign,
+    each candidate x2, ...) INLINES a full copy of its subtree, and
+    whole-stage codegen cannot split inside one expression — the
+    single-expression form generates a >64 KB ``processNext()`` that
+    janino refuses ("Code grows beyond 64 KB", one ERROR per bench
+    run) and the stage silently runs INTERPRETED, at any scale.
+    Staging each reuse-heavy term as a real column makes codegen emit
+    it once as a local variable; the optimizer keeps the stages
+    because CollapseProject does not inline non-cheap aliases that are
+    referenced more than once.
+
+    Eager-evaluation safety (the stages run for EVERY row, where the
+    single expression evaluated the heavy branch lazily): array access
+    via ``F.get`` (NULL, never ANSI invalidArrayIndexError, on the
+    E-less split) and ``try_cast`` for the decimal/int casts (NaN and
+    Infinity renderings would throw under ANSI in a plain cast); for
+    rows the final when-chain routes to the cheap branches the staged
+    values are NULL-propagated and ignored, so the output is
+    byte-identical to ``_go_number`` (pinned by
+    test_go_number_staged_equals_reference plus the Go-oracle property
+    tests, which run against THIS path)."""
+    gn = lambda s: f"__gn_{s}"  # noqa: E731 - scratch-column namer
+    c = lambda s: F.col(gn(s))  # noqa: E731
+    strip = lambda x: F.regexp_replace(  # noqa: E731 - drop trailing zeros
+        F.regexp_replace(x.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
+    )
+    df = df.withColumns({gn("plain"): col.cast("string")})
+    df = df.withColumns({gn("parts"): F.split(c("plain"), "E")})
+    df = df.withColumns(
+        {
+            gn("jmant"): F.get(c("parts"), 0),
+            gn("exp"): F.get(c("parts"), 1).try_cast("int"),
+        }
+    )
+    df = df.withColumns({gn("jdec"): c("jmant").try_cast("decimal(28,20)")})
+    df = df.withColumns(
+        {
+            gn(f"c{frac}"): F.round(c("jdec"), frac).cast("string")
+            for frac in (16, 15, 14)
+        }
+    )
+    roundtrips = lambda m: F.concat(  # noqa: E731 - candidate == input?
+        m, F.lit("E"), c("exp").cast("string")
+    ).try_cast("double").eqNullSafe(col)
+    mant = c("jmant")
+    # shortest first: 15, 16, 17 significant digits, else Java's own
+    for frac in (16, 15, 14):
+        cand = c(f"c{frac}")
+        mant = F.when(roundtrips(cand), cand).otherwise(mant)
+    df = df.withColumns({gn("mant"): mant})
+    df = df.withColumns(
+        {gn("mparts"): F.split(F.regexp_replace(c("mant"), "-", ""), r"\.")}
+    )
+    df = df.withColumns(
+        {
+            gn("sign"): F.when(c("mant").startswith("-"), F.lit("-")).otherwise(
+                F.lit("")
+            ),
+            gn("digits"): F.concat(F.get(c("mparts"), 0), F.get(c("mparts"), 1)),
+            # digits left of the decimal point (rounding can carry:
+            # '9.99...' -> '10.0...', so not always one digit)
+            gn("npoint"): c("exp") + F.length(F.get(c("mparts"), 0)),
+        }
+    )
+    expanded = (
+        F.when(
+            c("npoint") <= 0,
+            F.concat(
+                c("sign"),
+                F.lit("0."),
+                F.repeat(F.lit("0"), -c("npoint")),
+                c("digits"),
+            ),
+        )
+        .when(
+            F.length(c("digits")) <= c("npoint"),
+            F.concat(c("sign"), F.rpad(c("digits"), c("npoint"), "0")),
+        )
+        .otherwise(
+            F.concat(
+                c("sign"),
+                F.substring(c("digits"), F.lit(1), c("npoint")),
+                F.lit("."),
+                F.substring(
+                    c("digits"), c("npoint") + 1, F.length(c("digits"))
+                ),
+            )
+        )
+    )
+    df = df.withColumns({gn("expanded"): expanded})
+    as_long = col.try_cast("long")
+    rendered = (
+        F.when((col == 0.0) & c("plain").startswith("-"), F.lit("-0"))
+        .when(
+            (col == as_long.cast("double")) & (F.abs(col) < F.lit(2.0**53)),
+            as_long.cast("string"),
+        )
+        .when(~c("plain").contains("E"), c("plain"))
+        .otherwise(strip(c("expanded")))
+    )
+    scratch = [
+        gn(s)
+        for s in (
+            "plain",
+            "parts",
+            "jmant",
+            "exp",
+            "jdec",
+            "c16",
+            "c15",
+            "c14",
+            "mant",
+            "mparts",
+            "sign",
+            "digits",
+            "npoint",
+            "expanded",
+        )
+    ]
+    return df.withColumns({out: rendered}).drop(*scratch)
+
+
 def per_test_json(fact: DataFrame) -> DataFrame:
     """-> (package, test_name, json) with one reference-shaped JSON
     document per benchmark test, keyed by the RAW date-dir name —
     the reference keys by dataDirName verbatim (file_generator.go:167),
-    so a quirky dir like x01-01-2016y keeps its name in the output."""
+    so a quirky dir like x01-01-2016y keeps its name in the output.
+
+    The M rendering rides ``with_go_number`` (the staged twin of
+    ``_go_number``): the single-expression form overflows janino's
+    64 KB method limit and drops the whole projection to interpreted
+    execution — see with_go_number's docstring."""
+    staged = with_go_number(
+        fact.select(
+            "package",
+            "test_name",
+            "date_dir",
+            "ns_per_op",
+            "allocs_per_op",
+            "bytes_per_op",
+            "mb_per_s",
+        ),
+        F.col("mb_per_s"),
+        "_m_go",
+    )
     entry = F.concat(
         F.lit('"'),
         F.col("date_dir"),
@@ -139,11 +296,11 @@ def per_test_json(fact: DataFrame) -> DataFrame:
         F.lit(',"B":'),
         F.col("bytes_per_op").cast("string"),
         F.lit(',"M":'),
-        _go_number(F.col("mb_per_s")),
+        F.col("_m_go"),
         F.lit("}"),
     )
     return (
-        fact.select("package", "test_name", entry.alias("entry"))
+        staged.select("package", "test_name", entry.alias("entry"))
         .groupBy("package", "test_name")
         .agg(
             F.concat(

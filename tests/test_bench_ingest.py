@@ -433,10 +433,11 @@ def test_go_number_shortest_round_trip(spark):
     round-trips (for 1e-6 <= |v| < 1e21). The sink must match it
     exactly — the round-2 decimal(30,6) path rounded >6-decimal values.
     The expectation is computed from Python's repr (also shortest
-    round-trip) re-rendered positionally."""
+    round-trip) re-rendered positionally. Runs against the staged
+    production path (``with_go_number``)."""
     from decimal import Decimal
 
-    from benchviz_spark.serving.json_sink import _go_number
+    from benchviz_spark.serving.json_sink import with_go_number
 
     values = [
         4.0,
@@ -460,10 +461,43 @@ def test_go_number_shortest_round_trip(spark):
         return format(Decimal(repr(v)), "f")
 
     df = spark.createDataFrame([(v,) for v in values], "v double")
-    got = [r.s for r in df.select(_go_number(F.col("v")).alias("s")).collect()]
+    staged = with_go_number(df, F.col("v"), "s").select("v", "s")
+    got = [r.s for r in staged.collect()]
     assert got == [go_render(v) for v in values]
     # every rendering round-trips to the exact double
     assert [float(s) for s in got] == values
+
+
+def test_go_number_staged_equals_reference(spark):
+    """The staged production rendering (``with_go_number`` — real
+    intermediate columns so whole-stage codegen compiles; the
+    single-expression form overflows janino's 64 KB method limit and
+    runs interpreted) must be BYTE-IDENTICAL to the reference
+    ``_go_number`` expression on every branch: -0, integral, plain
+    positional, positive/negative exponent expansion, the >2^53 tier,
+    and the non-finite renderings (NaN/Infinity — the staged form's
+    eager stages must null-propagate there instead of raising under
+    ANSI, which is why it stages through try_cast/F.get)."""
+    import random
+
+    from benchviz_spark.serving.json_sink import _go_number, with_go_number
+
+    rng = random.Random(0xC0DE)
+    values = [
+        4.0, 12.5, 0.0, -0.0, 85.21, 1.0e7, 10000000.5, 0.0005,
+        1.23456789012345e-05, 2.0 / 3.0, 99999.99999999999,
+        2.0**53 - 1, 2.0**53, 2.0**63, 1e20, -123.456, -1.5e-5, 1e-6,
+        4.495070928150767e16, 3.945243088014081e16,
+        float("nan"), float("inf"), float("-inf"),
+    ]
+    values += [rng.uniform(-1e21, 1e21) for _ in range(300)]
+    values += [rng.uniform(-1e-6, 1e-6) for _ in range(100)]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    ref = [r.s for r in df.select(_go_number(F.col("v")).alias("s")).collect()]
+    got = [
+        r.s for r in with_go_number(df, F.col("v"), "s").select("s").collect()
+    ]
+    assert got == ref
 
 
 def test_serving_tree_via_hadoop_fs_uri(spark, sample_tree, tmp_path):

@@ -322,19 +322,23 @@ GO_NUMBER_EDGES = [
 
 
 def test_go_number_rendering_property(spark):
-    """Property check of _go_number against the Go oracle: exact byte
-    parity for |v| < 2^53 (the documented parity bound — benchmark
-    metrics never approach it), and everywhere in the positional window
-    a positional, exactly-round-tripping rendering."""
+    """Property check of the PRODUCTION Go-number rendering (the staged
+    ``with_go_number`` path per_test_json actually executes; the
+    single-expression ``_go_number`` is pinned equal to it by
+    test_bench_ingest.py::test_go_number_staged_equals_reference)
+    against the Go oracle: exact byte parity for |v| < 2^53 (the
+    documented parity bound — benchmark metrics never approach it),
+    and everywhere in the positional window a positional,
+    exactly-round-tripping rendering."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    from benchviz_spark.serving.json_sink import _go_number
+    from benchviz_spark.serving.json_sink import with_go_number
     from pyspark.sql import functions as F
 
     def check(vals: list[float]) -> None:
         df = spark.createDataFrame([(v,) for v in vals], "v double")
-        rows = df.select("v", _go_number(F.col("v")).alias("s")).collect()
+        rows = with_go_number(df, F.col("v"), "s").select("v", "s").collect()
         for r in rows:
             assert "e" not in r.s.lower(), (r.v, r.s)
             assert float(r.s) == r.v, (r.v, r.s)  # exact round-trip
