@@ -258,11 +258,10 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontam gate's checkpointed shingle pass; the pair chain's
     # materialized shingle store) that otherwise serialize (guide §2.6,
     # the decontam_flag_matrix pattern).
-    from concurrent.futures import ThreadPoolExecutor
-
+    from benchviz_spark.concurrency import subtree_pool
     from benchviz_spark.operators.dedup import dedup_ngram_jaccard_pairs
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with subtree_pool(2) as pool:
         f_cur = pool.submit(
             lambda: curated_documents(spark, sf_dir).select("doc_id", "split")
         )
@@ -349,14 +348,13 @@ def curation_cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted clusters relation — both already materialized by their
     own stacks — plus the same narrow md5-bucket projection; no new
     corpus-scale shuffle beyond the doc_id equi-join."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    from benchviz_spark.concurrency import subtree_pool
     from benchviz_spark.operators.dedup import dedup_duplicate_clusters
 
     # Concurrent construction (guide §2.6): the curated chain's eager
     # gate materialization and the cluster builder's component-loop
     # actions are independent until the join below.
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with subtree_pool(2) as pool:
         f_cur = pool.submit(
             lambda: curated_documents(spark, sf_dir).drop("split")
         )
@@ -429,15 +427,14 @@ def curated_multimodal_documents(
 def _build_curated_multimodal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from concurrent.futures import ThreadPoolExecutor
-
+    from benchviz_spark.concurrency import subtree_pool
     from benchviz_spark.operators.dedup import dedup_multimodal_clusters
 
     # Concurrent construction (guide §2.6): the curated chain's eager
     # gate materialization and the unified cluster builder's pair
     # checkpoints + component-loop actions are independent until the
     # join below.
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with subtree_pool(2) as pool:
         f_cur = pool.submit(
             lambda: curated_documents(spark, sf_dir).drop("split")
         )
@@ -1584,26 +1581,22 @@ def build_admission_index(
     bucketed tables; at 100 TB it tracks the cluster's target
     partition count (thousands), here it matches the test fleet.
 
-    r15 build shape (guide §2.6 / §2.4): the five table writes are
-    independent jobs once their inputs exist, so they run from a small
-    thread pool in two dependency phases — [eval_grams ∥ fps] then
-    [bands ∥ shingles ∥ bloom] — letting the tail of one write
-    back-fill executors freed by another instead of serializing five
-    cluster-underfilling jobs. The bands and shingle stores also now
-    share ONE shingle pass over the standing corpus (a persisted
-    (doc_id, shingles) relation feeds both the md5-based minhash
-    aggregation and the xxhash64 shingle store) instead of each
-    re-running the normalize+split+shingle chain over the same
-    documents; expressions are identical, so both tables are
-    byte-for-byte what the serial build wrote."""
+    r16 build shape (guide §2.6 / §1.2): ONE spread+persisted tokenize
+    pass computes both shingle widths for every table, and the five
+    writes are submitted dependency-ordered from a small thread pool —
+    eval_grams ∥ fps first, then bands ∥ shingles ∥ bloom the moment
+    fps lands (overlapping the eval_grams tail; no wait-all barriers,
+    no second tokenize pass, no count() between phases). Expressions
+    are identical per width, so every table is byte-for-byte what the
+    serial build wrote."""
     import shutil
-    from concurrent.futures import ThreadPoolExecutor
     from urllib.parse import urlparse
+
+    from benchviz_spark.concurrency import subtree_pool
 
     from benchviz_spark.operators.dedup import (
         _INCR_SEEN_RE,
         band_buckets,
-        shingled_documents,
     )
     from benchviz_spark.operators.relational_ext import bloom_bitmap
     from benchviz_spark.sources.tables import spread
@@ -1620,29 +1613,37 @@ def build_admission_index(
 
     docs = load_table(spark, sf_dir, "documents")
 
-    # ONE spread+persisted NGRAM shingle pass over (standing ∪
-    # eval-carve) documents feeds BOTH phase-1 writes (r15: the
-    # eval_grams write and the fps gate each re-ran the
-    # normalize+split+shingle chain — fps via decontam_eval_overlap,
-    # which also re-derived the very eval-gram set the sibling thread
-    # was materializing). The posting side is additionally pre-filtered
-    # to standing sources: contamination is a PER-DOCUMENT aggregate
-    # (own shingles vs the eval gram set), so flags for the docs fps
-    # actually gates are identical whether or not incoming-source docs
-    # are scored alongside them. The eval side keeps every eval-carve
-    # doc regardless of source — the carve is lake-wide by doc_id.
+    # ONE spread+persisted tokenize pass over (standing ∪ eval-carve)
+    # documents computing BOTH shingle widths feeds EVERY index table
+    # (r16, guide §1.2 "fewer passes"; extends r15's shingle-once: the
+    # r15 build still tokenized the lake twice — once at n=NGRAM for
+    # the eval/fps phase, once at n=3 for the bands/shingles phase
+    # behind a count() barrier). The n=4 and n=3 shingle expressions
+    # are the per-width `_shingles` trees verbatim over one token
+    # split, so every consumer sees byte-identical arrays; the posting
+    # side is pre-filtered to standing sources exactly as before
+    # (contamination is a per-document aggregate, so flags for the
+    # docs fps actually gates are identical whether or not
+    # incoming-source docs are scored alongside them).
+    from benchviz_spark.operators.dedup import _norm_text, _shingles
+
     pre = docs.filter(
         F.col("source").rlike(_INCR_SEEN_RE) | eval_split(F.col("doc_id"))
     )
-    sh_ng = (
-        spread(spark, shingled_documents(spark, sf_dir, n=NGRAM, docs=pre))
-        .filter(F.size("shingles") > 0)
-        .persist()
-    )
-    sh_ng.count()
+    toks = F.split(_norm_text(F.col("text")), " ")
+    sh_all = spread(
+        spark,
+        pre.select(
+            "doc_id",
+            _shingles(toks, NGRAM).alias("s4"),
+            _shingles(toks, 3).alias("s3"),
+        ),
+    ).persist()
+    sh_all.count()
     ev = (
-        sh_ng.filter(eval_split(F.col("doc_id")))
-        .select(F.explode("shingles").alias("g"))
+        sh_all.filter(eval_split(F.col("doc_id")))
+        .filter(F.size("s4") > 0)
+        .select(F.explode("s4").alias("g"))
         .distinct()
     )
 
@@ -1665,11 +1666,12 @@ def build_admission_index(
         # oracle and test_curation's indexed/in-session equivalence).
         spark.sparkContext.setJobDescription(f"admission index: {names['fps']}")
         flagged = (
-            sh_ng.filter(~eval_split(F.col("doc_id")))
+            sh_all.filter(~eval_split(F.col("doc_id")))
+            .filter(F.size("s4") > 0)
             .select(
                 "doc_id",
-                F.size("shingles").cast("long").alias("n_shingles"),
-                F.explode("shingles").alias("g"),
+                F.size("s4").cast("long").alias("n_shingles"),
+                F.explode("s4").alias("g"),
             )
             .join(F.broadcast(ev), "g")
             .groupBy("doc_id", "n_shingles")
@@ -1699,28 +1701,13 @@ def build_admission_index(
             names["fps"]
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for fut in [pool.submit(build_eval_grams), pool.submit(build_fps)]:
-            fut.result()
-    sh_ng.unpersist()
-
-    curated_ids = spark.table(names["fps"]).select("doc_id")
-    standing_docs = docs.join(curated_ids, "doc_id", "left_semi")
-    # ONE shingle pass over the standing corpus feeds both dependent
-    # stores; persisted so the two concurrent writes read the same
-    # materialized blocks instead of racing to recompute the chain.
-    sh3 = spread(
-        spark, shingled_documents(spark, sf_dir, docs=standing_docs)
-    ).persist()
-    sh3.count()
-
-    def build_bands() -> None:
+    def build_bands(sh3: DataFrame) -> None:
         spark.sparkContext.setJobDescription(f"admission index: {names['bands']}")
         band_buckets(spark, sf_dir, sh=sh3).write.mode("overwrite").bucketBy(
             n_buckets, "band", "bucket"
         ).saveAsTable(names["bands"])
 
-    def build_shingles() -> None:
+    def build_shingles(sh3: DataFrame) -> None:
         # hashed_shingled_documents' exact projection, over the shared
         # shingle pass
         spark.sparkContext.setJobDescription(
@@ -1741,14 +1728,29 @@ def build_admission_index(
             spark.table(names["fps"]).select(F.xxhash64("fp").alias("pk")), "pk"
         ).write.mode("overwrite").saveAsTable(names["bloom"])
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # Dependency-ordered submissions instead of the r15 two-phase
+    # barriers ([ev ∥ fps] wait-all, sh3 count, [bands ∥ shingles ∥
+    # bloom] wait-all): the bands/shingles/bloom writes depend only on
+    # fps, so they start the moment fps lands — overlapping with the
+    # eval_grams tail — and the second tokenize pass + its count()
+    # barrier are gone entirely (bands/shingles read the combined pass
+    # semi-joined to the survivors).
+    with subtree_pool(3) as pool:
+        f_ev = pool.submit(build_eval_grams)
+        f_fps = pool.submit(build_fps)
+        f_fps.result()
+        curated_ids = spark.table(names["fps"]).select("doc_id")
+        sh3 = sh_all.join(curated_ids, "doc_id", "left_semi").select(
+            "doc_id", F.col("s3").alias("shingles")
+        )
         for fut in [
-            pool.submit(build_bands),
-            pool.submit(build_shingles),
+            pool.submit(build_bands, sh3),
+            pool.submit(build_shingles, sh3),
             pool.submit(build_bloom),
+            f_ev,
         ]:
             fut.result()
-    sh3.unpersist()
+    sh_all.unpersist()
     spark.sparkContext.setJobDescription(None)
     memo_put(_INDEX_MEMO, memo_key, {"sf_dir": sf_dir, "names": names})
     return names

@@ -492,9 +492,9 @@ def decontam_clean_corpus_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle/window materialization jobs otherwise serialize before
     # the composition job starts (same measured pattern as
     # decontam_flag_matrix's pool — guide §2.6).
-    from concurrent.futures import ThreadPoolExecutor
+    from benchviz_spark.concurrency import subtree_pool
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with subtree_pool(3) as pool:
         f_ng = pool.submit(
             lambda: decontam_eval_overlap(spark, sf_dir)
             .filter(F.col("contamination") >= THRESHOLD)
@@ -737,7 +737,7 @@ def decontam_flag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.6: overlap independent jobs) lets each tier's
     # small-stage jobs back-fill the others' idle cores — measured
     # ~5.3 -> ~3.5 s cold with row-identical output.
-    from concurrent.futures import ThreadPoolExecutor
+    from benchviz_spark.concurrency import subtree_pool
 
     def _flag(fn, col):
         return (
@@ -747,7 +747,7 @@ def decontam_flag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(col, F.lit(1).cast("long"))
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with subtree_pool(4) as pool:
         f_ng = pool.submit(
             lambda: decontam_eval_overlap(spark, sf_dir)
             .filter(F.col("contamination") >= THRESHOLD)

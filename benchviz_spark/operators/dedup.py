@@ -1321,19 +1321,31 @@ def min_label_components(
     if not labels.head(1):
         return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
 
+    # r16: append one SELF-LOOP per labeled node so each propagation
+    # step is ONE join + ONE aggregation that references the prior
+    # labels exactly once. The previous union form (own labels ∪
+    # neighbor labels) referenced `lab` twice per step, so a k-step
+    # unrolled block's plan held 2^k copies of the checkpointed-labels
+    # scan; the self-loop form grows linearly in k and halves the leaf
+    # scans per step. Identical min-fold: min(own ∪ neighbors) — the
+    # self-loop delivers `own`. A/B'd at 32 cores over 5 reps
+    # (scripts/opt_ab_components.py): deep multimodal graph median
+    # 3.97 -> 2.67 s, shallow text graph 1.16 -> 0.89 s,
+    # row-identical output asserted.
+    edges = edges.union(
+        labels.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    ).localCheckpoint(eager=False)
+
     def label_sum(df: DataFrame) -> int:
         # decimal sum: id sums can exceed int64 at corpus scale
         return int(df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0])
 
     def propagate(lab: DataFrame) -> DataFrame:
-        neighbor = edges.join(lab, edges.src == lab.doc_id).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
         return (
-            lab.select("doc_id", "label")
-            .union(neighbor)
-            .groupBy("doc_id")
+            edges.join(lab, edges.src == lab.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("label"))
+            .select("doc_id", "label")
         )
 
     # UNROLL_STEPS sequential propagation steps per materialized job:
@@ -1905,9 +1917,9 @@ def dedup_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _MM_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
-    from concurrent.futures import ThreadPoolExecutor
-
     from pyspark import StorageLevel
+
+    from benchviz_spark.concurrency import subtree_pool
 
     tag = lambda df, m: df.select(  # noqa: E731
         "left_id", "right_id", F.lit(m).alias("modality")
@@ -1918,7 +1930,7 @@ def dedup_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints), and built sequentially those jobs serialize before
     # the union's own job starts. Pooling measured the cold union
     # ~4.6 -> ~2.9 s with row-identical output (guide §2.6).
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with subtree_pool(3) as pool:
         f_text = pool.submit(dedup_ngram_jaccard_pairs, spark, sf_dir)
         f_img = pool.submit(dedup_image_phash_pairs, spark, sf_dir)
         f_aud = pool.submit(dedup_audio_fingerprint_pairs, spark, sf_dir)

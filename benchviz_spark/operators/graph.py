@@ -148,8 +148,11 @@ def graph_pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the whole q7 star-join subtree and the tree grows
         # geometrically with iterations (measured: 114 scans / 137
         # exchanges at 3 iters). Same pattern as connected components
-        # (dedup.py duplicate clustering).
-        .localCheckpoint()
+        # (dedup.py duplicate clustering). LAZY (r16, guide §1.2): the
+        # query's single noop/collect action is the natural
+        # materializer — an eager checkpoint here paid one extra job
+        # per run for the same fold.
+        .localCheckpoint(eager=False)
     )
     edges = rev.select(
         "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
@@ -241,6 +244,13 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "u", "v")
         .limit(TRI_TOP_EDGES)
         .select("u", "v")
+        # r16 (guide §1.2/§3.3): `e` is referenced FOUR times below
+        # (three triangle legs + the edge count); without truncation
+        # each reference re-embeds — and can re-execute — the full
+        # lineitem self-join + top-M subtree. The checkpoint is
+        # TRI_TOP_EDGES rows (16 bytes each) at any scale; lazy, so the
+        # query still runs as one action.
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (

@@ -653,7 +653,13 @@ def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _WORD_COUNTS_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.sources.tables import spread
+
+    # spread(): the normalize+split+explode chain below is the heavy
+    # per-row work of every BPE consumer and would otherwise run on the
+    # one-split local scan as a single task up to the groupBy exchange
+    # (no-op on a many-split production scan — guide §2.5).
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     df = (
         docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
         .filter(F.length("w") >= 1)
@@ -960,7 +966,12 @@ def text_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = trained.select(
         "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_sym")
     )
-    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.sources.tables import spread
+
+    # spread(): the corpus-side tokenize+explode would otherwise run as
+    # ONE task on the single-split local scan (guide §2.5; no-op on a
+    # many-split production scan)
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
     return (
         tok.join(wn, "w")
@@ -1026,7 +1037,10 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = trained.select(
         "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_sym")
     )
-    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.sources.tables import spread
+
+    # spread(): same one-split-scan fix as text_bpe_tokenize_docs
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
     per_source = (
         tok.join(wn, "w")
@@ -1375,7 +1389,10 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same bounded collect. All arithmetic is integer (ceil via
     (a+b-1) div b; targets as integer percents), so both engines agree
     exactly — no float boundary anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.sources.tables import spread
+
+    # spread(): same one-split-scan fix as text_bpe_tokenize_docs
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     tiers = tf.groupBy("tf").agg(
@@ -1516,7 +1533,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its 1-row avgdl reduction, both map-side combinable. The df
     relation is query-term-bounded (broadcast), and the final top-k
     lowers to a per-query WindowGroupLimit, never a global sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.sources.tables import spread
+
+    # spread(): same one-split-scan fix as text_bpe_tokenize_docs
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     qt = spark.createDataFrame(
         [(q, t) for q, terms in BM25_QUERIES.items() for t in terms],
         "query_id string, term string",
@@ -1602,7 +1622,10 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = trained.select(
         "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_sym")
     )
-    docs = load_table(spark, sf_dir, "documents")
+    from benchviz_spark.sources.tables import spread
+
+    # spread(): same one-split-scan fix as text_bpe_tokenize_docs
+    docs = spread(spark, load_table(spark, sf_dir, "documents"))
     tok = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("w"))
     agg = (
         tok.join(wn, "w")

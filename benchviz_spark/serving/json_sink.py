@@ -164,6 +164,15 @@ def with_go_number(df: DataFrame, col: F.Column, out: str) -> DataFrame:
     tests, which run against THIS path)."""
     gn = lambda s: f"__gn_{s}"  # noqa: E731 - scratch-column namer
     c = lambda s: F.col(gn(s))  # noqa: E731
+    # ADVICE r15: the scratch names are fixed, and a caller column named
+    # __gn_* would be silently overwritten and then dropped — refuse
+    # loudly instead (the helper is public API beyond per_test_json's
+    # narrow select).
+    clash = [name for name in df.columns if name.startswith("__gn_")]
+    if clash:
+        raise ValueError(
+            f"with_go_number: input columns collide with scratch names: {clash}"
+        )
     strip = lambda x: F.regexp_replace(  # noqa: E731 - drop trailing zeros
         F.regexp_replace(x.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
     )

@@ -43,6 +43,8 @@ def variant(
     k: int,
     lazy_ckpt: bool,
     aqe_off: bool,
+    grow: int = 1,
+    selfloop: bool = False,
 ) -> DataFrame:
     edges = (
         pairs.union(pairs.select(F.col("right_id"), F.col("left_id")))
@@ -55,11 +57,28 @@ def variant(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=not lazy_ckpt)
     )
+    if selfloop:
+        # edges ∪ one self-loop per labeled node: each propagation step
+        # is then ONE join + ONE agg referencing the prior labels ONCE,
+        # so a k-step unrolled plan grows linearly in k instead of 2^k
+        # (the union form references `lab` twice per step — the k=16
+        # block of the geometric variant built a 2^16-leaf plan and
+        # hung the optimizer).
+        edges = edges.union(
+            labels.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+        ).localCheckpoint(eager=False)
 
     def label_sum(df: DataFrame) -> int:
         return int(df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0])
 
     def propagate(lab: DataFrame) -> DataFrame:
+        if selfloop:
+            return (
+                edges.join(lab, edges.src == lab.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("label"))
+                .select(F.col("doc_id"), "label")
+            )
         neighbor = edges.join(lab, edges.src == lab.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
@@ -74,14 +93,16 @@ def variant(
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         prev_sum = label_sum(labels)
+        cur_k = k
         while True:
-            for _ in range(k):
+            for _ in range(cur_k):
                 labels = propagate(labels)
             labels = labels.localCheckpoint(eager=not lazy_ckpt)
             cur_sum = label_sum(labels)
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+            cur_k *= grow
     finally:
         if aqe_off:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -91,12 +112,10 @@ def variant(
 
 
 VARIANTS = {
-    "A_k2_eager": dict(k=2, lazy_ckpt=False, aqe_off=False),
     "B_k2_lazy": dict(k=2, lazy_ckpt=True, aqe_off=False),
-    "C_k3_lazy": dict(k=3, lazy_ckpt=True, aqe_off=False),
-    "C_k4_lazy": dict(k=4, lazy_ckpt=True, aqe_off=False),
-    "D_k2_lazy_noaqe": dict(k=2, lazy_ckpt=True, aqe_off=True),
-    "D_k3_lazy_noaqe": dict(k=3, lazy_ckpt=True, aqe_off=True),
+    "F_k2_self": dict(k=2, lazy_ckpt=True, aqe_off=False, selfloop=True),
+    "F_k3_self": dict(k=3, lazy_ckpt=True, aqe_off=False, selfloop=True),
+    "F_k4_self": dict(k=4, lazy_ckpt=True, aqe_off=False, selfloop=True),
 }
 
 
@@ -125,7 +144,7 @@ def main() -> None:
     results: dict[str, list[float]] = {}
     baseline_rows: dict[str, list] = {}
 
-    for rep in range(3):
+    for rep in range(int(os.environ.get("AB_REPS", "3"))):
         for vname, kw in VARIANTS.items():
             for gname, pairs in graphs.items():
                 label = f"{vname}/{gname}"
@@ -139,7 +158,7 @@ def main() -> None:
                 # correctness: every variant must equal the committed A
                 if rep == 0:
                     rows = sorted(map(tuple, out.collect()))
-                    if vname == "A_k2_eager":
+                    if gname not in baseline_rows:
                         baseline_rows[gname] = rows
                     else:
                         assert rows == baseline_rows[gname], f"{label} differs!"

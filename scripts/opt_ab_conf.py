@@ -39,11 +39,19 @@ def main() -> None:
     if unknown or not names:
         sys.exit(f"unknown or empty query list: {unknown}")
     spark = get_spark("opt_ab_conf", extra_conf=extra)
-    # warm codegen/JIT with a representative untimed query (methodology
-    # note: first heavy query in a fresh session pays one-time JIT)
-    queries[names[0]](spark, SF_DIR).write.format("noop").mode(
+    # warm codegen/JIT with a representative query OUTSIDE the timed
+    # list (ADVICE r15: warming with names[0] flattered that query's
+    # absolute wall relative to the rest of the subset); fall back to
+    # names[0] only if every candidate is itself being timed
+    warm = next(
+        (n for n in ("dedup_image_dhash_fingerprints", "q1_pricing_summary")
+         if n in queries and n not in names),
+        names[0],
+    )
+    queries[warm](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    clear_caches()
     out: dict[str, float] = {}
     for name in names:
         spark.catalog.clearCache()

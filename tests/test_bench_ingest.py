@@ -500,6 +500,19 @@ def test_go_number_staged_equals_reference(spark):
     assert got == ref
 
 
+def test_go_number_rejects_scratch_name_collision(spark):
+    """ADVICE r15: a caller column named __gn_* would be silently
+    overwritten and dropped by the staged renderer — the helper must
+    refuse instead."""
+    import pytest
+
+    from benchviz_spark.serving.json_sink import with_go_number
+
+    df = spark.createDataFrame([(1.5, "x")], "v double, __gn_plain string")
+    with pytest.raises(ValueError, match="__gn_plain"):
+        with_go_number(df, F.col("v"), "s")
+
+
 def test_serving_tree_via_hadoop_fs_uri(spark, sample_tree, tmp_path):
     """S7: a URI root routes through the Hadoop FileSystem API (the
     portable object-store surface), producing the identical tree to the

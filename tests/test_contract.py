@@ -181,6 +181,47 @@ def test_bench_loaded_retime_cannot_confirm():
     )
 
 
+def test_bench_steal_gate():
+    """VERDICT r15 #7: hypervisor steal is the co-tenant signal loadavg
+    cannot see (the r15 493 s spike run read loadavg 5.0 but ~8% steal
+    share). A run above STEAL_FLAG_MAX_SHARE never flags, and a re-time
+    under such steal cannot CONFIRM a flag (it can still exonerate —
+    steal only ever inflates a wall)."""
+    from bench import (
+        STEAL_FLAG_MAX_SHARE,
+        _steal_share,
+        confirm_regressions,
+        find_regressions,
+    )
+
+    hist = {"q": [2.0, 2.05, 1.95, 2.0, 2.1]}
+    old = {"q": 2.0}
+    # A genuinely regressing row flags on a quiet run...
+    assert find_regressions({"q": 6.6}, old, hist, 1.2, 0.01) == ["q x3.3"]
+    # ...but not when the run's steal share exceeds the bound.
+    assert find_regressions({"q": 6.6}, old, hist, 1.2, 0.08) == []
+    # Missing steal measurement behaves as before.
+    assert find_regressions({"q": 6.6}, old, hist, 1.2, None) == ["q x3.3"]
+
+    provisional = ["q x3.3"]
+    stolen = {"q": STEAL_FLAG_MAX_SHARE * 2}
+    # Reproducing re-time under steal -> kept provisional, annotated.
+    assert confirm_regressions(
+        provisional, {"q": 6.2}, old, hist, {}, stolen
+    ) == ["q x3.3 (retime-stolen)"]
+    # A FAST re-time under steal still exonerates.
+    assert confirm_regressions(provisional, {"q": 2.05}, old, hist, {}, stolen) == []
+    # Quiet re-time -> confirmed at the reproduced ratio.
+    assert confirm_regressions(
+        provisional, {"q": 6.2}, old, hist, {}, {"q": 0.0}
+    ) == ["q x3.1"]
+
+    # _steal_share arithmetic + degenerate windows.
+    assert _steal_share((100, 1000), (150, 2000)) == 0.05
+    assert _steal_share(None, (150, 2000)) is None
+    assert _steal_share((100, 1000), (100, 1000)) is None
+
+
 def test_driver_window_is_fully_oracle_backed():
     """The grading driver records correctness for only the FIRST 50
     entries of queries(). Guard the ordering contract: every window
