@@ -185,6 +185,31 @@ graph_pagerank_trade_nations.__doc__ = graph_pagerank_trade_nations.__doc__.repl
 TRI_TOP_EDGES = 2000
 
 
+def _tri_top_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRI_TOP_EDGES strongest co-occurrence edges, oriented
+    low-id -> high-id. Kept as a separate builder so the plan contract
+    (sort+limit lowers to TakeOrdered, never a global Sort of the edge
+    list) stays assertable on the pre-checkpoint subtree — the
+    registered query truncates this lineage with a lazy
+    localCheckpoint, so its own final plan reads Scan ExistingRDD."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "u", "v")
+        .limit(TRI_TOP_EDGES)
+        .select("u", "v")
+    )
+
+
 @query(
     "graph_triangle_suppliers",
     oracle="""
@@ -229,29 +254,13 @@ def graph_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage. Spark's global sort+limit lowers to TakeOrdered (per
     partition top-M, then a merge of M-sized heaps) — no single-task
     sort of the edge list."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "u", "v")
-        .limit(TRI_TOP_EDGES)
-        .select("u", "v")
-        # r16 (guide §1.2/§3.3): `e` is referenced FOUR times below
-        # (three triangle legs + the edge count); without truncation
-        # each reference re-embeds — and can re-execute — the full
-        # lineitem self-join + top-M subtree. The checkpoint is
-        # TRI_TOP_EDGES rows (16 bytes each) at any scale; lazy, so the
-        # query still runs as one action.
-        .localCheckpoint(eager=False)
-    )
+    # r16 (guide §1.2/§3.3): the edge backbone is referenced FOUR times
+    # below (three triangle legs + the edge count); without truncation
+    # each reference re-embeds — and can re-execute — the full lineitem
+    # self-join + top-M subtree. The checkpoint is TRI_TOP_EDGES rows
+    # (16 bytes each) at any scale; lazy, so the query still runs as
+    # one action.
+    e = _tri_top_edges(spark, sf_dir).localCheckpoint(eager=False)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))

@@ -605,17 +605,20 @@ def stream_dedup_admission(
     )
     bc = spark.sparkContext.broadcast(ev_set)
     bloom_map = spark.table(names["bloom"]).collect()[0]["bloom"]
-    # Build the literal map in TWO py4j calls (one array literal per
-    # side), not one F.lit per entry: the ~1024-entry bitset previously
-    # constructed ~2048 individual literal Columns through py4j at plan
-    # time — measured ~6 s of pure DataFrame-construction latency
-    # before any job ran. map_from_arrays of two array literals is the
-    # same constant map (constant-folded once by Catalyst either way).
+    # Build the literal map in ONE py4j call: r15 already collapsed the
+    # ~2048 per-entry literal Columns (~6 s of py4j) into two array
+    # literals, but F.lit over a 1024-element Python list still
+    # serialized element-by-element — profiled at ~1 s of the ~2.1 s
+    # steady-state plan build (scripts/opt_profile_stream_admission.py).
+    # A SQL literal string parses JVM-side in milliseconds and
+    # constant-folds to the identical map<int,bigint>.
     bloom_keys = [int(k) for k in sorted(bloom_map)]
     bloom_vals = [int(bloom_map[k]) for k in sorted(bloom_map)]
-    bloom_lit = F.map_from_arrays(
-        F.lit(bloom_keys).cast("array<int>"),
-        F.lit(bloom_vals).cast("array<long>"),
+    bloom_lit = F.expr(
+        "map_from_arrays(array({}), array({}))".format(
+            ",".join(str(k) for k in bloom_keys),
+            ",".join(f"{v}L" for v in bloom_vals),
+        )
     )
 
     params = list(_HASH_PARAMS)

@@ -181,6 +181,29 @@ def test_bench_loaded_retime_cannot_confirm():
     )
 
 
+def test_overlap_pool_width_is_capped():
+    """The §2.6 subtree-construction pools are bounded at TWO in-flight
+    subtrees by default (r16 A/B: nested full-width pools thrashed the
+    32-way scheduler — dedup_multimodal_clusters 20.1 s full vs 8.9 s
+    capped), with the env override as the per-host probe lever."""
+    import os
+
+    from benchviz_spark.concurrency import overlap_workers
+
+    assert os.environ.get("SPARK_GRAFT_OVERLAP_WORKERS") is None
+    assert overlap_workers(1) == 1
+    assert overlap_workers(2) == 2
+    assert overlap_workers(3) == 2
+    assert overlap_workers(4) == 2
+    os.environ["SPARK_GRAFT_OVERLAP_WORKERS"] = "1"
+    try:
+        assert overlap_workers(4) == 1
+        os.environ["SPARK_GRAFT_OVERLAP_WORKERS"] = "3"
+        assert overlap_workers(4) == 3
+    finally:
+        del os.environ["SPARK_GRAFT_OVERLAP_WORKERS"]
+
+
 def test_bench_steal_gate():
     """VERDICT r15 #7: hypervisor steal is the co-tenant signal loadavg
     cannot see (the r15 493 s spike run read loadavg 5.0 but ~8% steal

@@ -321,16 +321,32 @@ def test_gopher_rules_is_single_scan_no_exchange(spark):
 
 def test_triangle_top_edges_lowers_to_take_ordered(spark):
     """The top-M edge cut must be a TakeOrdered (per-partition heaps +
-    merge), never a global Sort of the edge list."""
-    from benchviz_spark.operators.graph import graph_triangle_suppliers
+    merge), never a global Sort of the edge list. r16 truncates the
+    registered query's lineage with a lazy localCheckpoint of the edge
+    backbone (4 downstream references), so the contract is asserted on
+    the pre-checkpoint builder, and the registered query's own plan is
+    asserted Sort-free (the checkpoint did not smuggle a global sort
+    back in)."""
+    from benchviz_spark.operators.graph import (
+        _tri_top_edges,
+        graph_triangle_suppliers,
+    )
 
-    plan = (
+    edge_plan = (
+        _tri_top_edges(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in edge_plan, edge_plan
+
+    query_plan = (
         graph_triangle_suppliers(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in query_plan, query_plan
 
 
 def test_containment_has_no_cartesian_product(spark):
