@@ -282,14 +282,21 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     total = 0.0
+    # ~245 queries share one JVM: broadcast/shuffle refs from earlier
+    # queries pile up until a driver GC lets the ContextCleaner release
+    # them, and r15 measured late-alphabet queries paying 5-10x their
+    # isolated time under that debt. The GC is UNTIMED (before the
+    # timer starts) and is the same cold-row discipline as
+    # clear_caches(): each timing is about the query, not about the N
+    # queries before it. r16 defaults the cadence to EVERY row — the
+    # r15 every-15 cadence still let heavy rows inherit up to ~1.6x of
+    # in-sequence debt vs their isolated medians (e.g.
+    # curation_mixture_report_multimodal 15.7 s in-sequence vs 8.5-10 s
+    # isolated with identical code) — tunable via
+    # SPARK_GRAFT_BENCH_GC_EVERY for cadence A/Bs.
+    gc_every = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1")))
     for i, name in enumerate(names):
-        if i and i % 15 == 0:
-            # ~115 queries share one JVM: broadcast/shuffle refs from
-            # earlier queries pile up until a driver GC lets the
-            # ContextCleaner release them, and late-alphabet queries
-            # were paying 5-10x their isolated time under that debt.
-            # Untimed periodic GC keeps each timing about the query,
-            # not about the 100 queries before it.
+        if i and i % gc_every == 0:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
         # Every committed row is a COLD standalone run (ADVICE r9): the
